@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared engine query: a DataFrame program plus (when SQL-expressible)
+  * an equivalent DuckDB oracle statement over the same parquet tables.
+  *
+  * Contract (driver correctness gate):
+  *  - column names must match the oracle's output column names exactly;
+  *  - results must be deterministic: every query ends in a total ORDER BY,
+  *    ties broken by explicit keys, doubles rounded (4dp unless noted),
+  *    timestamps emitted as integer epoch seconds or formatted strings.
+  */
+final case class QueryDef(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+    headline: Boolean = false)
+
+trait QueryCatalog {
+  def defs: Map[String, QueryDef]
+}

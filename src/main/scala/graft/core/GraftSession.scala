@@ -1,0 +1,35 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's standard configuration.
+  *
+  * Design notes (100 TB posture):
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  *    replace hand-tuned partition counts when data volume varies by 1000x.
+  *  - shuffle.partitions defaults to the local core count here; on a real
+  *    cluster this is overridden (AQE coalesces down from a high initial).
+  *  - UTC session timezone everywhere: the reference's America/New_York
+  *    localization (reference 实习一/实习一代码/test.py:65) is handled as
+  *    explicit conversions, never implicit session state.
+  *  - parquet nanosAsLong: the `events` table stores TIMESTAMP(NANOS),
+  *    which Spark's parquet reader rejects; we read exact int64 nanos and
+  *    derive timestamps explicitly (see Tables.events).
+  */
+object GraftSession {
+  def builder(cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = 4): SparkSession = {
+    val spark = builder(cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

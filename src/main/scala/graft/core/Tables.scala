@@ -1,0 +1,60 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table registry over the driver-provided parquet testdata.
+  *
+  * All engine queries read through here so that scale-factor directories are
+  * interchangeable and per-table quirks (the nanosecond `events` timestamps)
+  * are normalized in exactly one place.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Raw parquet scan. Column pruning + predicate pushdown reach the scan
+    * because nothing here forces materialization. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEvents(df) else df
+  }
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS); with
+    * spark.sql.legacy.parquet.nanosAsLong=true it scans as exact int64
+    * nanoseconds since the epoch. We keep the exact value as `ts_ns` (the
+    * engine's canonical event-time: integer arithmetic on it is
+    * bit-reproducible across engines) and derive a microsecond-precision
+    * `ts` TimestampType column for window/streaming operators.
+    */
+  def normalizeEvents(df: DataFrame): DataFrame =
+    df.withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Deterministic synthetic geo points in the reference's NYC bbox
+    * (lon ∈ [−74.3,−73.7], lat ∈ [40.5,41.0] — reference
+    * 实习一/实习一代码/test.py:55-56), derived from an integer key by pure
+    * modular arithmetic so a SQL oracle reproduces the exact doubles.
+    * lon = −74.3 + (key·7919 mod 6000)/10⁴, lat = 40.5 + (key·104729 mod 5000)/10⁴.
+    */
+  def withSyntheticPoint(df: DataFrame, keyCol: String): DataFrame =
+    df.withColumn("lon", lit(-74.3) + pmod(col(keyCol) * lit(7919L), lit(6000L)) / lit(10000.0))
+      .withColumn("lat", lit(40.5) + pmod(col(keyCol) * lit(104729L), lit(5000L)) / lit(10000.0))
+
+  /** The same derivation as SQL text, for DuckDB oracles. */
+  def syntheticPointSql(keyCol: String): (String, String) = (
+    s"-74.3 + (($keyCol * 7919) % 6000) / 10000.0",
+    s"40.5 + (($keyCol * 104729) % 5000) / 10000.0")
+}

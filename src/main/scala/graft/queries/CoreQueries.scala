@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.{QueryCatalog, QueryDef}
+import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scans, projections, filters, dedup, CASE remapping (SURVEY.md §2.1/§2.2).
+  *
+  * Every query is a declarative DataFrame program: filters and projections
+  * sit directly on the parquet scan so Catalyst pushes them down
+  * (PushedFilters / ReadSchema visible in .explain), and each ends in an
+  * explicit total order for oracle determinism.
+  */
+object CoreQueries extends QueryCatalog {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // S1 — scan with limit pushdown (reference 实习一/实习一代码/test.py:25-33
+    // reads only the first n CSV rows). Deterministic form: ordered top-100.
+    "s1_scan_limit" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+             |LIMIT 100""".stripMargin)),
+
+    // S2 — scan with date parsing (reference parse_dates at
+    // 实习二/…taxi_travel_time_prediction.ipynb:106): group by parsed year/month.
+    "s2_scan_dates" -> QueryDef(
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("yr", "mo"),
+      Some("""SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             |count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // P1 — explicit column-list projection (reference 35-feature select at
+    // 实习二/…ipynb:872-884). ReadSchema must show only the 3 columns.
+    "p1_projection" -> QueryDef(
+      (s, dir) => Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // P2 — null-drop filter (reference dropna at test.py:47).
+    "p2_null_drop" -> QueryDef(
+      (s, dir) => Tables.orders(s, dir)
+        .na.drop(Seq("o_totalprice", "o_orderdate", "o_custkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(*) AS n FROM orders
+             |WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+             |  AND o_custkey IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // P3 — dedup by key (reference drop_duplicates at test.py:49-50).
+    // Deterministic tie-break: keep the minimal row per (orderkey, linenumber).
+    "p3_dedup_by_key" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("l_orderkey", "l_linenumber")
+          .orderBy("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        Tables.lineitem(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 2).as("sum_qty"))
+      },
+      Some("""SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty FROM (
+             |  SELECT * FROM lineitem
+             |  QUALIFY row_number() OVER (
+             |    PARTITION BY l_orderkey, l_linenumber
+             |    ORDER BY l_quantity, l_extendedprice, l_discount, l_tax) = 1
+             |)""".stripMargin)),
+
+    // P4 — equality predicate (reference test.py:52-53).
+    "p4_filter_eq" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("revenue"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus, count(*) AS n,
+             |round(sum(l_extendedprice), 2) AS revenue
+             |FROM lineitem WHERE l_returnflag = 'R'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // P5 — bbox range predicate (reference NYC bbox test.py:55-56) over
+    // synthetic points derived from c_custkey.
+    "p5_bbox_filter" -> QueryDef(
+      (s, dir) => Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+        .filter(col("lon").between(-74.1, -73.9) && col("lat").between(40.6, 40.9))
+        .agg(count(lit(1)).as("n"),
+          round(avg("lon"), 6).as("avg_lon"), round(avg("lat"), 6).as("avg_lat")),
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        s"""SELECT count(*) AS n, round(avg(lon), 6) AS avg_lon,
+           |round(avg(lat), 6) AS avg_lat FROM (
+           |  SELECT $lonSql AS lon, $latSql AS lat FROM customer
+           |) WHERE lon BETWEEN -74.1 AND -73.9 AND lat BETWEEN 40.6 AND 40.9""".stripMargin
+      }),
+
+    // P6 — mean±3σ outlier filter (reference 实习二/…ipynb:270-279): scalar
+    // aggregate broadcast back via cross join, then filter.
+    "p6_sigma_outlier" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val stats = li.agg(avg("l_extendedprice").as("m"),
+          stddev_samp(col("l_extendedprice")).as("sd"))
+        li.crossJoin(stats)
+          .filter(col("l_extendedprice").between(
+            col("m") - lit(3) * col("sd"), col("m") + lit(3) * col("sd")))
+          .agg(count(lit(1)).as("n_kept"), round(sum("l_extendedprice"), 2).as("sum_price"))
+      },
+      Some("""SELECT count(*) AS n_kept, round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem,
+             |  (SELECT avg(l_extendedprice) m, stddev_samp(l_extendedprice) sd FROM lineitem) s
+             |WHERE l_extendedprice BETWEEN m - 3*sd AND m + 3*sd""".stripMargin)),
+
+    // P8 — value remapping CASE (reference passenger_count.replace at
+    // 实习二/…ipynb:266-268, {0:1, 7:6, 8:6, 9:6}).
+    "p8_case_remap" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .withColumn("ln_remap",
+          when(col("l_linenumber") === 0, 1)
+            .when(col("l_linenumber") >= 6, 6)
+            .otherwise(col("l_linenumber")))
+        .groupBy("ln_remap").agg(count(lit(1)).as("n"))
+        .orderBy("ln_remap"),
+      Some("""SELECT CASE WHEN l_linenumber = 0 THEN 1
+             |  WHEN l_linenumber >= 6 THEN 6 ELSE l_linenumber END AS ln_remap,
+             |count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // P9 — substring-contains after lower/trim (reference 实习四/…ipynb:160-166).
+    "p9_contains" -> QueryDef(
+      (s, dir) => Tables.part(s, dir)
+        .filter(lower(trim(col("p_name"))).contains("red"))
+        .groupBy("p_type").agg(count(lit(1)).as("n"))
+        .orderBy("p_type"),
+      Some("""SELECT p_type, count(*) AS n FROM part
+             |WHERE contains(lower(trim(p_name)), 'red')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // P10 — keyword-any-match over a delimited string (reference restaurant
+    // keywords over `categories`, 实习四/…ipynb:172-181): predicate as an
+    // array `exists` over the split tokens.
+    "p10_keyword_any" -> QueryDef(
+      (s, dir) => Tables.part(s, dir)
+        .filter(exists(split(lower(col("p_name")), " "),
+          t => t.isin("red", "blue", "small")))
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand, count(*) AS n FROM part
+             |WHERE list_has_any(string_split(lower(p_name), ' '),
+             |                   ['red', 'blue', 'small'])
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // P12 — inf/NaN sanitization (reference replace([inf,-inf],nan).fillna(0)
+    // at lx_lightgbmTest.py:57): guarded division + coalesce-to-0.
+    "p12_sanitize" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .withColumn("ratio",
+          coalesce(col("l_extendedprice") / nullif(col("l_quantity") - lit(25.0), lit(0.0)), lit(0.0)))
+        .groupBy("l_linestatus")
+        .agg(round(sum("ratio"), 2).as("sum_ratio"), count(lit(1)).as("n"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |round(sum(coalesce(l_extendedprice / nullif(l_quantity - 25.0, 0.0), 0.0)), 2) AS sum_ratio,
+             |count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

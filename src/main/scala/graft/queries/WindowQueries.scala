@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.{QueryCatalog, QueryDef}
+import graft.core.Tables
+import graft.ops.{Anomaly, Sessionize}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions / time series / sessions (SURVEY.md §2.5) over `events`.
+  *
+  * Time convention: `ts_ns` int64 epoch nanoseconds (exact); hour buckets are
+  * `ts_ns div 3.6e12`, emitted as epoch seconds — integer arithmetic that a
+  * DuckDB oracle reproduces bit-for-bit via epoch_ns(ts).
+  */
+object WindowQueries extends QueryCatalog {
+
+  private val hourNs = 3600000000000L
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // W1 — tumbling 1-hour window counts (reference pd.Grouper(freq='1h') at
+    // 实习一/实习一代码/test.py:636-639). Map-side combinable single shuffle.
+    "w1_hourly_counts" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy((expr(s"ts_ns div $hourNs") * lit(3600L)).as("hour_epoch"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("hour_epoch"),
+      Some(s"""SELECT (epoch_ns(ts) // $hourNs) * 3600 AS hour_epoch, count(*) AS cnt
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      headline = true),
+
+    // W2 — threshold anomaly: hours with count > mean + 2σ (test.py:642-651).
+    "w2_anomalous_hours" -> QueryDef(
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(expr(s"ts_ns div $hourNs").as("hour_idx"))
+          .agg(count(lit(1)).as("cnt"))
+        val stats = hourly.agg(avg("cnt").as("m"), stddev_samp(col("cnt").cast("double")).as("sd"))
+        hourly.crossJoin(stats)
+          .filter(col("cnt") > col("m") + lit(2.0) * col("sd"))
+          .select((col("hour_idx") * 3600L).as("hour_epoch"), col("cnt"))
+          .orderBy("hour_epoch")
+      },
+      Some(s"""WITH h AS (SELECT epoch_ns(ts) // $hourNs AS hour_idx, count(*) AS cnt
+              |           FROM events GROUP BY 1)
+              |SELECT hour_idx * 3600 AS hour_epoch, cnt
+              |FROM h, (SELECT avg(cnt) m, stddev_samp(cnt) sd FROM h) s
+              |WHERE cnt > m + 2.0 * sd ORDER BY hour_epoch""".stripMargin)),
+
+    // W3 — full high-density-period pipeline: threshold → gap-sessionize →
+    // per-session agg → top-3 by peak (test.py:636-694; SURVEY §7.2 slice).
+    "w3_high_density_sessions" -> QueryDef(
+      (s, dir) => Anomaly.highDensityPeriods(Tables.events(s, dir))
+        .orderBy(desc("max_count"), col("start_epoch"))
+        .limit(3),
+      Some(s"""WITH h AS (SELECT epoch_ns(ts) // $hourNs AS hour_idx, count(*) AS cnt
+              |           FROM events GROUP BY 1),
+              |anom AS (SELECT hour_idx, cnt
+              |         FROM h, (SELECT avg(cnt) m, stddev_samp(cnt) sd FROM h) s
+              |         WHERE cnt > m + 2.0 * sd),
+              |sess AS (SELECT hour_idx, cnt,
+              |  sum(CASE WHEN prev IS NULL OR hour_idx - prev <= 1 THEN 0 ELSE 1 END)
+              |    OVER (ORDER BY hour_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              |  FROM (SELECT hour_idx, cnt, lag(hour_idx) OVER (ORDER BY hour_idx) AS prev FROM anom))
+              |SELECT min(hour_idx) * 3600 AS start_epoch, max(hour_idx) * 3600 AS end_epoch,
+              |  max(cnt) AS max_count, round(avg(cnt), 4) AS avg_count,
+              |  max(hour_idx) - min(hour_idx) + 1 AS duration_hours
+              |FROM sess GROUP BY session_id
+              |ORDER BY max_count DESC, start_epoch LIMIT 3""".stripMargin),
+      headline = true),
+
+    // W4 — ranking (reference rank(ascending=False) at 实习四/…ipynb:914-915):
+    // per-user total purchase value, dense ranking, deterministic tie-break.
+    "w4_rank" -> QueryDef(
+      (s, dir) => {
+        val byUser = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(round(sum("value"), 4).as("total_value"))
+        byUser
+          .withColumn("rnk", rank().over(Window.orderBy(desc("total_value"), col("user_id"))))
+          .orderBy("rnk").limit(50)
+      },
+      Some("""WITH u AS (SELECT user_id, round(sum(value), 4) AS total_value
+             |           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT user_id, total_value,
+             |  rank() OVER (ORDER BY total_value DESC, user_id) AS rnk
+             |FROM u ORDER BY rnk LIMIT 50""".stripMargin)),
+
+    // W5 — top-k per group (reference nlargest per metric, 实习四/…ipynb:1120-1138):
+    // top-3 users by event count within each event_type.
+    "w5_topk_per_group" -> QueryDef(
+      (s, dir) => {
+        val counts = Tables.events(s, dir)
+          .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy(desc("n"), col("user_id"))
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .orderBy("event_type", "rn")
+      },
+      Some("""WITH c AS (SELECT event_type, user_id, count(*) AS n
+             |           FROM events GROUP BY 1, 2)
+             |SELECT event_type, user_id, n,
+             |  row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rn
+             |FROM c QUALIFY rn <= 3 ORDER BY event_type, rn""".stripMargin)),
+
+    // W6 — elbow/knee detection on a sorted series (reference k-distance
+    // gradient argmax, test.py:109-115): central finite difference via
+    // lead/lag over the descending hourly-count curve.
+    "w6_elbow" -> QueryDef(
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(expr(s"ts_ns div $hourNs").as("hour_idx"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.orderBy(desc("cnt"), col("hour_idx"))
+        hourly.withColumn("pos", row_number().over(w))
+          .withColumn("grad",
+            (lead("cnt", 1).over(w) - lag("cnt", 1).over(w)).cast("double") / lit(2.0))
+          .filter(col("grad").isNotNull)
+          .orderBy(col("grad"), col("pos")).limit(1)
+          .select("pos", "cnt", "grad")
+      },
+      Some(s"""WITH h AS (SELECT epoch_ns(ts) // $hourNs AS hour_idx, count(*) AS cnt
+              |           FROM events GROUP BY 1),
+              |g AS (SELECT row_number() OVER (ORDER BY cnt DESC, hour_idx) AS pos, cnt,
+              |  (lead(cnt) OVER (ORDER BY cnt DESC, hour_idx)
+              |   - lag(cnt) OVER (ORDER BY cnt DESC, hour_idx)) / 2.0 AS grad
+              |  FROM h)
+              |SELECT pos, cnt, grad FROM g WHERE grad IS NOT NULL
+              |ORDER BY grad, pos LIMIT 1""".stripMargin)),
+
+    // W7 — time-component extraction (reference dt.hour/.dayofweek at
+    // test.py:215-216): pure integer arithmetic on epoch nanos (1970-01-01
+    // was a Thursday → dow0 Sunday = (days+4) mod 7).
+    "w7_time_components" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("hour_of_day", expr(s"(ts_ns div $hourNs) % 24"))
+        .withColumn("dow", expr("((ts_ns div 86400000000000) + 4) % 7"))
+        .groupBy("dow", "hour_of_day").agg(count(lit(1)).as("n"))
+        .orderBy("dow", "hour_of_day"),
+      Some(s"""SELECT ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+              |  (epoch_ns(ts) // $hourNs) % 24 AS hour_of_day, count(*) AS n
+              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // W8 — calendar bucketing CASE (reference morning/evening-peak buckets,
+    // 实习二/…ipynb:347-368; weekends treated as off-peak).
+    "w8_calendar_buckets" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("hod", expr(s"(ts_ns div $hourNs) % 24"))
+        .withColumn("dow", expr("((ts_ns div 86400000000000) + 4) % 7"))
+        .withColumn("bucket",
+          when(col("dow").isin(0, 6), lit("weekend"))
+            .when(col("hod").between(7, 9), lit("morning_peak"))
+            .when(col("hod").between(17, 19), lit("evening_peak"))
+            .when(col("hod").between(10, 16), lit("day"))
+            .otherwise(lit("night")))
+        .groupBy("bucket").agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .orderBy("bucket"),
+      Some(s"""SELECT CASE
+              |  WHEN ((epoch_ns(ts) // 86400000000000) + 4) % 7 IN (0, 6) THEN 'weekend'
+              |  WHEN (epoch_ns(ts) // $hourNs) % 24 BETWEEN 7 AND 9 THEN 'morning_peak'
+              |  WHEN (epoch_ns(ts) // $hourNs) % 24 BETWEEN 17 AND 19 THEN 'evening_peak'
+              |  WHEN (epoch_ns(ts) // $hourNs) % 24 BETWEEN 10 AND 16 THEN 'day'
+              |  ELSE 'night' END AS bucket,
+              |count(*) AS n, round(avg(value), 4) AS avg_value
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}
