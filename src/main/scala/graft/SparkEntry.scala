@@ -13,6 +13,8 @@ object SparkEntry {
 
   private val catalogs: Seq[QueryCatalog] = Seq(
     CoreQueries,
+    AggQueries,
+    JoinQueries,
     WindowQueries)
 
   lazy val all: Map[String, QueryDef] = {

@@ -1,0 +1,290 @@
+package graft.queries
+
+import graft.{QueryCatalog, QueryDef}
+import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregations (SURVEY.md §2.4): grouped counts, pivot heatmaps, named
+  * multi-aggs, descriptive stats, histograms, Pareto/CDF/coverage profiles.
+  *
+  * All of these are single-shuffle hash aggregations with map-side partials;
+  * group-key cardinality is small relative to data, so they scale linearly.
+  * Double-valued outputs are rounded so DuckDB's different partial-sum order
+  * cannot flip a hash compare.
+  */
+object AggQueries extends QueryCatalog {
+
+  private val hourNs = 3600000000000L
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // A1 — group count (reference groupby().size(), test.py:223-324).
+    "a1_group_count" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // A2 — multi-key group + pivot to a 7×24 heatmap matrix (reference
+    // unstack(fill_value=0), test.py:378). Spark's pivot enumerates the 24
+    // hour columns up front so a single aggregate pass produces the matrix.
+    "a2_pivot_heatmap" -> QueryDef(
+      (s, dir) => {
+        val renames = (0 to 23).map(h => col(h.toString).as(s"h$h"))
+        Tables.events(s, dir)
+          .withColumn("dow", expr("((ts_ns div 86400000000000) + 4) % 7"))
+          .withColumn("hod", expr(s"(ts_ns div $hourNs) % 24"))
+          .groupBy("dow").pivot("hod", 0 to 23).count()
+          .na.fill(0)
+          .select(col("dow") +: renames: _*)
+          .orderBy("dow")
+      },
+      Some {
+        val cols = (0 to 23).map(h =>
+          s"count(*) FILTER (WHERE (epoch_ns(ts) // $hourNs) % 24 = $h) AS h$h").mkString(",\n  ")
+        s"""SELECT ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+           |  $cols
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // A3 — group mean (reference per-region mean speed, 实习二/…ipynb:641-661).
+    "a3_group_mean" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(avg(l_extendedprice), 4) AS avg_price,
+             |round(avg(l_discount), 6) AS avg_disc
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A4 — named multi-agg (reference agg(start_time=min, end_time=max,
+    // max_count=max, avg_count=mean), test.py:672-677).
+    "a4_named_multi_agg" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(
+          date_format(min("l_shipdate"), "yyyy-MM-dd").as("first_ship"),
+          date_format(max("l_shipdate"), "yyyy-MM-dd").as("last_ship"),
+          max("l_quantity").as("max_qty"),
+          round(avg("l_quantity"), 4).as("avg_qty"))
+        .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |  strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+             |  strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship,
+             |  max(l_quantity) AS max_qty, round(avg(l_quantity), 4) AS avg_qty
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A5 — mixed agg incl. share-of-predicate lambda (reference positive-rate
+    // (x=='positive').sum()/len(x), 实习四/…ipynb:891-904) as avg(when).
+    "a5_mixed_agg" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          round(avg("value"), 4).as("avg_value"),
+          round(stddev_samp(col("value")), 4).as("std_value"),
+          count(lit(1)).as("n"),
+          round(avg(when(col("value") > 100, 1.0).otherwise(0.0)), 6).as("high_rate"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, round(avg(value), 4) AS avg_value,
+             |  round(stddev_samp(value), 4) AS std_value, count(*) AS n,
+             |  round(avg(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END), 6) AS high_rate,
+             |  round(sum(value), 2) AS sum_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      headline = true),
+
+    // A6 — value_counts: count desc (reference test.py:708-730).
+    "a6_value_counts" -> QueryDef(
+      (s, dir) => Tables.part(s, dir)
+        .groupBy("p_type").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("p_type")),
+      Some("""SELECT p_type, count(*) AS n FROM part
+             |GROUP BY 1 ORDER BY n DESC, p_type""".stripMargin)),
+
+    // A7 — global scalar stats battery (reference mean/std/median/quantiles/
+    // skew/kurtosis, 实习二/…ipynb:271-272, …network_analysis.ipynb:1199-1207).
+    // Skew/kurtosis via explicit moment arithmetic so both engines evaluate
+    // the identical formula (library definitions differ: sample vs population).
+    "a7_scalar_stats" -> QueryDef(
+      (s, dir) => {
+        val x = col("l_extendedprice")
+        Tables.lineitem(s, dir)
+          .agg(
+            avg(x).as("m1"), avg(x * x).as("r2"),
+            avg(x * x * x).as("r3"), avg(x * x * x * x).as("r4"),
+            round(stddev_samp(x), 4).as("std_price"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+            round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1_price"),
+            round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3_price"),
+            min(x).as("min_price"), max(x).as("max_price"))
+          .withColumn("m2", col("r2") - col("m1") * col("m1"))
+          .withColumn("m3",
+            col("r3") - lit(3) * col("m1") * col("r2") + lit(2) * col("m1") * col("m1") * col("m1"))
+          .withColumn("m4",
+            col("r4") - lit(4) * col("m1") * col("r3") + lit(6) * col("m1") * col("m1") * col("r2")
+              - lit(3) * col("m1") * col("m1") * col("m1") * col("m1"))
+          .select(
+            round(col("m1"), 4).as("mean_price"),
+            col("std_price"), col("median_price"), col("q1_price"), col("q3_price"),
+            col("min_price"), col("max_price"),
+            round(col("m3") / pow(col("m2"), 1.5), 6).as("skewness"),
+            round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6).as("kurtosis"))
+      },
+      Some("""WITH r AS (SELECT avg(l_extendedprice) m1,
+             |  avg(l_extendedprice*l_extendedprice) r2,
+             |  avg(l_extendedprice*l_extendedprice*l_extendedprice) r3,
+             |  avg(l_extendedprice*l_extendedprice*l_extendedprice*l_extendedprice) r4,
+             |  round(stddev_samp(l_extendedprice), 4) AS std_price,
+             |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+             |  round(quantile_cont(l_extendedprice, 0.25), 4) AS q1_price,
+             |  round(quantile_cont(l_extendedprice, 0.75), 4) AS q3_price,
+             |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+             |  FROM lineitem),
+             |m AS (SELECT *, r2 - m1*m1 AS m2,
+             |  r3 - 3*m1*r2 + 2*m1*m1*m1 AS m3,
+             |  r4 - 4*m1*r3 + 6*m1*m1*r2 - 3*m1*m1*m1*m1 AS m4 FROM r)
+             |SELECT round(m1, 4) AS mean_price, std_price, median_price, q1_price,
+             |  q3_price, min_price, max_price,
+             |  round(m3 / power(m2, 1.5), 6) AS skewness,
+             |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+             |FROM m""".stripMargin)),
+
+    // A9 — histogram with fixed bins (reference density-level bins
+    // …network_analysis.ipynb:1209-1218).
+    "a9_histogram" -> QueryDef(
+      (s, dir) => Tables.orders(s, dir)
+        .withColumn("bin",
+          when(col("o_totalprice") < 1000, "0-1k")
+            .when(col("o_totalprice") < 2000, "1k-2k")
+            .when(col("o_totalprice") < 5000, "2k-5k")
+            .when(col("o_totalprice") < 10000, "5k-10k")
+            .otherwise("10k+"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .orderBy("bin"),
+      Some("""SELECT CASE WHEN o_totalprice < 1000 THEN '0-1k'
+             |  WHEN o_totalprice < 2000 THEN '1k-2k'
+             |  WHEN o_totalprice < 5000 THEN '2k-5k'
+             |  WHEN o_totalprice < 10000 THEN '5k-10k'
+             |  ELSE '10k+' END AS bin, count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A10 — missing-rate profile per column (reference % isna,
+    // analyze_data_bias.py:63-80).
+    "a10_missing_rates" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val rates = o.columns.toSeq.map(c =>
+          round(avg(col(c).isNull.cast("double")), 6).as(s"miss_$c"))
+        o.agg(rates.head, rates.tail: _*)
+      },
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority").map(c =>
+          s"round(avg(CASE WHEN $c IS NULL THEN 1.0 ELSE 0.0 END), 6) AS miss_$c").mkString(",\n  ")
+        s"SELECT\n  $cols\nFROM orders"
+      }),
+
+    // A11 — Pareto concentration (reference top-20%-users share,
+    // analyze_data_bias.py:155-178): running share over the desc-ordered
+    // per-user totals; totals rounded before ranking so cross-engine ulp
+    // differences cannot reorder near-ties.
+    "a11_pareto" -> QueryDef(
+      (s, dir) => {
+        val totals = Tables.events(s, dir)
+          .groupBy("user_id").agg(round(sum("value"), 4).as("total"))
+        val w = Window.orderBy(desc("total"), col("user_id"))
+        val cum = totals
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("cum", sum("total").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(totals.agg(sum("total").as("grand"), count(lit(1)).as("n_users")))
+        cum.filter(col("cum") / col("grand") >= 0.5)
+          .orderBy("rnk").limit(1)
+          .select(col("rnk").as("users_for_half"), col("n_users"),
+            round(col("rnk").cast("double") / col("n_users"), 6).as("user_share"))
+      },
+      Some("""WITH t AS (SELECT user_id, round(sum(value), 4) AS total
+             |           FROM events GROUP BY 1),
+             |c AS (SELECT row_number() OVER (ORDER BY total DESC, user_id) AS rnk,
+             |  sum(total) OVER (ORDER BY total DESC, user_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM t),
+             |g AS (SELECT sum(total) AS grand, count(*) AS n_users FROM t)
+             |SELECT rnk AS users_for_half, n_users,
+             |  round(CAST(rnk AS DOUBLE) / n_users, 6) AS user_share
+             |FROM c, g WHERE cum / grand >= 0.5 ORDER BY rnk LIMIT 1""".stripMargin)),
+
+    // A12 — cumulative distribution (reference cumsum/len CDF,
+    // …network_analysis.ipynb:1163-1169) via cume_dist.
+    "a12_cdf" -> QueryDef(
+      (s, dir) => {
+        val totals = Tables.events(s, dir)
+          .groupBy("user_id").agg(round(sum("value"), 4).as("total"))
+        totals.withColumn("cdf", round(cume_dist().over(Window.orderBy("total")), 6))
+          .orderBy("total", "user_id").limit(100)
+      },
+      Some("""WITH t AS (SELECT user_id, round(sum(value), 4) AS total
+             |           FROM events GROUP BY 1)
+             |SELECT user_id, total,
+             |  round(cume_dist() OVER (ORDER BY total), 6) AS cdf
+             |FROM t ORDER BY total, user_id LIMIT 100""".stripMargin)),
+
+    // A13 — coverage ratio: distinct ÷ count (reference reviewed businesses ÷
+    // all, analyze_data_bias.py:211-216).
+    "a13_coverage" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+        .withColumn("events_per_user",
+          round(col("n_events").cast("double") / col("n_users"), 6))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+             |  count(*) AS n_events,
+             |  round(CAST(count(*) AS DOUBLE) / count(DISTINCT user_id), 6) AS events_per_user
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A14 — weighted composite score (reference sentiment*0.7 + stars/5*0.3,
+    // 实习四/…ipynb:908-911).
+    "a14_weighted_score" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(round(avg("value"), 4).as("avg_value"),
+          round(max("value"), 4).as("max_value"))
+        .withColumn("score",
+          round(col("avg_value") / lit(200.0) * lit(0.7) + col("max_value") / lit(1000.0) * lit(0.3), 6))
+        .orderBy(desc("score"), col("event_type")),
+      Some("""WITH a AS (SELECT event_type, round(avg(value), 4) AS avg_value,
+             |  round(max(value), 4) AS max_value FROM events GROUP BY 1)
+             |SELECT event_type, avg_value, max_value,
+             |  round(avg_value / 200.0 * 0.7 + max_value / 1000.0 * 0.3, 6) AS score
+             |FROM a ORDER BY score DESC, event_type""".stripMargin)),
+
+    // A15 — grand totals over the pivot + argmax (reference row/col sums and
+    // idxmax, test.py:416-418): per-dow total + peak hour, deterministic
+    // tie-break on the smaller hour.
+    "a15_pivot_totals" -> QueryDef(
+      (s, dir) => {
+        val counts = Tables.events(s, dir)
+          .withColumn("dow", expr("((ts_ns div 86400000000000) + 4) % 7"))
+          .withColumn("hod", expr(s"(ts_ns div $hourNs) % 24"))
+          .groupBy("dow", "hod").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("dow").orderBy(desc("cnt"), col("hod"))
+        counts
+          .withColumn("total", sum("cnt").over(Window.partitionBy("dow")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("dow"), col("total"), col("hod").as("peak_hour"), col("cnt").as("peak_count"))
+          .orderBy("dow")
+      },
+      Some(s"""WITH c AS (SELECT ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+              |  (epoch_ns(ts) // $hourNs) % 24 AS hod, count(*) AS cnt
+              |  FROM events GROUP BY 1, 2)
+              |SELECT dow, sum(cnt) OVER (PARTITION BY dow) AS total,
+              |  hod AS peak_hour, cnt AS peak_count
+              |FROM c QUALIFY row_number() OVER (PARTITION BY dow
+              |  ORDER BY cnt DESC, hod) = 1 ORDER BY dow""".stripMargin))
+  )
+}

@@ -1,0 +1,213 @@
+package graft.queries
+
+import graft.{QueryCatalog, QueryDef}
+import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Joins (SURVEY.md §2.3): equi/multi-key/semi/anti plus the reference's
+  * spatial join family (point-in-polygon, raster lookup, nearest-neighbor,
+  * grid-cell bucketing).
+  *
+  * Scale posture: dimension sides (zones, rasters, probe lists, per-bucket
+  * stats) are broadcast — no shuffle of the fact table beyond its own
+  * aggregation; the O(cells×rows) loops the reference runs in Python
+  * (实习三/…struct_analysis.ipynb:158-175) become `floor(coord/size)` bucket
+  * equi-joins, which hash-partition cleanly at any scale.
+  */
+object JoinQueries extends QueryCatalog {
+
+  private val hourNs = 3600000000000L
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // J1 — multi-key equi join on truncated time (reference trips⟕weather on
+    // (month,day,hour), 实习二/…ipynb:404-415): events joined back to
+    // per-(dow,hour) mean value — the small aggregate side broadcasts.
+    "j1_multikey_join" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("hod", expr(s"(ts_ns div $hourNs) % 24"))
+          .withColumn("dow", expr("((ts_ns div 86400000000000) + 4) % 7"))
+        val dim = ev.groupBy("dow", "hod").agg(avg("value").as("dim_avg"))
+        ev.join(broadcast(dim), Seq("dow", "hod"), "left")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum(col("value") - col("dim_avg")), 4).as("sum_dev"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (SELECT *, (epoch_ns(ts) // $hourNs) % 24 AS hod,
+              |             ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow FROM events),
+              |dim AS (SELECT dow, hod, avg(value) AS dim_avg FROM ev GROUP BY 1, 2)
+              |SELECT event_type, count(*) AS n,
+              |  round(sum(value - dim_avg), 4) AS sum_dev
+              |FROM ev LEFT JOIN dim USING (dow, hod)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // J2 — equi left join with rename-to-avoid-clash (reference stars→
+    // avg_stars, 实习四/…ipynb:354-364).
+    "j2_join_rename" -> QueryDef(
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .withColumnRenamed("c_acctbal", "cust_acctbal")
+        Tables.orders(s, dir)
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("revenue"),
+            round(avg("cust_acctbal"), 4).as("avg_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS revenue,
+             |  round(avg(c_acctbal), 4) AS avg_bal
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      headline = true),
+
+    // J3 — left-semi join membership (reference business_id ∈ set pushed
+    // into the scan, 实习四/…ipynb:273-300).
+    "j3_semi_join" -> QueryDef(
+      (s, dir) => {
+        val urgent = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+        Tables.lineitem(s, dir)
+          .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem SEMI JOIN (SELECT o_orderkey FROM orders
+             |  WHERE o_orderpriority = '1-URGENT') o ON l_orderkey = o_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // J4 — left-anti join set difference (reference businesses_without_reviews,
+    // analyze_data_bias.py:231-236): customers with no 'F'-status order.
+    "j4_anti_join" -> QueryDef(
+      (s, dir) => {
+        val fOrders = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        Tables.customer(s, dir)
+          .join(fOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n
+             |FROM customer ANTI JOIN (SELECT o_custkey FROM orders
+             |  WHERE o_orderstatus = 'F') o ON c_custkey = o_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // J5 — spatial point-in-polygon join with rectangular zones (reference
+    // gpd.sjoin within, 实习二/…ipynb:638-653): tiny zone table broadcast,
+    // containment as a range predicate — Catalyst plans BroadcastNestedLoop.
+    "j5_point_in_zone" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val zones = Seq(
+          ("west", -74.3, -74.1, 40.5, 41.0),
+          ("core", -74.1, -73.95, 40.6, 40.85),
+          ("east", -73.95, -73.7, 40.5, 41.0)).toDF(
+          "zone_id", "lon_min", "lon_max", "lat_min", "lat_max")
+        Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+          .join(broadcast(zones),
+            col("lon") >= col("lon_min") && col("lon") < col("lon_max") &&
+              col("lat") >= col("lat_min") && col("lat") < col("lat_max"), "inner")
+          .groupBy("zone_id").agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 4).as("avg_bal"))
+          .orderBy("zone_id")
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        s"""WITH pts AS (SELECT c_acctbal, $lonSql AS lon, $latSql AS lat FROM customer),
+           |zones(zone_id, lon_min, lon_max, lat_min, lat_max) AS (VALUES
+           |  ('west', -74.3, -74.1, 40.5, 41.0),
+           |  ('core', -74.1, -73.95, 40.6, 40.85),
+           |  ('east', -73.95, -73.7, 40.5, 41.0))
+           |SELECT zone_id, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+           |FROM pts JOIN zones ON lon >= lon_min AND lon < lon_max
+           |  AND lat >= lat_min AND lat < lat_max
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // J6 — raster point lookup (reference affine rowcol → band value,
+    // 实习二/…ipynb:780-830): lon/lat → (row,col) via the affine transform,
+    // broadcast equi-join against the raster table, nodata → coalesce.
+    "j6_raster_lookup" -> QueryDef(
+      (s, dir) => {
+        val raster = s.range(0, 50).select(col("id").as("r"))
+          .crossJoin(s.range(0, 60).select(col("id").as("c")))
+          .withColumn("cell_value", (col("r") * 31 + col("c") * 17) % 100)
+        val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+          .withColumn("r", floor((lit(41.0) - col("lat")) / lit(0.01)))
+          .withColumn("c", floor((col("lon") + lit(74.3)) / lit(0.01)))
+        pts.join(broadcast(raster), Seq("r", "c"), "left")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            round(avg(coalesce(col("cell_value"), lit(50.0))), 4).as("avg_cell"))
+          .orderBy("c_mktsegment")
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        s"""WITH raster AS (SELECT r.range AS r, c.range AS c,
+           |    (r.range * 31 + c.range * 17) % 100 AS cell_value
+           |  FROM range(0, 50) r, range(0, 60) c),
+           |pts AS (SELECT c_mktsegment,
+           |    floor((41.0 - ($latSql)) / 0.01) AS r,
+           |    floor((($lonSql) + 74.3) / 0.01) AS c
+           |  FROM customer)
+           |SELECT c_mktsegment, count(*) AS n,
+           |  round(avg(coalesce(cell_value, 50.0)), 4) AS avg_cell
+           |FROM pts LEFT JOIN raster USING (r, c)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // J7 — nearest-neighbor join / node snap (reference ox.nearest_nodes,
+    // 实习三/…network_analysis.ipynb:314-316): few probes × all points,
+    // argmin by (distance, key) for deterministic ties.
+    "j7_nearest_neighbor" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val probes = Seq(("p1", -74.0, 40.7), ("p2", -74.2, 40.9), ("p3", -73.8, 40.6))
+          .toDF("probe_id", "plon", "plat")
+        val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+        pts.crossJoin(broadcast(probes))
+          .withColumn("d2",
+            (col("lon") - col("plon")) * (col("lon") - col("plon")) +
+              (col("lat") - col("plat")) * (col("lat") - col("plat")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("probe_id").orderBy(col("d2"), col("c_custkey"))))
+          .filter(col("rn") === 1)
+          .select(col("probe_id"), col("c_custkey").as("nearest_key"), round(col("d2"), 10).as("dist2"))
+          .orderBy("probe_id")
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        s"""WITH pts AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),
+           |probes(probe_id, plon, plat) AS (VALUES
+           |  ('p1', -74.0, 40.7), ('p2', -74.2, 40.9), ('p3', -73.8, 40.6))
+           |SELECT probe_id, c_custkey AS nearest_key,
+           |  round((lon-plon)*(lon-plon) + (lat-plat)*(lat-plat), 10) AS dist2
+           |FROM pts CROSS JOIN probes
+           |QUALIFY row_number() OVER (PARTITION BY probe_id
+           |  ORDER BY (lon-plon)*(lon-plon) + (lat-plat)*(lat-plat), c_custkey) = 1
+           |ORDER BY probe_id""".stripMargin
+      }),
+
+    // J8 — grid-cell containment join (reference O(cells×nodes) loop at
+    // …bounds_analysis.ipynb:185-199) rewritten as floor-bucket groupBy:
+    // the equi-join is implicit in the bucketing, no nested loop at any scale.
+    "j8_grid_density" -> QueryDef(
+      (s, dir) => Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+        .withColumn("cell_x", floor((col("lon") + lit(74.3)) / lit(0.05)))
+        .withColumn("cell_y", floor((col("lat") - lit(40.5)) / lit(0.05)))
+        .groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).as("n_points"), round(avg("c_acctbal"), 4).as("avg_bal"))
+        .filter(col("n_points") >= 3)
+        .orderBy("cell_x", "cell_y"),
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        s"""SELECT floor((lon + 74.3) / 0.05) AS cell_x,
+           |  floor((lat - 40.5) / 0.05) AS cell_y,
+           |  count(*) AS n_points, round(avg(c_acctbal), 4) AS avg_bal
+           |FROM (SELECT c_acctbal, $lonSql AS lon, $latSql AS lat FROM customer)
+           |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""".stripMargin
+      })
+  )
+}
