@@ -15,6 +15,8 @@ object SparkEntry {
     CoreQueries,
     AggQueries,
     JoinQueries,
+    FuncQueries,
+    SetQueries,
     WindowQueries)
 
   lazy val all: Map[String, QueryDef] = {

@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.{QueryCatalog, QueryDef}
+import graft.core.Tables
+import graft.functions.GeoFunctions
+import org.apache.spark.sql.functions._
+
+/** Scalar-function families (SURVEY.md §2.8 F1–F7): string, date/time, math,
+  * geo, JSON, array/collection, conditional. Every function stays a native
+  * codegen'd column expression; each query aggregates so the oracle compare
+  * is a handful of rows regardless of scale.
+  */
+object FuncQueries extends QueryCatalog {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // F1 — string battery: lower/trim/regexp_replace/split/substring/concat
+    // (reference text preprocessing, 实习四/…ipynb:776-782, analyze_data_bias.py:660).
+    "f1_string_funcs" -> QueryDef(
+      (s, dir) => Tables.part(s, dir)
+        .select(
+          substring(regexp_replace(lower(trim(col("p_name"))), "[aeiou]", ""), 1, 8).as("devoweled"),
+          size(split(col("p_name"), " ")).as("n_tokens"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .groupBy("n_tokens")
+        .agg(count(lit(1)).as("n"),
+          min("devoweled").as("min_dev"),
+          max("brand_type").as("max_bt"))
+        .orderBy("n_tokens"),
+      Some("""SELECT len(string_split(p_name, ' ')) AS n_tokens, count(*) AS n,
+             |  min(substr(regexp_replace(lower(trim(p_name)), '[aeiou]', '', 'g'), 1, 8)) AS min_dev,
+             |  max(p_brand || '|' || p_type) AS max_bt
+             |FROM part GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // F2 — date/time battery: component extraction, formatting, interval
+    // arithmetic, epoch diffs (reference strftime/strptime/timedelta,
+    // test.py:64-65, stat_html.py:76-80, ghy_实习二.py:31).
+    "f2_datetime_funcs" -> QueryDef(
+      (s, dir) => Tables.orders(s, dir)
+        .withColumn("ship_deadline", col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .withColumn("age_days",
+          (unix_timestamp(lit("1998-12-31 00:00:00")) - unix_timestamp(col("o_orderdate"))) / 86400.0)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("n"),
+          date_format(max("ship_deadline"), "yyyy-MM-dd").as("max_deadline"),
+          round(avg("age_days"), 4).as("avg_age_days"))
+        .orderBy("ym"),
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n,
+             |  strftime(max(o_orderdate + INTERVAL 30 DAY), '%Y-%m-%d') AS max_deadline,
+             |  round(avg((epoch(TIMESTAMP '1998-12-31 00:00:00') - epoch(o_orderdate)) / 86400.0), 4) AS avg_age_days
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // F3 — math battery: log1p/expm1/sqrt/pow/abs/round/pmod (reference
+    // log-target transform 实习二/…ipynb:324, rmsle :908-911, %360 lx:43).
+    "f3_math_funcs" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(
+          log1p(col("l_extendedprice")).as("log_price"),
+          sqrt(col("l_quantity")).as("sqrt_qty"),
+          pow(col("l_discount"), 2).as("disc2"),
+          pmod(col("l_orderkey"), lit(7L)).as("key_mod"),
+          abs(col("l_quantity") - lit(25.0)).as("qty_dev"))
+        .groupBy("key_mod")
+        .agg(round(avg("log_price"), 6).as("avg_log_price"),
+          round(sum("sqrt_qty"), 4).as("sum_sqrt_qty"),
+          round(avg("disc2"), 8).as("avg_disc2"),
+          round(max("qty_dev"), 2).as("max_qty_dev"))
+        .orderBy("key_mod"),
+      Some("""SELECT l_orderkey % 7 AS key_mod,
+             |  round(avg(ln(1 + l_extendedprice)), 6) AS avg_log_price,
+             |  round(sum(sqrt(l_quantity)), 4) AS sum_sqrt_qty,
+             |  round(avg(power(l_discount, 2)), 8) AS avg_disc2,
+             |  round(max(abs(l_quantity - 25.0)), 2) AS max_qty_dev
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // F4 — geo scalars: haversine + bearing from each synthetic point to a
+    // fixed reference point, bucketed by distance band (reference formulas
+    // 实习二/…ipynb:434-440, lx_lightgbmTest.py:37-43).
+    "f4_geo_funcs" -> QueryDef(
+      (s, dir) => {
+        val refLat = lit(40.758)
+        val refLon = lit(-73.9857)
+        Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+          .withColumn("hav_km", GeoFunctions.haversineKm(col("lat"), col("lon"), refLat, refLon))
+          .withColumn("bearing", GeoFunctions.bearingDeg(col("lat"), col("lon"), refLat, refLon))
+          .withColumn("band", floor(col("hav_km") / lit(10.0)))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"),
+            round(avg("hav_km"), 6).as("avg_km"),
+            round(avg("bearing"), 6).as("avg_bearing"))
+          .orderBy("band")
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        val hav = GeoFunctions.haversineSql("lat", "lon", "40.758", "-73.9857")
+        val brg = GeoFunctions.bearingSql("lat", "lon", "40.758", "-73.9857")
+        s"""WITH pts AS (SELECT $lonSql AS lon, $latSql AS lat FROM customer),
+           |d AS (SELECT ($hav) AS hav_km, ($brg) AS bearing FROM pts)
+           |SELECT floor(hav_km / 10.0) AS band, count(*) AS n,
+           |  round(avg(hav_km), 6) AS avg_km, round(avg(bearing), 6) AS avg_bearing
+           |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+      headline = true),
+
+    // F5 — JSON: parse the events.props JSON payload, extract + aggregate
+    // (reference per-line json.loads with .get defaulting, 实习四/…ipynb:286).
+    "f5_json_funcs" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("k").as("sum_k"),
+          round(avg(coalesce(col("k"), lit(0L))), 4).as("avg_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  round(avg(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)), 4) AS avg_k
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // F6 — array/collection: split → explode → count with stopword filtering
+    // (reference Counter word counts + stopwords, 实习四/…ipynb:1092-1097);
+    // top-20 tokens with deterministic tie-break.
+    "f6_array_explode" -> QueryDef(
+      (s, dir) => Tables.part(s, dir)
+        .select(explode(split(lower(col("p_name")), " ")).as("tok"))
+        .filter(length(col("tok")) > 3 && !col("tok").isin("with", "from"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tok")).limit(20),
+      Some("""SELECT tok, count(*) AS n FROM (
+             |  SELECT unnest(string_split(lower(p_name), ' ')) AS tok FROM part)
+             |WHERE length(tok) > 3 AND tok NOT IN ('with', 'from')
+             |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin)),
+
+    // F7 — conditional bucketing: the reference's sentiment thresholds
+    // (±0.1/±0.5 five-way, 实习四/…ipynb:835-856) applied to a derived score.
+    "f7_conditional" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("score", (col("value") - lit(100.0)) / lit(100.0))
+        .withColumn("cat",
+          when(col("score") > 0.5, "very_pos")
+            .when(col("score") > 0.1, "positive")
+            .when(col("score") >= -0.1, "neutral")
+            .when(col("score") >= -0.5, "negative")
+            .otherwise("very_neg"))
+        .groupBy("cat").agg(count(lit(1)).as("n"), round(avg("score"), 6).as("avg_score"))
+        .orderBy("cat"),
+      Some("""SELECT CASE WHEN (value-100.0)/100.0 > 0.5 THEN 'very_pos'
+             |  WHEN (value-100.0)/100.0 > 0.1 THEN 'positive'
+             |  WHEN (value-100.0)/100.0 >= -0.1 THEN 'neutral'
+             |  WHEN (value-100.0)/100.0 >= -0.5 THEN 'negative'
+             |  ELSE 'very_neg' END AS cat, count(*) AS n,
+             |  round(avg((value-100.0)/100.0), 6) AS avg_score
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.{QueryCatalog, QueryDef}
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** Set operations (SURVEY.md §2.7): union-all, set difference, train/valid
+  * splits, sampling.
+  *
+  * Determinism posture: the reference's random splits/samples
+  * (train_test_split, df.sample(frac)) are re-expressed as *hash splits* —
+  * `key*prime mod 100 < p` — because seeded RNG streams are engine-specific
+  * and could never hash-match a DuckDB oracle. Hash splits are also the
+  * 100 TB-correct design: no global shuffle or row numbering, every row
+  * decides its split locally, and the assignment is stable under
+  * repartitioning and re-runs.
+  */
+object SetQueries extends QueryCatalog {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // U1 — union-all row concat (reference pd.concat, 实习二/…ipynb:533-534):
+    // high-value and urgent order slices unioned, distinct counted.
+    "u1_union_all" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val hi = o.filter(col("o_totalprice") > 4000).select("o_orderkey", "o_orderstatus")
+        val ur = o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey", "o_orderstatus")
+        hi.unionByName(ur)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n_rows"), countDistinct("o_orderkey").as("n_distinct"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_rows,
+             |  count(DISTINCT o_orderkey) AS n_distinct
+             |FROM (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 4000
+             |      UNION ALL
+             |      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // U2 — set difference via EXCEPT (reference set(all) − set(reviewed),
+    // analyze_data_bias.py:231-236): part keys never shipped.
+    "u2_except" -> QueryDef(
+      (s, dir) => Tables.part(s, dir).select(col("p_partkey").as("k"))
+        .except(Tables.lineitem(s, dir).select(col("l_partkey").as("k")))
+        .agg(count(lit(1)).as("n_unshipped"), coalesce(min("k"), lit(-1L)).as("min_key")),
+      Some("""SELECT count(*) AS n_unshipped, coalesce(min(k), -1) AS min_key FROM (
+             |  SELECT p_partkey AS k FROM part
+             |  EXCEPT
+             |  SELECT l_partkey AS k FROM lineitem)""".stripMargin)),
+
+    // U3 — deterministic 70/30 train/valid hash split (reference positional
+    // np.split 实习二/…ipynb:108 / train_test_split): per-split aggregates
+    // prove the split is disjoint and exhaustive.
+    "u3_hash_split" -> QueryDef(
+      (s, dir) => Tables.orders(s, dir)
+        .withColumn("split",
+          when(pmod(col("o_orderkey") * lit(2654435761L), lit(100L)) < 70, "train").otherwise("valid"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+          round(avg("o_totalprice"), 4).as("avg_price"))
+        .orderBy("split"),
+      Some("""SELECT CASE WHEN (o_orderkey * 2654435761) % 100 < 70
+             |  THEN 'train' ELSE 'valid' END AS split,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+             |  round(avg(o_totalprice), 4) AS avg_price
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // U4 — deterministic 10% sample (reference sample(frac=0.1, seed),
+    // clip_data.py:9-15): hash-gate keeps the scan parallel and reproducible.
+    "u4_hash_sample" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(pmod(col("l_orderkey") * lit(7L) + col("l_linenumber"), lit(10L)) === 0)
+        .agg(count(lit(1)).as("n_sampled"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_quantity"), 4).as("avg_qty")),
+      Some("""SELECT count(*) AS n_sampled, round(sum(l_extendedprice), 2) AS sum_price,
+             |  round(avg(l_quantity), 4) AS avg_qty
+             |FROM lineitem WHERE (l_orderkey * 7 + l_linenumber) % 10 = 0""".stripMargin))
+  )
+}
