@@ -17,6 +17,8 @@ object SparkEntry {
     JoinQueries,
     FuncQueries,
     SetQueries,
+    TextQueries,
+    DedupQueries,
     WindowQueries)
 
   lazy val all: Map[String, QueryDef] = {

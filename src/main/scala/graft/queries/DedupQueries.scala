@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.{QueryCatalog, QueryDef}
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the core of a pretraining
+  * data pipeline at 100 TB: exact (hash groupBy), n-gram Jaccard
+  * (inverted-index pair generation), MinHash+LSH (banded signatures), and
+  * SimHash (pigeonhole block join).
+  *
+  * Scale posture: NO pairwise cross join anywhere. Candidate pairs always
+  * come from an equi-join on a bounded-fanout key (shingle, LSH band, SimHash
+  * block), so work is proportional to true collisions, not n². All hashes are
+  * md5-derived (cross-engine deterministic — see TextFunctions.hash64).
+  */
+object DedupQueries extends QueryCatalog {
+
+  /** DuckDB fragment: the same 60-bit md5 hash as TextFunctions.hash64. */
+  private def h64(e: String) = s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // D1 — exact dedup by content hash: the corpus unioned with itself must
+    // collapse back to one row per distinct text, keeping the smallest id
+    // (deterministic survivor policy). Hash-groupBy: one shuffle on the
+    // 128-bit digest, no text comparison beyond the hash.
+    "d1_exact_dedup" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+        val doubled = docs.unionByName(
+          docs.withColumn("doc_id", col("doc_id") + 100000L))
+        doubled
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(min("doc_id").as("kept_id"), count(lit(1)).as("n_copies"))
+          .groupBy("n_copies")
+          .agg(count(lit(1)).as("n_groups"), min("kept_id").as("min_kept"))
+          .orderBy("n_copies")
+      },
+      Some("""WITH doubled AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 100000, text FROM documents),
+             |g AS (SELECT md5(text) AS fp, min(doc_id) AS kept_id,
+             |        count(*) AS n_copies FROM doubled GROUP BY 1)
+             |SELECT n_copies, count(*) AS n_groups, min(kept_id) AS min_kept
+             |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // D2 — n-gram Jaccard near-dup pairs via an inverted shingle index:
+    // distinct word-3-grams per doc, equi-join docs sharing a shingle,
+    // Jaccard = |∩| / (|A|+|B|−|∩|) ≥ 0.5. In production the index would
+    // drop ultra-common shingles (df cap) to bound fanout; the synthetic
+    // corpus needs no cap, so none is applied here.
+    "d2_ngram_jaccard" -> QueryDef(
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val inter = sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "sa"), "id_a")
+          .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "sb"), "id_b")
+          .withColumn("jaccard",
+            round(col("inter") / (col("sa") + col("sb") - col("inter")), 6))
+          .filter(col("jaccard") >= 0.5)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |    [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+             |     for i in generate_series(0, len(t) - 3)])) AS sh
+             |  FROM toks WHERE len(t) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+             |FROM inter
+             |JOIN sizes sa ON sa.doc_id = id_a
+             |JOIN sizes sb ON sb.doc_id = id_b
+             |WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
+             |ORDER BY jaccard DESC, id_a, id_b""".stripMargin),
+      headline = true),
+
+    // D3 — MinHash + LSH: 16-component signatures, 8 bands × 2 rows.
+    // Candidates = docs sharing any band key (equi-join on the band string);
+    // verification = exact token-set Jaccard + the signature's own estimate,
+    // so the output exposes estimator quality. Signature computation is a
+    // per-row array expression — zero shuffle until the band join.
+    "d3_minhash_lsh" -> QueryDef(
+      (s, dir) => {
+        val k = 16
+        val sigs = Tables.documents(s, dir)
+          .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+          .withColumn("sig", minhashSignature(col("toks"), k))
+        val banded = sigs.select(col("doc_id"), col("toks"), col("sig"),
+          explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
+        val cand = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.toks").as("ta"), col("b.toks").as("tb"),
+            col("a.sig").as("sa"), col("b.sig").as("sb"))
+          .dropDuplicates("id_a", "id_b")
+        cand
+          .withColumn("est", round(signatureMatchFraction(col("sa"), col("sb"), k), 6))
+          .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+          .withColumn("jaccard", round(
+            col("inter") / (size(col("ta")) + size(col("tb")) - col("inter")), 6))
+          .filter(col("jaccard") >= 0.6)
+          .select("id_a", "id_b", "est", "jaccard")
+          .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
+      },
+      Some {
+        val sig = s"[ list_min([ ${h64("i::VARCHAR || ':' || t")} for t in toks ]) for i in generate_series(0, 15) ]"
+        s"""WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+           |  FROM documents),
+           |sigs AS (SELECT doc_id, toks, $sig AS sig FROM d),
+           |banded AS (SELECT doc_id, toks, sig,
+           |    unnest([ b::VARCHAR || '_' || sig[2*b+1]::VARCHAR || '_' || sig[2*b+2]::VARCHAR
+           |             for b in generate_series(0, 7) ]) AS band
+           |  FROM sigs),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    a.toks AS ta, b.toks AS tb, a.sig AS sa, b.sig AS sb
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.doc_id < b.doc_id),
+           |scored AS (SELECT id_a, id_b,
+           |    round(list_sum([ CASE WHEN sa[i+1] = sb[i+1] THEN 1 ELSE 0 END
+           |      for i in generate_series(0, 15) ]) / 16.0, 6) AS est,
+           |    len(list_intersect(ta, tb)) AS inter,
+           |    len(ta) AS la, len(tb) AS lb
+           |  FROM cand)
+           |SELECT id_a, id_b, est,
+           |  round(inter * 1.0 / (la + lb - inter), 6) AS jaccard
+           |FROM scored
+           |WHERE inter * 1.0 / (la + lb - inter) >= 0.6
+           |ORDER BY jaccard DESC, id_a, id_b""".stripMargin
+      }),
+
+    // D4 — SimHash near-dup: 16-bit signatures; Hamming-distance ≤ 3 pairs
+    // found by the pigeonhole block join (4 blocks of 4 bits — any pair
+    // within distance 3 must agree on ≥1 whole block), then exact popcount
+    // verification. Equi-join on (block index, block value): no cross join.
+    "d4_simhash" -> QueryDef(
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"), simhash(tokens(col("text")), 16).as("sh"))
+        val blocked = sh.select(col("doc_id"), col("sh"),
+          explode(array((0 until 4).map(b =>
+            concat_ws(":", lit(b.toString),
+              (shiftright(col("sh"), b * 4) % 16).cast("string"))): _*)).as("blk"))
+        blocked.as("a").join(blocked.as("b"),
+            col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.sh").as("ha"), col("b.sh").as("hb"))
+          .dropDuplicates("id_a", "id_b")
+          .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+          .filter(col("hamming") <= 3)
+          .groupBy("hamming")
+          .agg(count(lit(1)).as("n_pairs"), min("id_a").as("min_id_a"))
+          .orderBy("hamming")
+      },
+      Some {
+        val simhashSql =
+          s"""list_sum([ CASE WHEN list_sum([ ((${h64("t")} >> b) & 1) * 2 - 1
+             |  for t in string_split(text, ' ') ]) > 0 THEN 1 << b ELSE 0 END
+             |  for b in generate_series(0, 15) ])""".stripMargin
+        s"""WITH sh AS (SELECT doc_id, $simhashSql AS sh FROM documents),
+           |blocked AS (SELECT doc_id, sh,
+           |    unnest([ b::VARCHAR || ':' || ((sh >> (b*4)) & 15)::VARCHAR
+           |             for b in generate_series(0, 3) ]) AS blk
+           |  FROM sh),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    a.sh AS ha, b.sh AS hb
+           |  FROM blocked a JOIN blocked b
+           |    ON a.blk = b.blk AND a.doc_id < b.doc_id)
+           |SELECT bit_count(xor(ha, hb)) AS hamming, count(*) AS n_pairs,
+           |  min(id_a) AS min_id_a
+           |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      })
+  )
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.{QueryCatalog, QueryDef}
+import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality-scoring / token-counting / fingerprinting surface a large-scale
+  * training-data pipeline needs (plus the reference's term-frequency op M8,
+  * 实习四/…yelp_analysis.ipynb:1042-1101).
+  *
+  * Scale posture: every query is explode → hash-aggregate (one shuffle,
+  * map-side combined) or a pure per-row projection; nothing materializes
+  * per-document state on the driver.
+  */
+object TextQueries extends QueryCatalog {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // T1 — token counting: whitespace tokens vs regex word/number/symbol
+    // tokens (a BPE-ish pre-tokenizer split), per language.
+    "t1_token_stats" -> QueryDef(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("lang"),
+          size(split(col("text"), " ")).as("ws_toks"),
+          expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("re_toks"),
+          col("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("ws_toks"), 4).as("avg_ws_toks"),
+          round(avg("re_toks"), 4).as("avg_re_toks"),
+          round(avg(col("n_chars").cast("double") / col("ws_toks")), 4).as("chars_per_tok"))
+        .orderBy("lang"),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  round(avg(len(string_split(text, ' '))), 4) AS avg_ws_toks,
+             |  round(avg(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 4) AS avg_re_toks,
+             |  round(avg(CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))), 4) AS chars_per_tok
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+      headline = true),
+
+    // T2 — language ID as a self-trained naive-Bayes n-gram classifier:
+    // per-language token profiles (add-one smoothing) scored against each
+    // document; prediction = argmax log-likelihood. Pure joins + aggregates —
+    // the profile side is tiny and broadcasts; the scoring join shuffles on
+    // token, which is the right key at any scale. Output: confusion matrix.
+    "t2_lang_id_confusion" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val docTok = docs.select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        val profile = docTok.groupBy(col("lang").as("cand"), col("tok"))
+          .agg(count(lit(1)).as("n_lt"))
+        val langTotals = docTok.groupBy(col("lang").as("cand")).agg(count(lit(1)).as("n_l"))
+        val vocab = docTok.agg(countDistinct("tok").as("v"))
+        val scored = docTok
+          .join(broadcast(profile.join(langTotals, "cand").crossJoin(vocab)), Seq("tok"))
+          .withColumn("ll", log((col("n_lt") + 1.0) / (col("n_l") + col("v"))))
+          .groupBy(col("doc_id"), col("lang"), col("cand"))
+          .agg(round(sum("ll"), 6).as("loglik"))
+        val w = Window.partitionBy("doc_id").orderBy(desc("loglik"), col("cand"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy(col("lang").as("true_lang"), col("cand").as("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("true_lang", "pred_lang")
+      },
+      Some("""WITH dt AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+             |            FROM documents),
+             |prof AS (SELECT lang AS cand, tok, count(*) AS n_lt FROM dt GROUP BY 1, 2),
+             |tot AS (SELECT lang AS cand, count(*) AS n_l FROM dt GROUP BY 1),
+             |voc AS (SELECT count(DISTINCT tok) AS v FROM dt),
+             |scored AS (
+             |  SELECT dt.doc_id, dt.lang, p.cand,
+             |         round(sum(ln((p.n_lt + 1.0) / (t.n_l + voc.v))), 6) AS loglik
+             |  FROM dt JOIN prof p USING (tok) JOIN tot t ON p.cand = t.cand, voc
+             |  GROUP BY 1, 2, 3),
+             |pred AS (SELECT doc_id, lang, cand FROM scored
+             |  QUALIFY row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY loglik DESC, cand) = 1)
+             |SELECT lang AS true_lang, cand AS pred_lang, count(*) AS n
+             |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // T3 — quality scoring: length, lexical diversity, and token-shape
+    // signals composed into a [0,1] score (the filter stage of a pretraining
+    // data pipeline), profiled per source.
+    "t3_quality_score" -> QueryDef(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")))
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("toks"))).cast("double") / col("n_tok"))
+        .withColumn("avg_tok_len",
+          (col("n_chars") - col("n_tok") + 1).cast("double") / col("n_tok"))
+        .withColumn("quality",
+          round(lit(0.5) * least(lit(1.0), col("n_tok") / lit(50.0)) +
+            lit(0.3) * col("distinct_ratio") +
+            lit(0.2) * least(lit(1.0), col("avg_tok_len") / lit(6.0)), 6))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("quality"), 6).as("avg_q"),
+          round(min("quality"), 6).as("min_q"),
+          round(max("quality"), 6).as("max_q"))
+        .orderBy("source"),
+      Some("""WITH d AS (SELECT source, n_chars,
+             |    len(string_split(text, ' ')) AS n_tok,
+             |    len(list_distinct(string_split(text, ' '))) AS n_dist
+             |  FROM documents),
+             |q AS (SELECT source,
+             |    round(0.5 * least(1.0, n_tok / 50.0) +
+             |          0.3 * (CAST(n_dist AS DOUBLE) / n_tok) +
+             |          0.2 * least(1.0, ((n_chars - n_tok + 1.0) / n_tok) / 6.0), 6) AS quality
+             |  FROM d)
+             |SELECT source, count(*) AS n_docs, round(avg(quality), 6) AS avg_q,
+             |  round(min(quality), 6) AS min_q, round(max(quality), 6) AS max_q
+             |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // T4 — document fingerprinting: position-weighted rolling checksum
+    // (order-sensitive, unlike a bag hash) — Σ hash64(tok)·(pos%7+1) mod 2⁴⁰.
+    // Distributes as explode + sum; fingerprint equality ⇒ near-certain dup.
+    "t4_fingerprint" -> QueryDef(
+      (s, dir) => {
+        val hexpr = "cast(conv(substring(md5(tok), 1, 15), 16, 10) as long)"
+        Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .withColumn("term", expr(hexpr) % lit(1L << 40) * (col("pos") % 7 + 1))
+          .groupBy("doc_id")
+          .agg(pmod(sum("term"), lit(1L << 40)).as("fingerprint"))
+          .groupBy(expr("fingerprint % 16").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"), countDistinct("fingerprint").as("n_distinct"))
+          .orderBy("bucket")
+      },
+      Some("""WITH dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+             |  FROM documents),
+             |fp AS (SELECT doc_id,
+             |    sum((CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1099511627776)
+             |        * (pos % 7 + 1)) % 1099511627776 AS fingerprint
+             |  FROM dt GROUP BY 1)
+             |SELECT fingerprint % 16 AS bucket, count(*) AS n_docs,
+             |  count(DISTINCT fingerprint) AS n_distinct
+             |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // T5 — term frequency / word-cloud prep (reference M8: concat → split →
+    // stopword filter → top-n, 实习四/…ipynb:1042-1101).
+    "t5_word_freq" -> QueryDef(
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 3 && !col("tok").isin("the", "with", "from", "this"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("tok")).limit(30),
+      Some("""SELECT tok, count(*) AS n FROM (
+             |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |WHERE length(tok) > 3 AND tok NOT IN ('the', 'with', 'from', 'this')
+             |GROUP BY 1 ORDER BY n DESC, tok LIMIT 30""".stripMargin))
+  )
+}
