@@ -19,6 +19,7 @@ object SparkEntry {
     SetQueries,
     TextQueries,
     DedupQueries,
+    VectorQueries,
     WindowQueries)
 
   lazy val all: Map[String, QueryDef] = {

@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.{QueryCatalog, QueryDef}
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`array<float>`, dim 64):
+  * brute-force cosine top-k as the exact baseline, random-hyperplane LSH as
+  * the scale path, and an IVF-style coarse-centroid assignment.
+  *
+  * Scale posture: brute force is probes × corpus (probe side broadcast —
+  * linear in corpus, never corpus²); LSH bounds candidate generation by
+  * bucket equi-join; IVF assignment is a relational explode-join-aggregate
+  * whose shuffle key is (vector, centroid) — all hold at 1000 executors.
+  */
+object VectorQueries extends QueryCatalog {
+
+  private val Dim = 64
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // V1 — brute-force cosine top-k: for each of 5 probe vectors, the 5
+    // nearest neighbors by cosine. Probe side broadcast; ranking on the
+    // 6-dp-rounded cosine with vec_id tie-break for determinism.
+    "v1_knn_brute" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        val scored = e.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(cosine(col("embedding"), col("pe")), 6))
+        val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+          .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
+          .orderBy("probe_id", "rn")
+      },
+      Some(s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe
+              |          FROM embeddings WHERE vec_id < 5),
+              |s AS (SELECT probe_id, vec_id,
+              |    round(${cosineSql("embedding", "pe", Dim)}, 6) AS cos
+              |  FROM embeddings CROSS JOIN p WHERE vec_id <> probe_id),
+              |r AS (SELECT probe_id, vec_id,  cos,
+              |    row_number() OVER (PARTITION BY probe_id
+              |      ORDER BY cos DESC, vec_id) AS rn FROM s)
+              |SELECT probe_id, rn, vec_id AS neighbor, cos
+              |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin),
+      headline = true),
+
+    // V2 — ANN via random-hyperplane LSH: 8 sign bits → 256 buckets; probes
+    // search only their own bucket. Output: per-probe top-3 in-bucket
+    // neighbors plus the bucket's candidate count (recall diagnostics).
+    "v2_ann_lsh" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .withColumn("bucket", lshBucket(col("embedding"), 8, Dim))
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+            col("bucket").as("pb"))
+        val cand = e.join(broadcast(probes),
+            col("bucket") === col("pb") && col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(cosine(col("embedding"), col("pe")), 6))
+        val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
+        cand
+          .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("probe_id")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor"),
+            col("cos"), col("n_cand"))
+          .orderBy("probe_id", "rn")
+      },
+      Some {
+        val bkt = lshBucketSql("embedding", 8, Dim)
+        s"""WITH e AS (SELECT vec_id, embedding, $bkt AS bucket FROM embeddings),
+           |p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket AS pb
+           |      FROM e WHERE vec_id < 5),
+           |cand AS (SELECT probe_id, vec_id,
+           |    round(${cosineSql("embedding", "pe", Dim)}, 6) AS cos
+           |  FROM e JOIN p ON bucket = pb AND vec_id <> probe_id),
+           |r AS (SELECT probe_id, vec_id, cos,
+           |    count(*) OVER (PARTITION BY probe_id) AS n_cand,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY cos DESC, vec_id) AS rn FROM cand)
+           |SELECT probe_id, rn, vec_id AS neighbor, cos, n_cand
+           |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+      }),
+
+    // V3 — embedding near-dup candidates: all same-bucket pairs ranked by
+    // cosine, top-20. The bucket equi-join replaces the n² pair scan; a
+    // dedup pipeline would threshold `cos`, this corpus has no true dups so
+    // the query surfaces the frontier instead.
+    "v3_embedding_neardup" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .withColumn("bucket", lshBucket(col("embedding"), 8, Dim))
+        e.as("a").join(e.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+            round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+          .orderBy(desc("cos"), col("id_a"), col("id_b")).limit(20)
+      },
+      Some {
+        val bkt = lshBucketSql("embedding", 8, Dim)
+        s"""WITH e AS (SELECT vec_id, embedding, $bkt AS bucket FROM embeddings)
+           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |  round(${cosineSql("a.embedding", "b.embedding", Dim)}, 6) AS cos
+           |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin
+      }),
+
+    // V4 — IVF-style coarse assignment: per-label centroids (the "trained"
+    // quantizer), every vector assigned to its nearest centroid by cosine;
+    // output = assignment-vs-label confusion summary. Fully relational:
+    // posexplode → per-(label,dim) mean → dim equi-join → per-(vec,centroid)
+    // sums — the 100 TB path (no driver-side centroid math).
+    "v4_ivf_assign" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val comps = e.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+          .withColumn("x", col("x").cast("double"))
+        val centroids = comps.groupBy(col("label").as("c_label"), col("dim"))
+          .agg(avg("x").as("cx"))
+        val scored = comps.join(centroids, "dim")
+          .groupBy("vec_id", "label", "c_label")
+          .agg(sum(col("x") * col("cx")).as("dot"),
+            sum(col("x") * col("x")).as("n2a"),
+            sum(col("cx") * col("cx")).as("n2b"))
+          .withColumn("cos", round(col("dot") / sqrt(col("n2a") * col("n2b")), 6))
+        val w = Window.partitionBy("vec_id").orderBy(desc("cos"), col("c_label"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("c_label") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+          .orderBy("label")
+      },
+      Some("""WITH comps AS (SELECT vec_id, label,
+             |    generate_subscripts(embedding, 1) - 1 AS dim,
+             |    unnest(embedding)::DOUBLE AS x
+             |  FROM embeddings),
+             |cent AS (SELECT label AS c_label, dim, avg(x) AS cx
+             |  FROM comps GROUP BY 1, 2),
+             |scored AS (SELECT vec_id, label, c_label,
+             |    round(sum(x * cx) / sqrt(sum(x * x) * sum(cx * cx)), 6) AS cos
+             |  FROM comps JOIN cent USING (dim)
+             |  GROUP BY 1, 2, 3),
+             |assigned AS (SELECT vec_id, label, c_label FROM scored
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id
+             |    ORDER BY cos DESC, c_label) = 1)
+             |SELECT label, count(*) AS n,
+             |  sum(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS n_correct
+             |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}
