@@ -20,6 +20,7 @@ object SparkEntry {
     TextQueries,
     DedupQueries,
     VectorQueries,
+    MLQueries,
     WindowQueries)
 
   lazy val all: Map[String, QueryDef] = {

@@ -1,0 +1,350 @@
+package graft.queries
+
+import graft.{QueryCatalog, QueryDef}
+import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ML / spatial-statistics operators (SURVEY.md §2.9) that reduce to
+  * relational programs: kNN-distance elbow (M2), Voronoi-by-nearest-center
+  * (M5), standardization (M6), lexicon sentiment (M7), 2-D Gaussian KDE (M9),
+  * local Moran's I / LISA (M10), closed-form linear regression (M11),
+  * regression metrics (M13), holiday semi-join (M20), bias-audit composite
+  * (M21). Iterative algorithms (DBSCAN, K-Means, GBT) live in graft.ml.
+  */
+object MLQueries extends QueryCatalog {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // M2 — kNN-distance elbow for eps selection (reference test.py:69-146):
+    // distance to the 4th nearest neighbor per point, curve sorted desc,
+    // elbow candidates = largest central-difference gradient. Exact pairwise
+    // here (oracle parity); the production path is the grid-bucketed kNN in
+    // graft.ml (cell-neighborhood join, exact when cell ≥ max k-dist).
+    "m2_knn_elbow" -> QueryDef(
+      (s, dir) => {
+        val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+          .select(col("c_custkey").as("id"), col("lon"), col("lat"))
+        val pairs = pts.as("a").join(pts.as("b"), col("a.id") =!= col("b.id"))
+          .select(col("a.id").as("id"),
+            sqrt(pow(col("a.lon") - col("b.lon"), 2) + pow(col("a.lat") - col("b.lat"), 2)).as("d"))
+        val kdist = pairs
+          .withColumn("rn", row_number().over(Window.partitionBy("id").orderBy("d")))
+          .filter(col("rn") === 4)
+          .select(col("id"), round(col("d"), 10).as("kdist"))
+        val curve = kdist
+          .withColumn("idx", row_number().over(Window.orderBy(desc("kdist"), col("id"))))
+        curve
+          .withColumn("grad",
+            (lag("kdist", 1).over(Window.orderBy("idx")) - lead("kdist", 1).over(Window.orderBy("idx"))) / 2.0)
+          .filter(col("grad").isNotNull)
+          .select(col("idx"), round(col("kdist"), 8).as("kdist"), round(col("grad"), 8).as("grad"))
+          .orderBy(desc("grad"), col("idx")).limit(5)
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        s"""WITH pts AS (SELECT c_custkey AS id, $lonSql AS lon, $latSql AS lat FROM customer),
+           |pairs AS (SELECT a.id, sqrt(power(a.lon-b.lon, 2) + power(a.lat-b.lat, 2)) AS d
+           |  FROM pts a JOIN pts b ON a.id <> b.id),
+           |kdist AS (SELECT id, round(d, 10) AS kdist FROM pairs
+           |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY d) = 4),
+           |curve AS (SELECT id, kdist,
+           |    row_number() OVER (ORDER BY kdist DESC, id) AS idx FROM kdist),
+           |g AS (SELECT idx, kdist,
+           |    (lag(kdist, 1) OVER (ORDER BY idx) - lead(kdist, 1) OVER (ORDER BY idx)) / 2.0 AS grad
+           |  FROM curve)
+           |SELECT idx, round(kdist, 8) AS kdist, round(grad, 8) AS grad
+           |FROM g WHERE grad IS NOT NULL
+           |ORDER BY grad DESC, idx LIMIT 5""".stripMargin
+      }),
+
+    // M5 — Voronoi tessellation by nearest center (reference
+    // 实习二/…ipynb:608-625): nearest-center assignment ≡ Voronoi membership,
+    // so no polygon geometry is needed. 15 deterministic centers broadcast.
+    "m5_voronoi_zones" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val centers = (0 until 15).map(c =>
+          (c.toLong, -74.3 + (c * 37 % 60) / 100.0, 40.5 + (c * 23 % 50) / 100.0))
+          .toDF("center_id", "clon", "clat")
+        val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+        val w = Window.partitionBy("c_custkey").orderBy(col("d2"), col("center_id"))
+        pts.crossJoin(broadcast(centers))
+          .withColumn("d2", pow(col("lon") - col("clon"), 2) + pow(col("lat") - col("clat"), 2))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy("center_id")
+          .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 4).as("avg_bal"))
+          .orderBy("center_id")
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        val centers = (0 until 15).map(c =>
+          s"($c, ${-74.3 + (c * 37 % 60) / 100.0}, ${40.5 + (c * 23 % 50) / 100.0})").mkString(", ")
+        s"""WITH pts AS (SELECT c_custkey, c_acctbal, $lonSql AS lon, $latSql AS lat FROM customer),
+           |centers(center_id, clon, clat) AS (VALUES $centers),
+           |assigned AS (SELECT c_custkey, c_acctbal, center_id FROM pts CROSS JOIN centers
+           |  QUALIFY row_number() OVER (PARTITION BY c_custkey
+           |    ORDER BY power(lon-clon, 2) + power(lat-clat, 2), center_id) = 1)
+           |SELECT center_id, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+           |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // M6 — standardization (reference StandardScaler, 实习四/…ipynb:1545-1547):
+    // global mean/sd broadcast back, z-score histogram by integer bucket.
+    "m6_standardize" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val stats = li.agg(avg("l_extendedprice").as("m"), stddev_samp(col("l_extendedprice")).as("sd"))
+        li.crossJoin(stats)
+          .withColumn("z", (col("l_extendedprice") - col("m")) / col("sd"))
+          .groupBy(floor(col("z")).as("z_bucket"))
+          .agg(count(lit(1)).as("n"), round(avg("z"), 6).as("avg_z"))
+          .orderBy("z_bucket")
+      },
+      Some("""SELECT floor((l_extendedprice - m) / sd) AS z_bucket, count(*) AS n,
+             |  round(avg((l_extendedprice - m) / sd), 6) AS avg_z
+             |FROM lineitem,
+             |  (SELECT avg(l_extendedprice) m, stddev_samp(l_extendedprice) sd FROM lineitem)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // M7 — lexicon sentiment scoring (reference TextBlob polarity + ±0.1
+    // categorize, 实习四/…ipynb:789-856): token ⋈ broadcast lexicon → mean
+    // polarity per doc → 3-way category → per-lang profile.
+    "m7_sentiment" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val lexicon = Seq(
+          ("fast", 0.8), ("slow", -0.8), ("big", 0.2), ("small", -0.2),
+          ("dup", -0.5), ("merge", 0.3), ("join", 0.4), ("filter", 0.2),
+          ("sort", -0.3), ("stream", 0.5), ("batch", -0.4), ("hash", 0.1))
+          .toDF("tok", "score")
+        val docTok = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        docTok.join(broadcast(lexicon), Seq("tok"), "left")
+          .groupBy("doc_id", "lang")
+          .agg(round(avg("score"), 6).as("polarity"))
+        match { case perDoc =>
+          perDoc
+            .withColumn("cat",
+              when(col("polarity").isNull, "no_signal")
+                .when(col("polarity") > 0.1, "positive")
+                .when(col("polarity") >= -0.1, "neutral")
+                .otherwise("negative"))
+            .groupBy("lang", "cat")
+            .agg(count(lit(1)).as("n"), round(avg("polarity"), 6).as("avg_pol"))
+            .orderBy("lang", "cat")
+        }
+      },
+      Some("""WITH lex(tok, score) AS (VALUES
+             |  ('fast', 0.8), ('slow', -0.8), ('big', 0.2), ('small', -0.2),
+             |  ('dup', -0.5), ('merge', 0.3), ('join', 0.4), ('filter', 0.2),
+             |  ('sort', -0.3), ('stream', 0.5), ('batch', -0.4), ('hash', 0.1)),
+             |dt AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+             |       FROM documents),
+             |perdoc AS (SELECT doc_id, lang, round(avg(score), 6) AS polarity
+             |  FROM dt LEFT JOIN lex USING (tok) GROUP BY 1, 2),
+             |cats AS (SELECT lang, polarity,
+             |    CASE WHEN polarity IS NULL THEN 'no_signal'
+             |      WHEN polarity > 0.1 THEN 'positive'
+             |      WHEN polarity >= -0.1 THEN 'neutral'
+             |      ELSE 'negative' END AS cat
+             |  FROM perdoc)
+             |SELECT lang, cat, count(*) AS n, round(avg(polarity), 6) AS avg_pol
+             |FROM cats GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      headline = true),
+
+    // M9 — 2-D Gaussian KDE on a fixed evaluation grid (reference
+    // gaussian_kde over 100×100, 实习四/…ipynb:1580-1599; bandwidth h=0.05):
+    // grid ⨯ points kernel sum. Grid side is tiny and broadcast; the sum
+    // shuffles only 80 cells.
+    "m9_kde_grid" -> QueryDef(
+      (s, dir) => {
+        val grid = s.range(0, 10).select(col("id").as("gx"))
+          .crossJoin(s.range(0, 8).select(col("id").as("gy")))
+          .withColumn("glon", lit(-74.3) + col("gx") * lit(0.06) + lit(0.03))
+          .withColumn("glat", lit(40.5) + col("gy") * lit(0.0625) + lit(0.03125))
+        val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+        pts.crossJoin(broadcast(grid))
+          .withColumn("kern",
+            exp((pow(col("lon") - col("glon"), 2) + pow(col("lat") - col("glat"), 2)) / lit(-2 * 0.05 * 0.05)))
+          .groupBy("gx", "gy")
+          .agg(round(sum("kern"), 4).as("density"))
+          .orderBy("gx", "gy")
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        s"""WITH pts AS (SELECT $lonSql AS lon, $latSql AS lat FROM customer),
+           |grid AS (SELECT gx.range AS gx, gy.range AS gy,
+           |    -74.3 + gx.range * 0.06 + 0.03 AS glon,
+           |    40.5 + gy.range * 0.0625 + 0.03125 AS glat
+           |  FROM range(0, 10) gx, range(0, 8) gy)
+           |SELECT gx, gy,
+           |  round(sum(exp((power(lon-glon, 2) + power(lat-glat, 2)) / (-2 * 0.05 * 0.05))), 4) AS density
+           |FROM pts CROSS JOIN grid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
+    // M10 — local Moran's I / LISA (reference KNN k=5 row-standardized
+    // weights + quadrants, 实习四/…ipynb:5960-6030): z-scores, 5-NN spatial
+    // lag, Iᵢ = zᵢ·lagᵢ, HH/LL/LH/HL at the mean. Analytic form only — the
+    // reference's 999-permutation p-values are a seeded-RNG loop that can't
+    // be oracle-matched; documented approximation.
+    "m10_lisa" -> QueryDef(
+      (s, dir) => {
+        val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+          .select(col("c_custkey").as("id"), col("lon"), col("lat"), col("c_acctbal").as("x"))
+        val stats = pts.agg(avg("x").as("m"), stddev_samp(col("x")).as("sd"))
+        val z = pts.crossJoin(stats).withColumn("z", (col("x") - col("m")) / col("sd"))
+          .select("id", "lon", "lat", "z")
+        val nn = z.as("a").join(z.as("b"), col("a.id") =!= col("b.id"))
+          .withColumn("d2",
+            pow(col("a.lon") - col("b.lon"), 2) + pow(col("a.lat") - col("b.lat"), 2))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("a.id")).orderBy(col("d2"), col("b.id"))))
+          .filter(col("rn") <= 5)
+          .groupBy(col("a.id").as("id"))
+          .agg(first(col("a.z")).as("z"), avg(col("b.z")).as("lag_z"))
+        nn.withColumn("moran_i", round(col("z") * col("lag_z"), 6))
+          .withColumn("quad",
+            when(col("z") > 0 && col("lag_z") > 0, "HH")
+              .when(col("z") <= 0 && col("lag_z") <= 0, "LL")
+              .when(col("z") <= 0, "LH").otherwise("HL"))
+          .groupBy("quad")
+          .agg(count(lit(1)).as("n"), round(avg("moran_i"), 6).as("avg_i"))
+          .orderBy("quad")
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        s"""WITH pts AS (SELECT c_custkey AS id, $lonSql AS lon, $latSql AS lat,
+           |    c_acctbal AS x FROM customer),
+           |st AS (SELECT avg(x) m, stddev_samp(x) sd FROM pts),
+           |z AS (SELECT id, lon, lat, (x - m) / sd AS z FROM pts, st),
+           |nn AS (SELECT a.id, a.z, b.z AS bz FROM z a JOIN z b ON a.id <> b.id
+           |  QUALIFY row_number() OVER (PARTITION BY a.id
+           |    ORDER BY power(a.lon-b.lon, 2) + power(a.lat-b.lat, 2), b.id) <= 5),
+           |lagd AS (SELECT id, any_value(z) AS z, avg(bz) AS lag_z FROM nn GROUP BY id),
+           |quads AS (SELECT round(z * lag_z, 6) AS moran_i,
+           |    CASE WHEN z > 0 AND lag_z > 0 THEN 'HH'
+           |      WHEN z <= 0 AND lag_z <= 0 THEN 'LL'
+           |      WHEN z <= 0 THEN 'LH' ELSE 'HL' END AS quad
+           |  FROM lagd)
+           |SELECT quad, count(*) AS n, round(avg(moran_i), 6) AS avg_i
+           |FROM quads GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // M11 — one-variable linear regression, closed form (reference
+    // stats.linregress stars↔sentiment, 实习四/…ipynb:1155-1170):
+    // slope = cov/var, intercept, r, r².
+    "m11_linregress" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .agg(
+          covar_samp(col("l_quantity"), col("l_extendedprice")).as("cov"),
+          var_samp(col("l_quantity")).as("vx"),
+          avg("l_quantity").as("mx"), avg("l_extendedprice").as("my"),
+          corr(col("l_quantity"), col("l_extendedprice")).as("r"))
+        .select(
+          round(col("cov") / col("vx"), 6).as("slope"),
+          round(col("my") - col("cov") / col("vx") * col("mx"), 4).as("intercept"),
+          round(col("r"), 6).as("r"),
+          round(col("r") * col("r"), 6).as("r2")),
+      Some("""SELECT round(covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity), 6) AS slope,
+             |  round(avg(l_extendedprice) - covar_samp(l_quantity, l_extendedprice)
+             |    / var_samp(l_quantity) * avg(l_quantity), 4) AS intercept,
+             |  round(corr(l_quantity, l_extendedprice), 6) AS r,
+             |  round(corr(l_quantity, l_extendedprice) * corr(l_quantity, l_extendedprice), 6) AS r2
+             |FROM lineitem""".stripMargin)),
+
+    // M13 — regression metric battery (reference RMSLE/MAE/RMSE/R²/rel-err,
+    // 实习二/…ipynb:906-911, :8238-8262) for a deterministic linear "model"
+    // ŷ = 105·quantity (metrics are aggregates — no model state needed).
+    "m13_reg_metrics" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .withColumn("yhat", col("l_quantity") * lit(105.0))
+        .withColumn("err", col("yhat") - col("l_extendedprice"))
+        .agg(
+          round(avg(abs(col("err"))), 4).as("mae"),
+          round(sqrt(avg(col("err") * col("err"))), 4).as("rmse"),
+          round(sqrt(avg(pow(log1p(col("yhat")) - log1p(col("l_extendedprice")), 2))), 6).as("rmsle"),
+          // SST via var_samp·(n−1) keeps r² a single aggregate pass.
+          round(lit(1.0) - sum(col("err") * col("err")) /
+            (var_samp(col("l_extendedprice")) * (count(lit(1)) - 1)), 6).as("r2"),
+          round(avg(abs(col("err")) / col("l_extendedprice")), 6).as("mean_rel_err")),
+      Some("""WITH d AS (SELECT l_extendedprice AS y, l_quantity * 105.0 AS yhat,
+             |    l_quantity * 105.0 - l_extendedprice AS err
+             |  FROM lineitem)
+             |SELECT round(avg(abs(err)), 4) AS mae,
+             |  round(sqrt(avg(err * err)), 4) AS rmse,
+             |  round(sqrt(avg(power(ln(1 + yhat) - ln(1 + y), 2))), 6) AS rmsle,
+             |  round(1.0 - sum(err * err) / (var_samp(y) * (count(*) - 1)), 6) AS r2,
+             |  round(avg(abs(err) / y), 6) AS mean_rel_err
+             |FROM d""".stripMargin)),
+
+    // M20 — holiday-calendar semi-join feature (reference is_rest = date ∈
+    // holidays, 实习二/…ipynb:120-124, 344): broadcast literal date list.
+    "m20_holiday_flag" -> QueryDef(
+      (s, dir) => Tables.orders(s, dir)
+        .withColumn("is_rest",
+          to_date(col("o_orderdate")).isin("1995-01-01", "1995-07-04", "1995-12-25",
+            "1996-01-01", "1996-07-04", "1996-12-25").cast("int"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("is_rest").as("n_holiday"),
+          round(avg(col("is_rest").cast("double")), 6).as("holiday_rate"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  sum(CASE WHEN CAST(o_orderdate AS DATE) IN
+             |    ('1995-01-01', '1995-07-04', '1995-12-25',
+             |     '1996-01-01', '1996-07-04', '1996-12-25') THEN 1 ELSE 0 END) AS n_holiday,
+             |  round(avg(CASE WHEN CAST(o_orderdate AS DATE) IN
+             |    ('1995-01-01', '1995-07-04', '1995-12-25',
+             |     '1996-01-01', '1996-07-04', '1996-12-25') THEN 1.0 ELSE 0.0 END), 6) AS holiday_rate
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // M21 — data-bias audit composite (reference analyze_data_bias.py:417-479):
+    // missing rate + user concentration + coverage + value balance folded
+    // into one 0–10 score. Each signal is a scalar aggregate; the composite
+    // is a cross join of 1-row sides.
+    "m21_bias_audit" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val conc = {
+          val totals = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+          val w = Window.orderBy(desc("cnt"), col("user_id"))
+          totals.withColumn("rnk", row_number().over(w))
+            .crossJoin(totals.agg(sum("cnt").as("total_ev"), count(lit(1)).as("n_users")))
+            .filter(col("rnk") <= col("n_users") / 5)
+            .agg((sum("cnt") / first("total_ev")).as("top20_share"))
+        }
+        val cover = Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_uncovered"))
+          .crossJoin(Tables.customer(s, dir).agg(count(lit(1)).as("n_cust")))
+          .select((lit(1.0) - col("n_uncovered") / col("n_cust")).as("coverage"))
+        val balance = ev.agg(
+          (sum(when(col("value") > 100, 1.0).otherwise(0.0)) / count(lit(1))).as("high_share"))
+        conc.crossJoin(cover).crossJoin(balance)
+          .select(
+            round(col("top20_share"), 6).as("top20_share"),
+            round(col("coverage"), 6).as("coverage"),
+            round(col("high_share"), 6).as("high_share"),
+            round(lit(10.0) * (lit(1.0)
+              - (col("top20_share") - lit(0.2)) * lit(0.5)
+              - (lit(1.0) - col("coverage")) * lit(2.0)
+              - abs(col("high_share") - lit(0.5))), 4).as("bias_score"))
+      },
+      Some("""WITH t AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+             |g AS (SELECT sum(cnt) AS total_ev, count(*) AS n_users FROM t),
+             |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, user_id) AS rnk FROM t),
+             |conc AS (SELECT sum(cnt) * 1.0 / max(g.total_ev) AS top20_share
+             |  FROM r, g WHERE rnk <= g.n_users / 5),
+             |cover AS (SELECT 1.0 - (SELECT count(*) FROM customer
+             |    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) * 1.0
+             |    / (SELECT count(*) FROM customer) AS coverage),
+             |bal AS (SELECT sum(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END) / count(*) AS high_share
+             |  FROM events)
+             |SELECT round(top20_share, 6) AS top20_share,
+             |  round(coverage, 6) AS coverage,
+             |  round(high_share, 6) AS high_share,
+             |  round(10.0 * (1.0 - (top20_share - 0.2) * 0.5
+             |    - (1.0 - coverage) * 2.0 - abs(high_share - 0.5)), 4) AS bias_score
+             |FROM conc, cover, bal""".stripMargin))
+  )
+}
