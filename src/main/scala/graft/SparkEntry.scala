@@ -21,6 +21,7 @@ object SparkEntry {
     DedupQueries,
     VectorQueries,
     MLQueries,
+    GraphQueries,
     WindowQueries)
 
   lazy val all: Map[String, QueryDef] = {

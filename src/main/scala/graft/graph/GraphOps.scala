@@ -1,0 +1,69 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph algorithms as iterative DataFrame programs (SURVEY.md §2.9
+  * M14/M15/M17; reference uses networkx in-process —
+  * 实习三/…urban_road_network_analysis.ipynb:320-324, 543-569).
+  *
+  * Model: `edges(src, dst, w)` (directed; callers union reversed edges for
+  * undirected semantics). No driver-side adjacency — every step is a join,
+  * so the graph can be arbitrarily large; only the frontier/dist state is
+  * iterated. Each round persists and materializes the new state then drops
+  * the old one, keeping lineage flat (no exponential plan growth).
+  */
+object GraphOps {
+
+  /** Per-node degree: union of endpoint appearances, one hash aggregate. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+
+  /** Bellman-Ford SSSP bounded to `iters` relaxation rounds with early
+    * fixpoint exit: returns `(id, dist)` = min cost over paths from `source`
+    * using ≤ iters edges.
+    *
+    * CRITICAL iterative-DataFrame detail: each round references the previous
+    * state twice (relaxation + union), so composing rounds lazily doubles the
+    * logical plan per round — 2^iters leaves and exponential Catalyst
+    * analysis time. `localCheckpoint(eager = true)` truncates lineage every
+    * round, keeping each round's plan flat (on a fault-tolerant cluster job,
+    * prefer `checkpoint` with a checkpoint dir — same shape). The fixpoint
+    * test rides the same materialization: distances only decrease under
+    * min-relaxation, so an unchanged (count, Σdist) signature means no edge
+    * relaxed. */
+  def sssp(edges: DataFrame, source: Long, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    // Disjoint column names vs the dist state, so the repeated self-referencing
+    // join stays unambiguous across iterations.
+    val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"), col("w").as("e_w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = spark.range(1).select(lit(source).as("id"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var sig = (1L, 0L)
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
+      val relaxed = dist.join(e, col("id") === col("e_src"))
+        .select(col("e_dst").as("id"), (col("dist") + col("e_w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      val row = next.agg(count(lit(1)).as("c"), sum("dist").as("s")).head()
+      val nextSig = (row.getLong(0), row.getLong(1))
+      converged = nextSig == sig
+      dist = next
+      sig = nextSig
+    }
+    e.unpersist()
+    dist
+  }
+
+  /** Isochrone support (M15): nodes reachable from `source` with path cost
+    * ≤ cutoff within `iters` hops. The convex hull of the result is a
+    * separate aggregate (graft.spatial.ConvexHull). */
+  def reachable(edges: DataFrame, source: Long, cutoff: Long, iters: Int): DataFrame =
+    sssp(edges, source, iters).filter(col("dist") <= cutoff)
+}

@@ -1,0 +1,197 @@
+package graft.queries
+
+import graft.{QueryCatalog, QueryDef}
+import graft.core.Tables
+import graft.graph.GraphOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Road-network analysis (SURVEY.md §2.9 M14–M19) over a deterministic
+  * synthetic graph derived from the supplier table: node k connects to
+  * (k+1)%n, (k+7)%n, (k·3+1)%n with integer weight (src·7+dst·13)%20+1.
+  * Node coordinates come from Tables.withSyntheticPoint, so a SQL oracle
+  * reproduces the exact graph — while the algorithms (iterative SSSP,
+  * segment clipping) are the real distributed implementations.
+  */
+object GraphQueries extends QueryCatalog {
+
+  /** edges(src, dst, w) from the supplier table; n = |suppliers|. */
+  private def edges(s: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(s, dir).select(col("s_suppkey").as("k"))
+    val n = supp.agg(count(lit(1)).as("n"))
+    val base = supp.crossJoin(broadcast(n))
+    Seq(col("k") + 1, col("k") + 7, col("k") * 3 + 1)
+      .map(d => base.select(col("k").as("src"), pmod(d, col("n")).as("dst")))
+      .reduce(_ unionByName _)
+      .withColumn("w", pmod(col("src") * 7 + col("dst") * 13, lit(20L)) + 1)
+  }
+
+  private val edgesSql: String =
+    """nn AS (SELECT count(*) AS n FROM supplier),
+      |e0 AS (SELECT s_suppkey AS src, (s_suppkey + 1) % nn.n AS dst FROM supplier, nn
+      |  UNION ALL SELECT s_suppkey, (s_suppkey + 7) % nn.n FROM supplier, nn
+      |  UNION ALL SELECT s_suppkey, (s_suppkey * 3 + 1) % nn.n FROM supplier, nn),
+      |edges AS (SELECT src, dst, (src * 7 + dst * 13) % 20 + 1 AS w FROM e0)""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // M17 — node degree distribution (reference G.degree() + endpoint/
+    // middle/intersection shares, …bounds_analysis.ipynb:168, 352-358).
+    "g1_degree_dist" -> QueryDef(
+      (s, dir) => GraphOps.degrees(edges(s, dir))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree"),
+      Some(s"""WITH $edgesSql,
+              |deg AS (SELECT id, count(*) AS degree FROM (
+              |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+              |  GROUP BY 1)
+              |SELECT degree, count(*) AS n_nodes FROM deg
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // M14 — single-source shortest path (reference nx.shortest_path,
+    // …network_analysis.ipynb:320-324): iterative Bellman-Ford rounds on
+    // DataFrames (8 rounds ≡ min cost over ≤8-edge paths; converges early
+    // when a round improves nothing). Oracle: bounded recursive CTE.
+    "g2_sssp" -> QueryDef(
+      (s, dir) => GraphOps.sssp(edges(s, dir), 0L, 8)
+        .orderBy("dist", "id").limit(20)
+        .select(col("id"), col("dist")),
+      Some(s"""WITH RECURSIVE $edgesSql,
+              |walk(id, dist, depth) AS (
+              |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+              |  UNION ALL
+              |  SELECT e.dst, walk.dist + e.w, walk.depth + 1
+              |  FROM walk JOIN edges e ON e.src = walk.id WHERE walk.depth < 8)
+              |SELECT id, min(dist) AS dist FROM walk
+              |GROUP BY 1 ORDER BY dist, id LIMIT 20""".stripMargin)),
+
+    // M15 — isochrone reachable set (reference ego_graph radius=cutoff,
+    // …network_analysis.ipynb:543-569): nodes within cost 30 of node 0 +
+    // the reachable set's bounding envelope (the convex hull itself is the
+    // ConvexHull aggregator, scalatest-verified — not SQL-expressible).
+    "g3_isochrone" -> QueryDef(
+      (s, dir) => {
+        val reach = GraphOps.reachable(edges(s, dir), 0L, 30L, 8)
+        val nodes = Tables.withSyntheticPoint(
+          Tables.supplier(s, dir).select(col("s_suppkey").as("id")), "id")
+        reach.join(nodes, "id")
+          .agg(count(lit(1)).as("n_reach"),
+            round(min("lon"), 6).as("min_lon"), round(max("lon"), 6).as("max_lon"),
+            round(min("lat"), 6).as("min_lat"), round(max("lat"), 6).as("max_lat"))
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("id")
+        s"""WITH RECURSIVE $edgesSql,
+           |walk(id, dist, depth) AS (
+           |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+           |  UNION ALL
+           |  SELECT e.dst, walk.dist + e.w, walk.depth + 1
+           |  FROM walk JOIN edges e ON e.src = walk.id WHERE walk.depth < 8),
+           |reach AS (SELECT id, min(dist) AS dist FROM walk GROUP BY 1
+           |          HAVING min(dist) <= 30),
+           |pts AS (SELECT s_suppkey AS id, $lonSql AS lon, $latSql AS lat FROM supplier)
+           |SELECT count(*) AS n_reach,
+           |  round(min(lon), 6) AS min_lon, round(max(lon), 6) AS max_lon,
+           |  round(min(lat), 6) AS min_lat, round(max(lat), 6) AS max_lat
+           |FROM reach JOIN pts USING (id)""".stripMargin
+      }),
+
+    // M18 — gridded road density with exact segment-to-cell clipping
+    // (reference O(cells×edges) shapely loop, …struct_analysis.ipynb:124-220,
+    // which its own markdown calls prohibitively slow): Liang-Barsky
+    // parametric clip against each candidate cell from the segment's
+    // bounding rectangle — an explode + equi-group, linear in segments.
+    "g4_road_density" -> QueryDef(
+      (s, dir) => {
+        val nodes = Tables.withSyntheticPoint(
+          Tables.supplier(s, dir).select(col("s_suppkey").as("id")), "id")
+        val segs = edges(s, dir)
+          .join(nodes.select(col("id").as("src"), col("lon").as("x1"), col("lat").as("y1")), "src")
+          .join(nodes.select(col("id").as("dst"), col("lon").as("x2"), col("lat").as("y2")), "dst")
+          .withColumn("len", sqrt(pow(col("x2") - col("x1"), 2) + pow(col("y2") - col("y1"), 2)))
+        val cells = segs
+          .select(col("*"),
+            explode(sequence(
+              floor((least(col("x1"), col("x2")) + lit(74.3)) / 0.1).cast("int"),
+              floor((greatest(col("x1"), col("x2")) + lit(74.3)) / 0.1).cast("int"))).as("cx"))
+          .select(col("*"),
+            explode(sequence(
+              floor((least(col("y1"), col("y2")) - lit(40.5)) / 0.1).cast("int"),
+              floor((greatest(col("y1"), col("y2")) - lit(40.5)) / 0.1).cast("int"))).as("cy"))
+        def slab(p1: String, p2: String, lo: org.apache.spark.sql.Column) = {
+          val d = col(p2) - col(p1)
+          val t0 = (lo - col(p1)) / d
+          val t1 = (lo + 0.1 - col(p1)) / d
+          ( when(d =!= 0, least(t0, t1)).otherwise(
+              when(col(p1) >= lo && col(p1) < lo + 0.1, lit(0.0)).otherwise(lit(1.0))),
+            when(d =!= 0, greatest(t0, t1)).otherwise(
+              when(col(p1) >= lo && col(p1) < lo + 0.1, lit(1.0)).otherwise(lit(0.0))))
+        }
+        val (txMin, txMax) = slab("x1", "x2", lit(-74.3) + col("cx") * 0.1)
+        val (tyMin, tyMax) = slab("y1", "y2", lit(40.5) + col("cy") * 0.1)
+        cells
+          .withColumn("clip",
+            col("len") * greatest(lit(0.0),
+              least(lit(1.0), txMax, tyMax) - greatest(lit(0.0), txMin, tyMin)))
+          .filter(col("clip") > 0)
+          .groupBy("cx", "cy")
+          .agg(count(lit(1)).as("n_segs"), round(sum("clip"), 6).as("density"))
+          .orderBy("cx", "cy")
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("s_suppkey")
+        s"""WITH $edgesSql,
+           |pts AS (SELECT s_suppkey AS id, $lonSql AS lon, $latSql AS lat FROM supplier),
+           |segs AS (SELECT src, dst, a.lon AS x1, a.lat AS y1, b.lon AS x2, b.lat AS y2,
+           |    sqrt(power(b.lon - a.lon, 2) + power(b.lat - a.lat, 2)) AS len
+           |  FROM edges JOIN pts a ON a.id = src JOIN pts b ON b.id = dst),
+           |cells AS (SELECT segs.*, cxl.cx, cyl.cy FROM segs,
+           |  unnest(generate_series(CAST(floor((least(x1, x2) + 74.3) / 0.1) AS INT),
+           |    CAST(floor((greatest(x1, x2) + 74.3) / 0.1) AS INT))) cxl(cx),
+           |  unnest(generate_series(CAST(floor((least(y1, y2) - 40.5) / 0.1) AS INT),
+           |    CAST(floor((greatest(y1, y2) - 40.5) / 0.1) AS INT))) cyl(cy)),
+           |clipped AS (SELECT cx, cy, len * greatest(0.0,
+           |    least(1.0,
+           |      CASE WHEN x2 - x1 <> 0 THEN greatest((-74.3 + cx*0.1 - x1) / (x2 - x1),
+           |        (-74.3 + cx*0.1 + 0.1 - x1) / (x2 - x1))
+           |        WHEN x1 >= -74.3 + cx*0.1 AND x1 < -74.3 + cx*0.1 + 0.1 THEN 1.0 ELSE 0.0 END,
+           |      CASE WHEN y2 - y1 <> 0 THEN greatest((40.5 + cy*0.1 - y1) / (y2 - y1),
+           |        (40.5 + cy*0.1 + 0.1 - y1) / (y2 - y1))
+           |        WHEN y1 >= 40.5 + cy*0.1 AND y1 < 40.5 + cy*0.1 + 0.1 THEN 1.0 ELSE 0.0 END)
+           |    - greatest(0.0,
+           |      CASE WHEN x2 - x1 <> 0 THEN least((-74.3 + cx*0.1 - x1) / (x2 - x1),
+           |        (-74.3 + cx*0.1 + 0.1 - x1) / (x2 - x1))
+           |        WHEN x1 >= -74.3 + cx*0.1 AND x1 < -74.3 + cx*0.1 + 0.1 THEN 0.0 ELSE 1.0 END,
+           |      CASE WHEN y2 - y1 <> 0 THEN least((40.5 + cy*0.1 - y1) / (y2 - y1),
+           |        (40.5 + cy*0.1 + 0.1 - y1) / (y2 - y1))
+           |        WHEN y1 >= 40.5 + cy*0.1 AND y1 < 40.5 + cy*0.1 + 0.1 THEN 0.0 ELSE 1.0 END))
+           |    AS clip
+           |  FROM cells)
+           |SELECT cx, cy, count(*) AS n_segs, round(sum(clip), 6) AS density
+           |FROM clipped WHERE clip > 0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
+    // M16 + M19 — edge speed/travel-time annotation by road class
+    // (reference ox.add_edge_speeds, …network_analysis.ipynb:525-526) and
+    // per-class aggregation.
+    "g5_edge_speeds" -> QueryDef(
+      (s, dir) => edges(s, dir)
+        .withColumn("cls", pmod(col("src"), lit(4L)))
+        .withColumn("speed",
+          when(col("cls") === 0, 30.0).when(col("cls") === 1, 50.0)
+            .when(col("cls") === 2, 80.0).otherwise(100.0))
+        .withColumn("travel_time", col("w") / col("speed") * 3600)
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n_edges"), sum("w").as("total_w"),
+          round(avg("travel_time"), 4).as("avg_tt"))
+        .orderBy("cls"),
+      Some(s"""WITH $edgesSql,
+              |ann AS (SELECT w, src % 4 AS cls,
+              |    CASE src % 4 WHEN 0 THEN 30.0 WHEN 1 THEN 50.0
+              |      WHEN 2 THEN 80.0 ELSE 100.0 END AS speed
+              |  FROM edges)
+              |SELECT cls, count(*) AS n_edges, sum(w) AS total_w,
+              |  round(avg(w / speed * 3600), 4) AS avg_tt
+              |FROM ann GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}
