@@ -22,6 +22,7 @@ object SparkEntry {
     VectorQueries,
     MLQueries,
     GraphQueries,
+    MLModelQueries,
     WindowQueries)
 
   lazy val all: Map[String, QueryDef] = {

@@ -1,0 +1,107 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed DBSCAN (SURVEY.md §2.9 M1; reference sklearn DBSCAN at
+  * 实习一/实习一代码/test.py:147-204, eps=500 m, min_samples=5).
+  *
+  * Algorithm (deterministic — no RNG, no iteration-order dependence):
+  *  1. Grid-bucket points at cell size = eps; all ε-neighbors of a point lie
+  *     in its 3×3 cell neighborhood, so candidate pairs come from an
+  *     equi-join on cell ids (never an n² scan).
+  *  2. Core points: ≥ minPts neighbors (self included, sklearn semantics).
+  *  3. Clusters: connected components of the core-core ε-graph, computed by
+  *     iterative min-label propagation with per-round `localCheckpoint`
+  *     (flat lineage — see GraphOps.sssp for why lazy composition is
+  *     exponential). The fixpoint label = min core id in the component.
+  *  4. Border points: non-core with a core neighbor join the cluster of
+  *     their minimum-label core neighbor (deterministic tie-break; sklearn
+  *     assigns first-scanned, which is order-dependent — documented
+  *     divergence). Everything else is noise, label −1.
+  */
+object Dbscan {
+
+  /** `points` must have columns (id: long, x: double, y: double).
+    * Returns (id, x, y, label, is_core) with label = −1 for noise. */
+  def run(points: DataFrame, eps: Double, minPts: Int, maxIters: Int = 30): DataFrame = {
+    val pts = points.select(col("id"), col("x"), col("y"),
+        floor(col("x") / eps).as("cx"), floor(col("y") / eps).as("cy"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // 3×3 neighborhood expansion on the left side, equi-join on cells.
+    val left = pts.select(col("id").as("aid"), col("x").as("ax"), col("y").as("ay"),
+        col("cx"), col("cy"))
+      .withColumn("ncx", explode(array(col("cx") - 1, col("cx"), col("cx") + 1)))
+      .withColumn("ncy", explode(array(col("cy") - 1, col("cy"), col("cy") + 1)))
+    val right = pts.select(col("id").as("bid"), col("x").as("bx"), col("y").as("by"),
+      col("cx").as("ncx"), col("cy").as("ncy"))
+    val pairs = left.join(right, Seq("ncx", "ncy"))
+      .filter(pow(col("ax") - col("bx"), 2) + pow(col("ay") - col("by"), 2) <= eps * eps)
+      .select("aid", "bid")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val cores = pairs.groupBy("aid").agg(count(lit(1)).as("n_nbr"))
+      .filter(col("n_nbr") >= minPts)
+      .select(col("aid").as("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Core-core edges (both directions present since pairs is symmetric).
+    val coreEdges = pairs
+      .join(cores.withColumnRenamed("id", "aid"), "aid", "left_semi")
+      .join(cores.withColumnRenamed("id", "bid"), "bid", "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Min-label propagation to fixpoint, with pointer jumping: the neighbor
+    // round alone needs O(component hop-diameter) iterations (chain-shaped
+    // clusters run into the cap); composing each round with label(label(·))
+    // halves remaining distances, giving O(log diameter) convergence.
+    // Labels only decrease → the Σlabel signature detects the fixpoint.
+    var labels = cores.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var sig = -1L
+    var converged = false
+    for (_ <- 1 to maxIters if !converged) {
+      val viaNbr = coreEdges.join(labels, coreEdges("bid") === labels("id"))
+        .select(col("aid").as("id"), col("label"))
+      val stepped = labels.unionByName(viaNbr)
+        .groupBy("id").agg(min("label").as("label"))
+      val jumped = stepped.as("l1")
+        .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")).as("l2"),
+          col("l1.label") === col("l2.jid"))
+        .select(col("l1.id").as("id"), col("jlabel").as("label"))
+      val next = stepped.unionByName(jumped)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val s = next.agg(sum("label")).head().getLong(0)
+      converged = s == sig
+      labels = next
+      sig = s
+    }
+
+    // Border points: min core-neighbor label; then assemble full labeling.
+    val borderLabels = pairs
+      .join(cores.withColumnRenamed("id", "aid"), "aid", "left_anti")
+      .join(labels.withColumnRenamed("id", "bid"), "bid")
+      .groupBy(col("aid").as("id")).agg(min("label").as("label"))
+    val labeled = labels.withColumn("is_core", lit(true))
+      .unionByName(borderLabels.withColumn("is_core", lit(false)))
+    val out = pts.select("id", "x", "y")
+      .join(labeled, Seq("id"), "left")
+      .na.fill(Map("label" -> -1L, "is_core" -> false))
+
+    pts.unpersist(); pairs.unpersist(); cores.unpersist(); coreEdges.unpersist()
+    out
+  }
+
+  /** One-row cluster summary, the shape the reference prints
+    * (test.py:172-174: cluster count + noise count). */
+  def summary(labeledPoints: DataFrame): DataFrame = {
+    val sizes = labeledPoints.groupBy("label").agg(count(lit(1)).as("n"))
+    sizes.agg(
+      sum(when(col("label") >= 0, lit(1)).otherwise(lit(0))).as("n_clusters"),
+      coalesce(sum(when(col("label") === -1, col("n"))), lit(0L)).as("n_noise"),
+      sum("n").as("n_points"),
+      coalesce(max(when(col("label") >= 0, col("n"))), lit(0L)).as("max_cluster_size"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ml
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{PCA, VectorAssembler}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.regression.GBTRegressor
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** spark.ml pipeline wrappers for the reference's model-fitting operators:
+  * K-Means zoning (M3, 实习二/…ipynb:533-544), PCA coordinate rotation (M4,
+  * :547-555), gradient-boosted regression (M12, :7252-8076 — LightGBM in the
+  * reference; GBTRegressor here, capability-level parity per SURVEY §7.4).
+  * All seeded — results are deterministic for a fixed input. */
+object MlPipelines {
+
+  /** K-Means over (x, y) point columns → input plus `zone` prediction. */
+  def kmeansZones(points: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
+    val feat = points.withColumn("features", array_to_vector(array(col("x"), col("y"))))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("zone").fit(feat)
+    model.transform(feat).drop("features")
+  }
+
+  /** PCA of an `array<float>` embedding column → pc1/pc2 doubles plus the
+    * model's explained-variance vector (broadcast as literals). */
+  def pcaProject(embeddings: DataFrame, embedCol: String, k: Int): (DataFrame, Seq[Double]) = {
+    val feat = embeddings.withColumn("features", array_to_vector(col(embedCol)))
+    val model = new PCA().setK(k).setInputCol("features").setOutputCol("pc").fit(feat)
+    val projected = model.transform(feat).withColumn("pc_arr", vector_to_array(col("pc")))
+      .withColumn("pc1", col("pc_arr").getItem(0))
+      .withColumn("pc2", col("pc_arr").getItem(1))
+      .drop("features", "pc", "pc_arr")
+    (projected, model.explainedVariance.toArray.toSeq)
+  }
+
+  private def vector_to_array(c: org.apache.spark.sql.Column) =
+    org.apache.spark.ml.functions.vector_to_array(c)
+
+  /** Seeded GBT regression on a feature column list; returns the validation
+    * frame with `prediction`. Train/valid separation is the caller's
+    * deterministic hash split (SetQueries U3 semantics). */
+  def gbtFit(train: DataFrame, valid: DataFrame, features: Seq[String], labelCol: String,
+      maxIter: Int = 10, maxDepth: Int = 4, seed: Long = 42L): DataFrame = {
+    val asm = new VectorAssembler().setInputCols(features.toArray).setOutputCol("features")
+    val gbt = new GBTRegressor().setFeaturesCol("features").setLabelCol(labelCol)
+      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed).setStepSize(0.1)
+    val model = gbt.fit(asm.transform(train))
+    model.transform(asm.transform(valid)).drop("features")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.{QueryCatalog, QueryDef}
+import graft.core.Tables
+import graft.ml.{Dbscan, MlPipelines}
+import graft.spatial.ConvexHull
+import org.apache.spark.sql.functions._
+
+/** Model-fitting / iterative operators (SURVEY.md §2.9 M1, M3, M4, M12,
+  * M15-hull). These have no SQL oracle — DBSCAN's connected components and
+  * spark.ml training aren't DuckDB-expressible — so the driver records the
+  * weaker rows>0 check; exact behavior is pinned by ScalaTest specs against
+  * brute-force implementations on fixtures. All outputs are seeded /
+  * deterministic summaries, never raw model state.
+  */
+object MLModelQueries extends QueryCatalog {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // M1 — DBSCAN on the synthetic customer points (reference eps=500 m,
+    // min_samples=5 → here eps in degrees on the same bbox).
+    "m1_dbscan" -> QueryDef(
+      (s, dir) => {
+        val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+          .select(col("c_custkey").as("id"), col("lon").as("x"), col("lat").as("y"))
+        Dbscan.summary(Dbscan.run(pts, eps = 0.017, minPts = 5))
+      }),
+
+    // M3 — K-Means zoning (k=10, seeded); output = zone sizes sorted desc
+    // (zone ids are permutation-arbitrary, sizes are not).
+    "m3_kmeans_zones" -> QueryDef(
+      (s, dir) => {
+        val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+          .select(col("c_custkey").as("id"), col("lon").as("x"), col("lat").as("y"))
+        MlPipelines.kmeansZones(pts, k = 10)
+          .groupBy("zone").agg(count(lit(1)).as("n"))
+          .select(col("n")).orderBy(desc("n"))
+      }),
+
+    // M4 — PCA of the 64-dim embeddings to 2 components; output per-label
+    // mean |pc1|, |pc2| (abs kills the sign indeterminacy of eigenvectors).
+    "m4_pca_embeddings" -> QueryDef(
+      (s, dir) => {
+        val (proj, _) = MlPipelines.pcaProject(Tables.embeddings(s, dir), "embedding", 2)
+        proj.groupBy("label")
+          .agg(round(avg(abs(col("pc1"))), 4).as("avg_abs_pc1"),
+            round(avg(abs(col("pc2"))), 4).as("avg_abs_pc2"),
+            count(lit(1)).as("n"))
+          .orderBy("label")
+      }),
+
+    // M12+M13 — seeded GBT regression of extendedprice from line features
+    // on the deterministic 70/30 hash split; output = metric battery
+    // (capability-level parity with the reference's LightGBM, SURVEY §7.4).
+    "m12_gbt_metrics" -> QueryDef(
+      (s, dir) => {
+        // Target = net revenue, a nonlinear function of the features — the
+        // synthetic columns are mutually independent (corr ≈ 0.003), so
+        // predicting a raw column would only measure noise; this target
+        // verifies the pipeline actually learns (r² near 1).
+        val li = Tables.lineitem(s, dir)
+          .withColumn("y", col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")))
+          .withColumn("is_train", pmod(col("l_orderkey") * lit(2654435761L), lit(100L)) < 70)
+        val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val pred = MlPipelines.gbtFit(
+          li.filter(col("is_train")), li.filter(!col("is_train")), feats, "y")
+        pred.withColumn("err", col("prediction") - col("y"))
+          .agg(count(lit(1)).as("n_valid"),
+            round(avg(abs(col("err"))), 2).as("mae"),
+            round(sqrt(avg(col("err") * col("err"))), 2).as("rmse"),
+            round(lit(1.0) - sum(col("err") * col("err")) /
+              (var_samp(col("y")) * (count(lit(1)) - 1)), 4).as("r2"))
+      }),
+
+    // M15 — convex hull aggregate of the bbox-filtered point cloud
+    // (reference MultiPoint.convex_hull): vertex count, area, perimeter.
+    "m15_convex_hull" -> QueryDef(
+      (s, dir) => Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+        .select(ConvexHull.convexHullStats(col("lon"), col("lat")).as("h"))
+        .select(col("h.n_vertices").as("n_vertices"),
+          round(col("h.area"), 8).as("area"),
+          round(col("h.perimeter"), 8).as("perimeter")))
+  )
+}
