@@ -23,6 +23,7 @@ object SparkEntry {
     MLQueries,
     GraphQueries,
     MLModelQueries,
+    StreamQueries,
     WindowQueries)
 
   lazy val all: Map[String, QueryDef] = {

@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.{QueryCatalog, QueryDef}
+import graft.core.Tables
+import graft.streaming.EventsAnomaly
+import org.apache.spark.sql.functions._
+
+/** Streaming-surface queries (SURVEY.md §1.1 — batch + Structured Streaming
+  * flavors of the events pipeline).
+  *
+  * w9 runs native session_window in batch mode; w10 actually executes the
+  * STREAMING path (parquet file source → watermark → windowed agg → memory
+  * sink, Trigger.AvailableNow) and is checked against the same DuckDB oracle
+  * as the batch query — bounded-replay equivalence.
+  */
+object StreamQueries extends QueryCatalog {
+
+  private val gapUs = 30L * 60 * 1000000 // 30 min in microseconds
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Native session_window (gap ≤ 30 min merges), per-user summary.
+    "w9_session_window" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          max("n_events").as("max_session_events"),
+          sum("n_events").as("n_total"))
+        .orderBy("user_id").limit(50),
+      Some(s"""WITH t AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+              |flagged AS (SELECT user_id, us,
+              |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+              |      >= $gapUs THEN 1 ELSE 0 END AS brk
+              |  FROM t),
+              |sess AS (SELECT user_id,
+              |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              |  FROM flagged),
+              |per_sess AS (SELECT user_id, sid, count(*) AS n_events
+              |  FROM sess GROUP BY 1, 2)
+              |SELECT user_id, count(*) AS n_sessions,
+              |  max(n_events) AS max_session_events, sum(n_events) AS n_total
+              |FROM per_sess GROUP BY 1 ORDER BY 1 LIMIT 50""".stripMargin)),
+
+    // Structured Streaming replay: hourly tumbling counts with a 1-hour
+    // watermark over the parquet-file stream; must reproduce the batch
+    // w1_hourly_counts result exactly.
+    "w10_stream_hourly" -> QueryDef(
+      (s, dir) => EventsAnomaly.replayBounded(s, s"$dir/events.parquet",
+          src => EventsAnomaly.hourlyCounts(Tables.normalizeEvents(src)))
+        .orderBy("hour_epoch"),
+      Some("""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch, count(*) AS cnt
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming flavor of the lab-1 high-density pipeline (SURVEY.md §7.2;
+  * batch semantics in graft.ops.Anomaly): tumbling hourly counts, threshold
+  * alerts, and per-user gap sessions — all over an event stream with
+  * event-time watermarks. Works identically on batch DataFrames (the
+  * transformations are mode-agnostic; only source/sink differ).
+  *
+  * Late-data policy: 1-hour watermark — state for an hour window is dropped
+  * once the watermark passes, mirroring the batch gap rule (SURVEY §7.4.7).
+  */
+object EventsAnomaly {
+
+  /** Tumbling 1-hour counts. `events` needs a TimestampType `ts`. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("w.start")).as("hour_epoch"), col("cnt"))
+
+  /** Hours whose count exceeds a fixed threshold. The batch pipeline derives
+    * the threshold as mean+2σ over ALL hours — a global two-pass statistic
+    * that has no bounded-state streaming form; production recomputes it
+    * periodically from the batch profile and feeds it here. */
+  def alerts(events: DataFrame, threshold: Long): DataFrame =
+    hourlyCounts(events).filter(col("cnt") > threshold)
+
+  /** Per-user gap sessions via native session_window (the streaming
+    * equivalent of ops.Sessionize): events merge while consecutive gaps are
+    * < gap. Returns one row per closed session. */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("first_ts"), max("ts").as("last_ts"))
+
+  /** Run a streaming transformation over a bounded parquet source with
+    * Trigger.AvailableNow and a memory sink, returning the final result —
+    * the replay harness that lets the correctness gate cover the streaming
+    * path with the same oracle as the batch query. */
+  def replayBounded(spark: SparkSession, parquetPath: String,
+      transform: DataFrame => DataFrame): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    // File-stream sources require a directory: stream the parent dir with a
+    // glob pinned to the one file.
+    val f = new java.io.File(parquetPath)
+    val source = spark.readStream.schema(schema)
+      .option("pathGlobFilter", f.getName)
+      .parquet(f.getParent)
+    val name = "replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = transform(source).writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
