@@ -24,6 +24,7 @@ object SparkEntry {
     GraphQueries,
     MLModelQueries,
     StreamQueries,
+    MediaQueries,
     WindowQueries)
 
   lazy val all: Map[String, QueryDef] = {

@@ -73,7 +73,9 @@ object Dbscan {
       val next = stepped.unionByName(jumped)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
-      val s = next.agg(sum("label")).head().getLong(0)
+      val row = next.agg(sum("label")).head()
+      // sum over an empty core set is NULL — nothing to propagate.
+      val s = if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
       converged = s == sig
       labels = next
       sig = s

@@ -1,0 +1,41 @@
+package graft.queries
+
+import graft.{QueryCatalog, QueryDef}
+import graft.core.Tables
+import graft.sources.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries: binary payloads decoded in partition batches
+  * (Multimodal.decode — the mapInPandas-shaped path) then aggregated
+  * relationally. The fake codec's metadata is pure arithmetic, so the DuckDB
+  * oracle checks the whole pipeline including the typed mapPartitions hop.
+  */
+object MediaQueries extends QueryCatalog {
+
+  def defs: Map[String, QueryDef] = Map(
+
+    "mm1_media_decode" -> QueryDef(
+      (s, dir) => Multimodal.decode(
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir)),
+          Multimodal.DeterministicFakeCodec)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          sum("n_bytes").as("total_bytes"),
+          sum("n_frames").as("total_frames"),
+          round(avg("width"), 4).as("avg_width"),
+          round(avg("height"), 4).as("avg_height"))
+        .orderBy("kind"),
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+             |    octet_length(encode(text)) AS n FROM documents),
+             |d AS (SELECT media_id, kind, n,
+             |    CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN n // 100 + 1
+             |      ELSE n // 50 + 1 END AS n_frames,
+             |    16 + media_id % 64 AS width, 16 + media_id % 48 AS height
+             |  FROM m)
+             |SELECT kind, count(*) AS n, sum(n) AS total_bytes,
+             |  sum(n_frames) AS total_frames,
+             |  round(avg(width), 4) AS avg_width, round(avg(height), 4) AS avg_height
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.graph.GraphOps
+import graft.spatial.ConvexHull
+import graft.spatial.ConvexHull.Pt
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sssp matches hand-computed Dijkstra on a known graph") {
+    //   0 →(1)→ 1 →(1)→ 2 →(1)→ 3 ; 0 →(10)→ 3 ; 3 →(1)→ 4
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (0L, 3L, 10L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val dist = GraphOps.sssp(edges, source = 0L, iters = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(dist === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("sssp respects the round bound (paths needing more edges stay unrelaxed)") {
+    val chain = (0L until 6L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "w")
+    val dist = GraphOps.sssp(chain, 0L, iters = 3).as[(Long, Long)].collect().toMap
+    assert(dist.keySet === Set(0L, 1L, 2L, 3L))
+  }
+
+  test("reachable applies the cost cutoff") {
+    val edges = Seq((0L, 1L, 5L), (1L, 2L, 5L), (2L, 3L, 5L)).toDF("src", "dst", "w")
+    val r = GraphOps.reachable(edges, 0L, cutoff = 10L, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r.keySet === Set(0L, 1L, 2L))
+  }
+
+  test("degrees counts endpoint appearances") {
+    val edges = Seq((0L, 1L, 1L), (0L, 2L, 1L), (1L, 2L, 1L)).toDF("src", "dst", "w")
+    val d = GraphOps.degrees(edges).as[(Long, Long)].collect().toMap
+    assert(d === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+  }
+}
+
+class ConvexHullSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hull of a unit square with interior points is the 4 corners") {
+    val pts = Seq(Pt(0, 0), Pt(1, 0), Pt(1, 1), Pt(0, 1),
+      Pt(0.5, 0.5), Pt(0.2, 0.8), Pt(0.9, 0.1))
+    val h = ConvexHull.hull(pts)
+    assert(h.toSet === Set(Pt(0, 0), Pt(1, 0), Pt(1, 1), Pt(0, 1)))
+    assert(math.abs(ConvexHull.shoelaceArea(h) - 1.0) < 1e-12)
+    assert(math.abs(ConvexHull.perimeter(h) - 4.0) < 1e-12)
+  }
+
+  test("degenerate inputs: point and segment") {
+    assert(ConvexHull.hull(Seq(Pt(2, 3))) === Seq(Pt(2, 3)))
+    val seg = ConvexHull.hull(Seq(Pt(0, 0), Pt(1, 1), Pt(0.5, 0.5)))
+    assert(seg.toSet === Set(Pt(0, 0), Pt(1, 1)))
+    assert(ConvexHull.shoelaceArea(seg) === 0.0)
+  }
+
+  test("aggregator over a DataFrame (buffer compaction path, >256 points)") {
+    val n = 1000
+    // Points on a circle + jitter inside: hull ≈ circle, area ≈ πr².
+    val pts = (0 until n).map { i =>
+      val a = 2 * math.Pi * i / n
+      (math.cos(a), math.sin(a))
+    } ++ (0 until 500).map(i => (math.cos(i) * 0.3, math.sin(i * 2) * 0.3))
+    val row = pts.toDF("x", "y")
+      .select(ConvexHull.convexHullStats(col("x"), col("y")).as("h"))
+      .select("h.n_vertices", "h.area", "h.perimeter").head()
+    assert(row.getInt(0) === n, "all circle points are hull vertices")
+    assert(math.abs(row.getDouble(1) - math.Pi) < 0.01)
+    assert(math.abs(row.getDouble(2) - 2 * math.Pi) < 0.01)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.Multimodal
+  import graft.sources.Multimodal.MediaRecord
+
+  test("partition-batched decode preserves every record with exact metadata") {
+    val media = Seq(
+      MediaRecord(0L, "image", Array.fill[Byte](120)(7)),
+      MediaRecord(1L, "audio", Array.fill[Byte](250)(7)),
+      MediaRecord(2L, "video", Array.fill[Byte](101)(7))).toDS().repartition(2)
+    val out = Multimodal.decode(media, Multimodal.DeterministicFakeCodec)
+      .collect().map(d => d.media_id -> d).toMap
+    assert(out.size === 3)
+    assert(out(0L).n_frames === 1)
+    assert(out(1L).n_frames === 250 / 100 + 1)
+    assert(out(2L).n_frames === 101 / 50 + 1)
+    assert(out(2L).width === 16 + 2 && out(2L).height === 16 + 2)
+    assert(out(1L).n_bytes === 250)
+  }
+}
