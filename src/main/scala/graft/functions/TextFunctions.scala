@@ -22,9 +22,20 @@ object TextFunctions {
   def hash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Seeded hash family for MinHash: h_i(t) = hash64(i || ':' || t). */
-  def seededHash(seed: Int, c: Column): Column =
-    hash64(concat(lit(seed.toString), lit(":"), c))
+  /** Base hashes for a string array, computed ONCE. Seeded families and
+    * SimHash bits derive from these by cheap integer arithmetic — inlining
+    * md5 into every per-seed/per-bit aggregate multiplies the digest work
+    * k× and pushes the projection past codegen method limits (measured: a
+    * 32-bit SimHash went from minutes to seconds with this split). */
+  def hashArray(strings: Column): Column = transform(strings, s => hash64(s))
+
+  /** Universal-hash family over a base hash, mod the Mersenne prime 2³¹−1:
+    * h_i(x) = ((x mod p)·(2i+3) + (i·12345+67891)) mod p. All intermediates
+    * stay below 2⁶³ (DuckDB BIGINT overflow is an error, not a wrap). */
+  val HashP = 2147483647L
+
+  def seededFromBase(seed: Int, baseHash: Column): Column =
+    pmod(pmod(baseHash, lit(HashP)) * lit(2L * seed + 3) + lit(seed * 12345L + 67891L), lit(HashP))
 
   /** Word n-gram shingles of a token array (empty if fewer than n tokens). */
   def shingles(toks: Column, n: Int): Column =
@@ -33,12 +44,16 @@ object TextFunctions {
         concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature (k components) over a token array: element i is the
-    * minimum of the i-th seeded hash over the tokens. One pass per seed,
-    * all inside codegen — no explode, no shuffle. */
-  def minhashSignature(toks: Column, k: Int): Column =
+  /** MinHash signature (k components) over a PRE-HASHED element array:
+    * element i is the minimum of the i-th universal hash. One codegen'd
+    * pass per seed over longs — no digest work, no explode, no shuffle. */
+  def minhashSignatureFromHashes(hashes: Column, k: Int): Column =
     array((0 until k).map(i =>
-      array_min(transform(toks, t => seededHash(i, t)))): _*)
+      array_min(transform(hashes, h => seededFromBase(i, h)))): _*)
+
+  /** Convenience: hash + sign in one call (tests / small inputs). */
+  def minhashSignature(toks: Column, k: Int): Column =
+    minhashSignatureFromHashes(hashArray(toks), k)
 
   /** LSH band keys for a MinHash signature: `bands` strings, each encoding
     * the band index and `rowsPerBand` consecutive signature components.
@@ -50,16 +65,20 @@ object TextFunctions {
       concat_ws("_", lit(b.toString) +: parts: _*)
     }: _*)
 
-  /** `bits`-bit SimHash over a token array (with multiplicity): bit b is set
-    * when the sum of ±1 votes (bit b of each token hash) is positive. */
-  def simhash(toks: Column, bits: Int): Column = {
+  /** `bits`-bit SimHash over a PRE-HASHED element array (with multiplicity):
+    * bit b is set when the sum of ±1 votes (bit b of each hash) is positive. */
+  def simhashFromHashes(hashes: Column, bits: Int): Column = {
     val terms = (0 until bits).map { b =>
-      val votes = aggregate(toks, lit(0L),
-        (acc, t) => acc + (shiftright(hash64(t), b) % 2) * 2 - 1)
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, b) % 2) * 2 - 1)
       when(votes > 0, lit(1L << b)).otherwise(lit(0L))
     }
     terms.reduce(_ + _)
   }
+
+  /** Convenience: hash + SimHash in one call (tests / small inputs). */
+  def simhash(toks: Column, bits: Int): Column =
+    simhashFromHashes(hashArray(toks), bits)
 
   /** Position-weighted checksum fingerprint: Σ hash64(tok)·(pos%7+1) mod 2⁴⁰.
     * Order-sensitive (unlike a bag fingerprint) yet purely relational, so it

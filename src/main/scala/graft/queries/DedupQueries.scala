@@ -88,25 +88,40 @@ object DedupQueries extends QueryCatalog {
              |ORDER BY jaccard DESC, id_a, id_b""".stripMargin),
       headline = true),
 
-    // D3 — MinHash + LSH: 16-component signatures, 8 bands × 2 rows.
-    // Candidates = docs sharing any band key (equi-join on the band string);
-    // verification = exact token-set Jaccard + the signature's own estimate,
-    // so the output exposes estimator quality. Signature computation is a
-    // per-row array expression — zero shuffle until the band join.
+    // D3 — MinHash + LSH: 16-component signatures over DISTINCT WORD-3-GRAM
+    // SHINGLES, 8 bands × 2 rows. Shingles, not unigrams: the corpus
+    // vocabulary is ~31 words, so unigram minima collapse to the same
+    // values corpus-wide and every band becomes one giant bucket (measured:
+    // a 600-second quadratic pair join at sf0.1); the ~29k-point shingle
+    // space keeps buckets collision-driven. Candidates = docs sharing any
+    // band key; verification = exact shingle-set Jaccard + the signature's
+    // own estimate, so the output exposes estimator quality.
     "d3_minhash_lsh" -> QueryDef(
       (s, dir) => {
         val k = 16
+        // Two explicit projections: `hashes` materializes as its own column
+        // so the 16 per-seed min-transforms reference it instead of inlining
+        // the md5 transform 16× (CollapseProject keeps non-cheap aliases).
         val sigs = Tables.documents(s, dir)
-          .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-          .withColumn("sig", minhashSignature(col("toks"), k))
-        val banded = sigs.select(col("doc_id"), col("toks"), col("sig"),
+          .select(col("doc_id"),
+            array_distinct(shingles(tokens(col("text")), 3)).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .withColumn("hashes", hashArray(col("toks")))
+          .withColumn("sig", minhashSignatureFromHashes(col("hashes"), k))
+          .drop("hashes")
+        // Band join and pair dedup run over bare (id, band) rows; the toks
+        // and signature arrays re-attach per side AFTER dedup — shuffling
+        // ~50-string arrays through the candidate join is the kind of wide-
+        // row shuffle that dominates at scale.
+        val banded = sigs.select(col("doc_id"),
           explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
-        val cand = banded.as("a").join(banded.as("b"),
+        val pairIds = banded.as("a").join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            col("a.toks").as("ta"), col("b.toks").as("tb"),
-            col("a.sig").as("sa"), col("b.sig").as("sb"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .dropDuplicates("id_a", "id_b")
+        val cand = pairIds
+          .join(sigs.select(col("doc_id").as("id_a"), col("toks").as("ta"), col("sig").as("sa")), "id_a")
+          .join(sigs.select(col("doc_id").as("id_b"), col("toks").as("tb"), col("sig").as("sb")), "id_b")
         cand
           .withColumn("est", round(signatureMatchFraction(col("sa"), col("sb"), k), 6))
           .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
@@ -117,10 +132,15 @@ object DedupQueries extends QueryCatalog {
           .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
       },
       Some {
-        val sig = s"[ list_min([ ${h64("i::VARCHAR || ':' || t")} for t in toks ]) for i in generate_series(0, 15) ]"
-        s"""WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-           |  FROM documents),
-           |sigs AS (SELECT doc_id, toks, $sig AS sig FROM d),
+        val p = 2147483647L
+        val sig = s"[ list_min([ ((h % $p) * (2*i+3) + (i*12345+67891)) % $p for h in hashes ]) for i in generate_series(0, 15) ]"
+        s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |d AS (SELECT doc_id, list_distinct(
+           |    [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+           |     for i in generate_series(0, len(t) - 3)]) AS toks
+           |  FROM tk WHERE len(t) >= 3),
+           |hs AS (SELECT doc_id, toks, [${h64("sg")} for sg in toks] AS hashes FROM d),
+           |sigs AS (SELECT doc_id, toks, $sig AS sig FROM hs),
            |banded AS (SELECT doc_id, toks, sig,
            |    unnest([ b::VARCHAR || '_' || sig[2*b+1]::VARCHAR || '_' || sig[2*b+2]::VARCHAR
            |             for b in generate_series(0, 7) ]) AS band
@@ -142,18 +162,22 @@ object DedupQueries extends QueryCatalog {
            |ORDER BY jaccard DESC, id_a, id_b""".stripMargin
       }),
 
-    // D4 — SimHash near-dup: 16-bit signatures; Hamming-distance ≤ 3 pairs
-    // found by the pigeonhole block join (4 blocks of 4 bits — any pair
-    // within distance 3 must agree on ≥1 whole block), then exact popcount
-    // verification. Equi-join on (block index, block value): no cross join.
+    // D4 — SimHash near-dup: 32-bit signatures over word-3-gram shingles
+    // (shingles for the same vocabulary-collapse reason as D3; 32 bits so
+    // the signature space comfortably exceeds corpus size); Hamming ≤ 3
+    // pairs found by the pigeonhole block join (4 blocks of 8 bits — any
+    // pair within distance 3 must agree on ≥1 whole block), then exact
+    // popcount verification. Equi-join on (block index, value): no cross join.
     "d4_simhash" -> QueryDef(
       (s, dir) => {
         val sh = Tables.documents(s, dir)
-          .select(col("doc_id"), simhash(tokens(col("text")), 16).as("sh"))
+          .select(col("doc_id"),
+            hashArray(shingles(tokens(col("text")), 3)).as("hashes"))
+          .select(col("doc_id"), simhashFromHashes(col("hashes"), 32).as("sh"))
         val blocked = sh.select(col("doc_id"), col("sh"),
           explode(array((0 until 4).map(b =>
             concat_ws(":", lit(b.toString),
-              (shiftright(col("sh"), b * 4) % 16).cast("string"))): _*)).as("blk"))
+              (shiftright(col("sh"), b * 8) % 256).cast("string"))): _*)).as("blk"))
         blocked.as("a").join(blocked.as("b"),
             col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -167,12 +191,17 @@ object DedupQueries extends QueryCatalog {
       },
       Some {
         val simhashSql =
-          s"""list_sum([ CASE WHEN list_sum([ ((${h64("t")} >> b) & 1) * 2 - 1
-             |  for t in string_split(text, ' ') ]) > 0 THEN 1 << b ELSE 0 END
-             |  for b in generate_series(0, 15) ])""".stripMargin
-        s"""WITH sh AS (SELECT doc_id, $simhashSql AS sh FROM documents),
+          s"""list_sum([ CASE WHEN list_sum([ ((h >> b) & 1) * 2 - 1
+             |  for h in hashes ]) > 0 THEN 1 << b ELSE 0 END
+             |  for b in generate_series(0, 31) ])""".stripMargin
+        s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |sgl AS (SELECT doc_id,
+           |    [${h64("t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]")}
+           |     for i in generate_series(0, len(t) - 3)] AS hashes
+           |  FROM tk WHERE len(t) >= 3),
+           |sh AS (SELECT doc_id, $simhashSql AS sh FROM sgl),
            |blocked AS (SELECT doc_id, sh,
-           |    unnest([ b::VARCHAR || ':' || ((sh >> (b*4)) & 15)::VARCHAR
+           |    unnest([ b::VARCHAR || ':' || ((sh >> (b*8)) & 255)::VARCHAR
            |             for b in generate_series(0, 3) ]) AS blk
            |  FROM sh),
            |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -171,7 +171,35 @@ object GraphQueries extends QueryCatalog {
            |FROM clipped WHERE clip > 0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       }),
 
-    // M16 + M19 — edge speed/travel-time annotation by road class
+    // M19 — gridded degree density (reference per-cell Σ node degree /
+    // cell area, …bounds_analysis.ipynb:159-214): floor-bucket groupBy.
+    "g6_degree_density" -> QueryDef(
+      (s, dir) => {
+        val deg = GraphOps.degrees(edges(s, dir))
+        val nodes = Tables.withSyntheticPoint(
+          Tables.supplier(s, dir).select(col("s_suppkey").as("id")), "id")
+        nodes.join(deg, "id")
+          .withColumn("cx", floor((col("lon") + lit(74.3)) / 0.1))
+          .withColumn("cy", floor((col("lat") - lit(40.5)) / 0.1))
+          .groupBy("cx", "cy")
+          .agg(count(lit(1)).as("n_nodes"),
+            round(sum("degree") / lit(0.01), 4).as("degree_density"))
+          .orderBy("cx", "cy")
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("s_suppkey")
+        s"""WITH $edgesSql,
+           |deg AS (SELECT id, count(*) AS degree FROM (
+           |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+           |  GROUP BY 1),
+           |pts AS (SELECT s_suppkey AS id, $lonSql AS lon, $latSql AS lat FROM supplier)
+           |SELECT floor((lon + 74.3) / 0.1) AS cx, floor((lat - 40.5) / 0.1) AS cy,
+           |  count(*) AS n_nodes, round(sum(degree) / 0.01, 4) AS degree_density
+           |FROM pts JOIN deg USING (id)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
+    // M16 — edge speed/travel-time annotation by road class
     // (reference ox.add_edge_speeds, …network_analysis.ipynb:525-526) and
     // per-class aggregation.
     "g5_edge_speeds" -> QueryDef(

@@ -24,14 +24,10 @@ object MLQueries extends QueryCatalog {
     "m2_knn_elbow" -> QueryDef(
       (s, dir) => {
         val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
-          .select(col("c_custkey").as("id"), col("lon"), col("lat"))
-        val pairs = pts.as("a").join(pts.as("b"), col("a.id") =!= col("b.id"))
-          .select(col("a.id").as("id"),
-            sqrt(pow(col("a.lon") - col("b.lon"), 2) + pow(col("a.lat") - col("b.lat"), 2)).as("d"))
-        val kdist = pairs
-          .withColumn("rn", row_number().over(Window.partitionBy("id").orderBy("d")))
+          .select(col("c_custkey").as("id"), col("lon").as("x"), col("lat").as("y"))
+        val kdist = graft.ml.Knn.neighbors(pts, k = 4, cellSize = 0.02)
           .filter(col("rn") === 4)
-          .select(col("id"), round(col("d"), 10).as("kdist"))
+          .select(col("aid").as("id"), round(sqrt(col("d2")), 10).as("kdist"))
         val curve = kdist
           .withColumn("idx", row_number().over(Window.orderBy(desc("kdist"), col("id"))))
         curve
@@ -195,14 +191,13 @@ object MLQueries extends QueryCatalog {
         val stats = pts.agg(avg("x").as("m"), stddev_samp(col("x")).as("sd"))
         val z = pts.crossJoin(stats).withColumn("z", (col("x") - col("m")) / col("sd"))
           .select("id", "lon", "lat", "z")
-        val nn = z.as("a").join(z.as("b"), col("a.id") =!= col("b.id"))
-          .withColumn("d2",
-            pow(col("a.lon") - col("b.lon"), 2) + pow(col("a.lat") - col("b.lat"), 2))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("a.id")).orderBy(col("d2"), col("b.id"))))
-          .filter(col("rn") <= 5)
-          .groupBy(col("a.id").as("id"))
-          .agg(first(col("a.z")).as("z"), avg(col("b.z")).as("lag_z"))
+        val nbrs = graft.ml.Knn.neighbors(
+          z.select(col("id"), col("lon").as("x"), col("lat").as("y")), k = 5, cellSize = 0.03)
+        val nn = nbrs
+          .join(z.select(col("id").as("aid"), col("z")), "aid")
+          .join(z.select(col("id").as("bid"), col("z").as("bz")), "bid")
+          .groupBy(col("aid").as("id"))
+          .agg(first(col("z")).as("z"), avg(col("bz")).as("lag_z"))
         nn.withColumn("moran_i", round(col("z") * col("lag_z"), 6))
           .withColumn("quad",
             when(col("z") > 0 && col("lag_z") > 0, "HH")

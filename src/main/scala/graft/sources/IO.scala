@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingest/export surface (SURVEY.md §2.1 S1–S6, S12–S13).
+  *
+  * Engine-native storage is Parquet; CSV / JSON-lines / GeoJSON exist as
+  * explicit boundary converters, mirroring the reference's readers
+  * (pd.read_csv with nrows/parse_dates — 实习一/实习一代码/test.py:25-33,
+  * 实习二/…ipynb:106; line-tolerant JSON scan — 实习四/…ipynb:127-141;
+  * polymorphic extension dispatch — 实习一/实习一代码/visualize_noise.py:26-55).
+  */
+object IO {
+
+  /** CSV scan with header + schema inference, optional row limit pushdown
+    * (S1) and timestamp parsing format (S2). */
+  def readCsv(spark: SparkSession, path: String, limit: Option[Int] = None,
+      timestampFormat: Option[String] = None): DataFrame = {
+    var r = spark.read.option("header", "true").option("inferSchema", "true")
+    timestampFormat.foreach(f => r = r.option("timestampFormat", f))
+    val df = r.csv(path)
+    limit.map(df.limit).getOrElse(df)
+  }
+
+  /** JSON-lines scan with per-line error tolerance (S3): PERMISSIVE mode
+    * captures malformed lines in `_corrupt_record` instead of failing the
+    * scan — the distributed equivalent of the reference's try/except
+    * json.loads loop. */
+  def readJsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** Polymorphic reader (S5): dispatch on extension; lat/lon columns
+    * auto-detected case-insensitively and normalized to `lat`/`lon`. */
+  def readPoints(spark: SparkSession, path: String): DataFrame = {
+    val base =
+      if (path.endsWith(".csv")) readCsv(spark, path)
+      else if (path.endsWith(".json") || path.endsWith(".jsonl")) readJsonLines(spark, path)
+      else spark.read.parquet(path)
+    val latCol = base.columns.find(c => c.toLowerCase.matches("lat(itude)?"))
+    val lonCol = base.columns.find(c => c.toLowerCase.matches("lon(gitude)?|lng"))
+    (latCol, lonCol) match {
+      case (Some(la), Some(lo)) =>
+        base.withColumnRenamed(la, "lat").withColumnRenamed(lo, "lon")
+      case _ => base
+    }
+  }
+
+  /** CSV sink (S12; reference to_csv(index=False)). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** GeoJSON FeatureCollection export for point tables (S6 write side):
+    * each row becomes a Feature with a Point geometry from (lon, lat) and
+    * all remaining columns as properties. Emitted as JSON-lines of features
+    * plus a driver-side wrapper — the standard distributed-GeoJSON shape. */
+  def pointsToGeoJsonFeatures(df: DataFrame, lonCol: String = "lon",
+      latCol: String = "lat"): DataFrame = {
+    val props = df.columns.filterNot(c => c == lonCol || c == latCol)
+    df.select(to_json(struct(
+      lit("Feature").as("type"),
+      struct(lit("Point").as("type"), array(col(lonCol), col(latCol)).as("coordinates"))
+        .as("geometry"),
+      struct(props.map(col): _*).as("properties"))).as("feature"))
+  }
+
+  /** GeoJSON FeatureCollection import for point features (S6 read side). */
+  def geoJsonFeaturesToPoints(features: DataFrame): DataFrame = {
+    val parsed = features.select(from_json(col("feature"),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "type STRING, geometry STRUCT<type: STRING, coordinates: ARRAY<DOUBLE>>, " +
+          "properties MAP<STRING, STRING>")).as("f"))
+    parsed.select(
+      col("f.geometry.coordinates").getItem(0).as("lon"),
+      col("f.geometry.coordinates").getItem(1).as("lat"),
+      col("f.properties").as("properties"))
+  }
+
+  /** Report-rows sink (S13): aggregates exported as a single JSON-lines
+    * partition — the engine-side half of the reference's HTML/JSON panels. */
+  def writeReportJson(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+}
