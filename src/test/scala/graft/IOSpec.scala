@@ -1,0 +1,65 @@
+package graft
+
+import graft.sources.IO
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class IOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("csv round-trip with header, limit, and timestamp parsing") {
+    val dir = tmpDir("graft-csv")
+    val df = Seq((1L, "a", "2020-01-01 10:00:00"), (2L, "b", "2020-06-15 23:30:00"),
+      (3L, "c", "2021-02-28 00:00:01")).toDF("id", "name", "ts")
+    IO.writeCsv(df, s"$dir/out")
+    val back = IO.readCsv(spark, s"$dir/out", limit = Some(2))
+    assert(back.count() === 2)
+    assert(back.columns.toSet === Set("id", "name", "ts"))
+  }
+
+  test("json-lines scan tolerates malformed lines (PERMISSIVE + corrupt capture)") {
+    val dir = tmpDir("graft-jsonl")
+    val lines = Seq("""{"id": 1, "v": "x"}""", """{"id": 2, "v": "y"}""",
+      """{BROKEN not json""", """{"id": 3, "v": "z"}""")
+    Files.write(java.nio.file.Paths.get(s"$dir/data.json"),
+      String.join("\n", lines: _*).getBytes)
+    // Spark disallows querying ONLY the corrupt column straight off a scan;
+    // caching the parsed result first is the documented pattern.
+    val df = IO.readJsonLines(spark, s"$dir/data.json").cache()
+    df.count()
+    assert(df.filter(col("id").isNotNull).count() === 3)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() === 1)
+    df.unpersist()
+  }
+
+  test("polymorphic reader normalizes latitude/longitude column names") {
+    val dir = tmpDir("graft-poly")
+    Seq((40.7, -74.0, "p1")).toDF("Latitude", "Longitude", "name")
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/pts.csv")
+    val df = IO.readPoints(spark, s"$dir/pts.csv")
+    assert(df.columns.contains("lat") && df.columns.contains("lon"))
+  }
+
+  test("geojson feature round-trip preserves coordinates and properties") {
+    val pts = Seq((-74.0, 40.7, "cafe"), (-73.9, 40.8, "park")).toDF("lon", "lat", "kind")
+    val features = IO.pointsToGeoJsonFeatures(pts)
+    val back = IO.geoJsonFeaturesToPoints(features)
+    val rows = back.orderBy("lon").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getDouble(0) === -74.0 && rows(0).getDouble(1) === 40.7)
+    assert(rows(0).getMap[String, String](2)("kind") === "cafe")
+  }
+
+  test("report sink writes a single json-lines partition") {
+    val dir = tmpDir("graft-report")
+    IO.writeReportJson(Seq(("total", 42L)).toDF("metric", "value"), s"$dir/report")
+    val files = new java.io.File(s"$dir/report").listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(files.length === 1)
+    val back = spark.read.json(s"$dir/report")
+    assert(back.head().getAs[Long]("value") === 42L)
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+/** Physical-plan shape assertions (the 100 TB posture, SURVEY.md §4):
+  * pushdown and pruning must reach the parquet scan, small sides must
+  * broadcast, aggregates must have map-side partials, and the hot path must
+  * stay inside whole-stage codegen. Plans are inspected at sf0.001 — shape,
+  * not timing. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    // Execute first: under AQE the final plan (with whole-stage codegen
+    // stages and runtime join choices) only exists after the run.
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("p1: column pruning reaches the scan (ReadSchema = 3 columns)") {
+    val p = plan("p1_projection")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string,o_totalprice:double>"), p)
+  }
+
+  test("p4: equality predicate pushed into the parquet scan") {
+    val p = plan("p4_filter_eq")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), p)
+  }
+
+  test("j2: dimension side broadcasts (BroadcastHashJoin, no shuffle of facts)") {
+    val p = plan("j2_join_rename")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("j3: semi join stays a broadcast semi join") {
+    val p = plan("j3_semi_join")
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("a1: hash aggregation runs partial then final (map-side combine)") {
+    val p = plan("a1_group_count")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("w1: hourly counts pipeline is whole-stage codegen'd") {
+    // Codegen'd operators carry the `*(stageId)` marker in the plan string.
+    val p = plan("w1_hourly_counts")
+    assert(p.contains("*(1)"), p)
+  }
+
+  test("s1: global sort + limit plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("s1_scan_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
