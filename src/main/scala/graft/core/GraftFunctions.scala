@@ -1,0 +1,61 @@
+package graft.core
+
+import graft.functions.{StProjectUtm, StUnprojectUtm}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, IntegerLiteral}
+import org.apache.spark.sql.types.DoubleType
+
+/** SQL surface for the engine's custom Catalyst expressions:
+  * `st_project_utm(lon, lat[, zone])` / `st_unproject_utm(e, n[, zone])`.
+  * Registered either into a live session (register) or via the
+  * `spark.sql.extensions` mechanism ([[GraftExtensions]]).
+  */
+object GraftFunctions {
+
+  private val zoneDefault = 18 // the reference's EPSG:32618 (NYC)
+
+  // SQL numeric literals arrive as DECIMAL; the expressions take raw doubles
+  // (ExpectsInputTypes is private[sql]), so coercion is explicit here.
+  private def d(e: Expression): Expression =
+    if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+
+  private def buildProject(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(lon, lat) => StProjectUtm(d(lon), d(lat), zoneDefault)
+    case Seq(lon, lat, IntegerLiteral(z)) => StProjectUtm(d(lon), d(lat), z)
+    case _ => throw new IllegalArgumentException(
+      "st_project_utm(lon, lat[, zone literal]) expects 2 or 3 arguments")
+  }
+
+  private def buildUnproject(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(e, n) => StUnprojectUtm(d(e), d(n), zoneDefault)
+    case Seq(e, n, IntegerLiteral(z)) => StUnprojectUtm(d(e), d(n), z)
+    case _ => throw new IllegalArgumentException(
+      "st_unproject_utm(easting, northing[, zone literal]) expects 2 or 3 arguments")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("st_project_utm"),
+      info("st_project_utm", "WGS84 lon/lat degrees -> UTM [easting, northing] meters"),
+      buildProject),
+    (FunctionIdentifier("st_unproject_utm"),
+      info("st_unproject_utm", "UTM easting/northing meters -> [lon, lat] degrees"),
+      buildUnproject))
+
+  /** Register into an existing session's function registry. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, fi, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, fi, builder)
+    }
+}
+
+/** `spark.sql.extensions=graft.core.GraftExtensions` injection point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (id, fi, builder) =>
+      ext.injectFunction((id, fi, builder))
+    }
+}

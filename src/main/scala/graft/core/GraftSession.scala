@@ -30,6 +30,7 @@ object GraftSession {
   def local(cores: Int = 4): SparkSession = {
     val spark = builder(cores).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
     spark
   }
 }

@@ -102,6 +102,21 @@ object FuncQueries extends QueryCatalog {
       },
       headline = true),
 
+    // F4b — CRS projection via the custom codegen'd Catalyst expression
+    // (reference pyproj EPSG:32618, 实习二/…ipynb:476-492): project every
+    // point to UTM meters, band by 10 km easting. No SQL oracle — the
+    // Krüger series isn't reasonably SQL-expressible; UtmProjectSpec pins
+    // round-trip, known-coordinate, and haversine-agreement behavior.
+    "f8_utm_projection" -> QueryDef(
+      (s, dir) => Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+        .withColumn("en", graft.functions.UtmProject.utm(col("lon"), col("lat"), 18))
+        .withColumn("easting", col("en").getItem(0))
+        .withColumn("northing", col("en").getItem(1))
+        .groupBy(floor(col("easting") / 10000).as("band_10km"))
+        .agg(count(lit(1)).as("n"),
+          round(avg("northing"), 2).as("avg_northing"))
+        .orderBy("band_10km")),
+
     // F5 — JSON: parse the events.props JSON payload, extract + aggregate
     // (reference per-line json.loads with .get defaulting, 实习四/…ipynb:286).
     "f5_json_funcs" -> QueryDef(
