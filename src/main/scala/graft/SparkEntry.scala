@@ -25,6 +25,7 @@ object SparkEntry {
     MLModelQueries,
     StreamQueries,
     MediaQueries,
+    PipelineQueries,
     WindowQueries)
 
   lazy val all: Map[String, QueryDef] = {
