@@ -59,11 +59,28 @@ object Dbscan {
     // halves remaining distances, giving O(log diameter) convergence.
     // Labels only decrease → the Σlabel signature detects the fixpoint.
     var labels = cores.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    // Star contraction: each round the edge set is rewritten onto current
+    // label roots — (a,b) → (label(a),label(b)) — dropping self-loops and
+    // duplicates. Connectivity between roots is preserved (information a
+    // dropped edge would carry now flows between the roots), while in dense
+    // data the contracted set collapses by orders of magnitude after round
+    // one, so the dominant per-round join shrinks with convergence instead
+    // of rescanning all ε-pairs. Non-root labels catch up through the
+    // label(label(·)) pointer jump. Validated label-for-label against brute
+    // force in DbscanSpec.
+    var active = coreEdges.localCheckpoint(true)
     var sig = -1L
     var converged = false
     for (_ <- 1 to maxIters if !converged) {
-      val viaNbr = coreEdges.join(labels, coreEdges("bid") === labels("id"))
-        .select(col("aid").as("id"), col("label"))
+      val contracted = active
+        .join(labels.select(col("id").as("aid"), col("label").as("la")), "aid")
+        .join(labels.select(col("id").as("bid"), col("label").as("lb")), "bid")
+        .filter(col("la") =!= col("lb"))
+        .select(col("la"), col("lb"))
+        .distinct()
+        .localCheckpoint(true)
+      val viaNbr = contracted.select(col("la").as("id"), col("lb").as("label"))
+        .unionByName(contracted.select(col("lb").as("id"), col("la").as("label")))
       val stepped = labels.unionByName(viaNbr)
         .groupBy("id").agg(min("label").as("label"))
       val jumped = stepped.as("l1")
@@ -73,6 +90,7 @@ object Dbscan {
       val next = stepped.unionByName(jumped)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
+      active = contracted.select(col("la").as("aid"), col("lb").as("bid"))
       val row = next.agg(sum("label")).head()
       // sum over an empty core set is NULL — nothing to propagate.
       val s = if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
