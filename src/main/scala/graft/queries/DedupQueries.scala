@@ -53,9 +53,12 @@ object DedupQueries extends QueryCatalog {
     // corpus needs no cap, so none is applied here.
     "d2_ngram_jaccard" -> QueryDef(
       (s, dir) => {
+        // The exploded index feeds three consumers (sizes + both join
+        // sides); caching avoids re-tokenizing the corpus for each.
         val sh = Tables.documents(s, dir)
           .select(col("doc_id"),
             explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+          .persist()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val inter = sh.as("a").join(sh.as("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -109,6 +112,7 @@ object DedupQueries extends QueryCatalog {
           .withColumn("hashes", hashArray(col("toks")))
           .withColumn("sig", minhashSignatureFromHashes(col("hashes"), k))
           .drop("hashes")
+          .persist() // consumed by banding and twice by pair re-attachment
         // Band join and pair dedup run over bare (id, band) rows; the toks
         // and signature arrays re-attach per side AFTER dedup — shuffling
         // ~50-string arrays through the candidate join is the kind of wide-
@@ -174,6 +178,7 @@ object DedupQueries extends QueryCatalog {
           .select(col("doc_id"),
             hashArray(shingles(tokens(col("text")), 3)).as("hashes"))
           .select(col("doc_id"), simhashFromHashes(col("hashes"), 32).as("sh"))
+          .persist() // consumed by both sides of the block join
         val blocked = sh.select(col("doc_id"), col("sh"),
           explode(array((0 until 4).map(b =>
             concat_ws(":", lit(b.toString),
