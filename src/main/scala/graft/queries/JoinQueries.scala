@@ -190,6 +190,30 @@ object JoinQueries extends QueryCatalog {
            |ORDER BY probe_id""".stripMargin
       }),
 
+    // J9 — skew-safe salted join: events carry only 5 event_type values, so
+    // joining per-type stats back to 100k+ facts pins each type's volume on
+    // one task; salting spreads every key over 16 sub-keys (see
+    // ops.SkewJoin). Result is identical to the plain join — the oracle IS
+    // the plain join.
+    "j9_salted_skew_join" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        graft.ops.SkewJoin.joinAggBack(ev, Seq("event_type"),
+            Seq(avg("value").as("type_avg")), salts = 16)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value") - col("type_avg")), 4).as("sum_dev"),
+            round(max(abs(col("value") - col("type_avg"))), 4).as("max_dev"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT event_type, avg(value) AS type_avg
+             |          FROM events GROUP BY 1)
+             |SELECT event_type, count(*) AS n,
+             |  round(sum(value - type_avg), 4) AS sum_dev,
+             |  round(max(abs(value - type_avg)), 4) AS max_dev
+             |FROM events JOIN d USING (event_type)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // J8 — grid-cell containment join (reference O(cells×nodes) loop at
     // …bounds_analysis.ipynb:185-199) rewritten as floor-bucket groupBy:
     // the equi-join is implicit in the bucketing, no nested loop at any scale.
