@@ -1,5 +1,6 @@
 package graft.ml
 
+import graft.graph.GraphOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -53,51 +54,14 @@ object Dbscan {
       .join(cores.withColumnRenamed("id", "bid"), "bid", "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Min-label propagation to fixpoint, with pointer jumping: the neighbor
-    // round alone needs O(component hop-diameter) iterations (chain-shaped
-    // clusters run into the cap); composing each round with label(label(·))
-    // halves remaining distances, giving O(log diameter) convergence.
-    // Labels only decrease → the Σlabel signature detects the fixpoint.
-    var labels = cores.select(col("id"), col("id").as("label")).localCheckpoint(true)
-    // Star contraction: each round the edge set is rewritten onto current
-    // label roots — (a,b) → (label(a),label(b)) — dropping self-loops and
-    // duplicates. Connectivity between roots is preserved (information a
-    // dropped edge would carry now flows between the roots), while in dense
-    // data the contracted set collapses by orders of magnitude after round
-    // one, so the dominant per-round join shrinks with convergence instead
-    // of rescanning all ε-pairs. Non-root labels catch up through the
-    // label(label(·)) pointer jump. Validated label-for-label against brute
-    // force in DbscanSpec.
-    var active = coreEdges.localCheckpoint(true)
-    var sig = -1L
-    var converged = false
-    for (_ <- 1 to maxIters if !converged) {
-      val contracted = active
-        .join(labels.select(col("id").as("aid"), col("label").as("la")), "aid")
-        .join(labels.select(col("id").as("bid"), col("label").as("lb")), "bid")
-        .filter(col("la") =!= col("lb"))
-        .select(col("la"), col("lb"))
-        .distinct()
-        .localCheckpoint(true)
-      val viaNbr = contracted.select(col("la").as("id"), col("lb").as("label"))
-        .unionByName(contracted.select(col("lb").as("id"), col("la").as("label")))
-      val stepped = labels.unionByName(viaNbr)
-        .groupBy("id").agg(min("label").as("label"))
-      val jumped = stepped.as("l1")
-        .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")).as("l2"),
-          col("l1.label") === col("l2.jid"))
-        .select(col("l1.id").as("id"), col("jlabel").as("label"))
-      val next = stepped.unionByName(jumped)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      active = contracted.select(col("la").as("aid"), col("lb").as("bid"))
-      val row = next.agg(sum("label")).head()
-      // sum over an empty core set is NULL — nothing to propagate.
-      val s = if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
-      converged = s == sig
-      labels = next
-      sig = s
-    }
+    // Cluster = connected component of the core-core ε-graph (shared
+    // star-contraction + pointer-jump implementation; label = min core id).
+    // coreEdges includes every core's self-pair, so isolated cores are
+    // present as components of their own.
+    val labels = GraphOps.connectedComponents(
+        coreEdges.select(col("aid").as("src"), col("bid").as("dst")), maxIters)
+      .withColumnRenamed("component", "label")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Border points: min core-neighbor label; then assemble full labeling.
     val borderLabels = pairs

@@ -91,6 +91,56 @@ object DedupQueries extends QueryCatalog {
              |ORDER BY jaccard DESC, id_a, id_b""".stripMargin),
       headline = true),
 
+    // D5 — dedup resolution: near-dup PAIRS (the D2 Jaccard ≥ 0.5 output)
+    // → connected components (shared star-contraction CC) → keep-min-id
+    // survivor groups — the terminal keep/drop step of a dedup pipeline.
+    // Oracle: transitive closure by recursive CTE over the (small) pair set.
+    "d5_dedup_groups" -> QueryDef(
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+          .persist()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val pairs = sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("sa")), "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("sb")), "id_b")
+          .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= 0.5)
+        graft.graph.GraphOps.connectedComponents(
+            pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+          .groupBy("component")
+          .agg(count(lit(1)).as("group_size"),
+            min("id").as("keep_id"), max("id").as("max_dropped"))
+          .select("keep_id", "group_size", "max_dropped")
+          .orderBy("keep_id")
+      },
+      Some("""WITH RECURSIVE
+             |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |    [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+             |     for i in generate_series(0, len(t) - 3)])) AS sh
+             |  FROM toks WHERE len(t) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON sa.doc_id = id_a
+             |  JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+             |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |walk(a, b) AS (SELECT a, b FROM sym
+             |  UNION SELECT w.a, s.b FROM walk w JOIN sym s ON w.b = s.a),
+             |comp AS (SELECT a AS id, least(a, min(b)) AS component
+             |  FROM walk GROUP BY a)
+             |SELECT component AS keep_id, count(*) AS group_size,
+             |  max(id) AS max_dropped
+             |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // D3 — MinHash + LSH: 16-component signatures over DISTINCT WORD-3-GRAM
     // SHINGLES, 8 bands × 2 rows. Shingles, not unigrams: the corpus
     // vocabulary is ~31 words, so unigram minima collapse to the same
