@@ -140,6 +140,89 @@ object TextQueries extends QueryCatalog {
              |  count(DISTINCT fingerprint) AS n_distinct
              |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // T6 — corpus curation end-to-end: the composed pretraining data filter
+    // (quality gate → near-dup survivor selection → per-source retention).
+    // Quality reuses T3's score; survivors reuse D5's semantics inline
+    // (keep the min doc_id of each Jaccard ≥ 0.5 shingle-overlap pair —
+    // the pair graph here is exactly the mutual-best near-dup set, so the
+    // survivor rule needs no full closure: a doc is dropped iff it pairs
+    // with a smaller kept doc... resolved relationally via the component
+    // minimum, same as D5). Fully relational, oracle-checked end to end.
+    "t6_corpus_curation" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tok", size(col("toks")))
+          .withColumn("quality",
+            lit(0.5) * least(lit(1.0), col("n_tok") / lit(50.0)) +
+              lit(0.3) * (size(array_distinct(col("toks"))).cast("double") / col("n_tok")) +
+              lit(0.2) * least(lit(1.0),
+                ((col("n_chars") - col("n_tok") + 1).cast("double") / col("n_tok")) / lit(6.0)))
+        val kept = docs.filter(col("quality") >= 0.8)
+        val sh = kept.select(col("doc_id"),
+            explode(array_distinct(graft.functions.TextFunctions.shingles(
+              graft.functions.TextFunctions.tokens(col("text")), 3))).as("sh"))
+          .persist()
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val pairs = sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("sa")), "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("sb")), "id_b")
+          .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= 0.5)
+        val dropped = graft.graph.GraphOps.connectedComponents(
+            pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("doc_id"))
+        val curated = kept.join(dropped, Seq("doc_id"), "left_anti")
+        docs.groupBy("source").agg(count(lit(1)).as("n_raw"))
+          .join(curated.groupBy("source").agg(count(lit(1)).as("n_curated")), Seq("source"), "left")
+          .na.fill(0, Seq("n_curated"))
+          .withColumn("retention", round(col("n_curated") / col("n_raw"), 6))
+          .orderBy("source")
+      },
+      Some("""WITH RECURSIVE
+             |d AS (SELECT doc_id, source, text, n_chars,
+             |    len(string_split(text, ' ')) AS n_tok,
+             |    len(list_distinct(string_split(text, ' '))) AS n_dist
+             |  FROM documents),
+             |q AS (SELECT doc_id, source, text,
+             |    0.5 * least(1.0, n_tok / 50.0) +
+             |    0.3 * (CAST(n_dist AS DOUBLE) / n_tok) +
+             |    0.2 * least(1.0, ((n_chars - n_tok + 1.0) / n_tok) / 6.0) AS quality
+             |  FROM d),
+             |kept AS (SELECT doc_id, source, text FROM q WHERE quality >= 0.8),
+             |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |    [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+             |     for i in generate_series(0, len(t) - 3)])) AS sh
+             |  FROM toks WHERE len(t) >= 3),
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON sa.doc_id = id_a
+             |  JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+             |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |walk(a, b) AS (SELECT a, b FROM sym
+             |  UNION SELECT w.a, s.b FROM walk w JOIN sym s ON w.b = s.a),
+             |comp AS (SELECT a AS id, least(a, min(b)) AS component
+             |  FROM walk GROUP BY a),
+             |dropped AS (SELECT id AS doc_id FROM comp WHERE id <> component),
+             |curated AS (SELECT * FROM kept
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+             |raw_counts AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY 1),
+             |cur_counts AS (SELECT source, count(*) AS n_curated FROM curated GROUP BY 1)
+             |SELECT source, n_raw, coalesce(n_curated, 0) AS n_curated,
+             |  round(coalesce(n_curated, 0) * 1.0 / n_raw, 6) AS retention
+             |FROM raw_counts LEFT JOIN cur_counts USING (source)
+             |ORDER BY source""".stripMargin),
+      headline = true),
+
     // T5 — term frequency / word-cloud prep (reference M8: concat → split →
     // stopword filter → top-n, 实习四/…ipynb:1042-1101).
     "t5_word_freq" -> QueryDef(
