@@ -246,6 +246,17 @@ object AggQueries extends QueryCatalog {
              |  round(CAST(count(*) AS DOUBLE) / count(DISTINCT user_id), 6) AS events_per_user
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // A13b — sketch-based distinct counting (the 100 TB path for A13:
+    // HyperLogLog++ partial aggregates merge without holding the distinct
+    // set). No SQL oracle — HLL estimates are engine-specific; ApproxSpec
+    // pins the estimate within 5% of exact.
+    "a13b_coverage_approx" -> QueryDef(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id", 0.02).as("n_users_approx"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
+
     // A14 — weighted composite score (reference sentiment*0.7 + stars/5*0.3,
     // 实习四/…ipynb:908-911).
     "a14_weighted_score" -> QueryDef(
