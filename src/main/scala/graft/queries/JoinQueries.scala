@@ -190,6 +190,36 @@ object JoinQueries extends QueryCatalog {
            |ORDER BY probe_id""".stripMargin
       }),
 
+    // J10 — point-in-CONVEX-polygon zone (completing J5 beyond rectangles;
+    // reference sjoin within arbitrary polygons): containment expands at
+    // plan time to one half-plane cross product per edge — codegen'd, no
+    // geometry runtime. Pentagon over the NYC bbox.
+    "j10_point_in_convex_zone" -> QueryDef(
+      (s, dir) => {
+        val pentagon = Seq(
+          (-74.15, 40.60), (-73.85, 40.55), (-73.75, 40.80),
+          (-74.00, 40.97), (-74.25, 40.85))
+        Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+          .withColumn("inside",
+            graft.spatial.PointInPolygon.containsConvex(col("lon"), col("lat"), pentagon))
+          .groupBy("inside")
+          .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 4).as("avg_bal"),
+            round(avg("lon"), 6).as("avg_lon"), round(avg("lat"), 6).as("avg_lat"))
+          .orderBy("inside")
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        val pentagon = Seq(
+          (-74.15, 40.60), (-73.85, 40.55), (-73.75, 40.80),
+          (-74.00, 40.97), (-74.25, 40.85))
+        val pred = graft.spatial.PointInPolygon.containsConvexSql("lon", "lat", pentagon)
+        s"""WITH pts AS (SELECT c_acctbal, $lonSql AS lon, $latSql AS lat FROM customer)
+           |SELECT $pred AS inside, count(*) AS n,
+           |  round(avg(c_acctbal), 4) AS avg_bal,
+           |  round(avg(lon), 6) AS avg_lon, round(avg(lat), 6) AS avg_lat
+           |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // J9 — skew-safe salted join: events carry only 5 event_type values, so
     // joining per-type stats back to 100k+ facts pins each type's volume on
     // one task; salting spreads every key over 16 sub-keys (see

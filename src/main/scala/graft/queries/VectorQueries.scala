@@ -109,6 +109,45 @@ object VectorQueries extends QueryCatalog {
            |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin
       }),
 
+    // V5 — IVF with a TRAINED coarse quantizer: seeded K-Means (k=16) builds
+    // the centroid codebook; every vector lands in one inverted list; probes
+    // scan only their nprobe=4 nearest lists with exact cosine re-ranking.
+    // The scale path for ANN beyond LSH: list sizes are balanced by the
+    // quantizer, and the probe-side work is nprobe/k of the corpus.
+    // Rows-only (seeded model output); IvfSpec pins recall vs brute force.
+    "v5_ivf_trained" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val e = Tables.embeddings(s, dir)
+        val feat = e.withColumn("features", array_to_vector(col("embedding")))
+        val model = new KMeans().setK(16).setSeed(42L)
+          .setFeaturesCol("features").setPredictionCol("list_id").fit(feat)
+        val lists = model.transform(feat).drop("features")
+        import s.implicits._
+        val centers = model.clusterCenters.zipWithIndex
+          .map { case (v, i) => (i, v.toArray.map(_.toFloat).toSeq) }.toSeq
+          .toDF("list_id", "center")
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        val probeLists = probes.crossJoin(broadcast(centers))
+          .withColumn("c_cos", cosine(col("pe"), col("center")))
+          .withColumn("crn", row_number().over(
+            Window.partitionBy("probe_id").orderBy(desc("c_cos"), col("list_id"))))
+          .filter(col("crn") <= 4)
+          .select("probe_id", "pe", "list_id")
+        val cand = probeLists.join(lists, "list_id")
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("cos", round(cosine(col("embedding"), col("pe")), 6))
+        val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
+        cand
+          .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("probe_id")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor"),
+            col("cos"), col("n_cand"))
+          .orderBy("probe_id", "rn")
+      }),
+
     // V4 — IVF-style coarse assignment: per-label centroids (the "trained"
     // quantizer), every vector assigned to its nearest centroid by cosine;
     // output = assignment-vs-label confusion summary. Fully relational:
