@@ -190,6 +190,44 @@ object JoinQueries extends QueryCatalog {
            |ORDER BY probe_id""".stripMargin
       }),
 
+    // J11 — Z-order locality key: Morton-interleave the grid-cell coords of
+    // every point and profile bbox selectivity per z-range bucket — the
+    // write-layout key that makes bbox scans prune files at 100 TB. The
+    // bit arithmetic is identical in both engines.
+    "j11_zorder_locality" -> QueryDef(
+      (s, dir) => {
+        val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+          .withColumn("cx", floor((col("lon") + lit(74.3)) / 0.01).cast("long"))
+          .withColumn("cy", floor((col("lat") - lit(40.5)) / 0.01).cast("long"))
+          .withColumn("z", graft.spatial.ZOrder.zIndex(col("cx"), col("cy"), 8))
+        pts
+          .withColumn("in_bbox",
+            col("lon").between(-74.05, -73.95) && col("lat").between(40.7, 40.8))
+          // Integer division on both sides: DuckDB's double→int CAST rounds
+          // half-even while Spark's truncates — // vs floor keeps them equal.
+          .groupBy(floor(col("z") / lit(256)).cast("long").as("z_bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("in_bbox").cast("long")).as("n_in_bbox"))
+          .filter(col("n_in_bbox") > 0)
+          .orderBy("z_bucket")
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        val z = graft.spatial.ZOrder.zIndexSql("cx", "cy", 8)
+        s"""WITH pts AS (SELECT $lonSql AS lon, $latSql AS lat FROM customer),
+           |cells AS (SELECT lon, lat,
+           |    CAST(floor((lon + 74.3) / 0.01) AS BIGINT) AS cx,
+           |    CAST(floor((lat - 40.5) / 0.01) AS BIGINT) AS cy
+           |  FROM pts),
+           |z AS (SELECT lon, lat, $z AS z FROM cells)
+           |SELECT z // 256 AS z_bucket, count(*) AS n,
+           |  sum(CASE WHEN lon BETWEEN -74.05 AND -73.95
+           |    AND lat BETWEEN 40.7 AND 40.8 THEN 1 ELSE 0 END) AS n_in_bbox
+           |FROM z GROUP BY 1 HAVING sum(CASE WHEN lon BETWEEN -74.05 AND -73.95
+           |  AND lat BETWEEN 40.7 AND 40.8 THEN 1 ELSE 0 END) > 0
+           |ORDER BY 1""".stripMargin
+      }),
+
     // J10 — point-in-CONVEX-polygon zone (completing J5 beyond rectangles;
     // reference sjoin within arbitrary polygons): containment expands at
     // plan time to one half-plane cross product per edge — codegen'd, no

@@ -40,6 +40,15 @@ object EventsAnomaly {
       .agg(count(lit(1)).as("n_events"),
         min("ts").as("first_ts"), max("ts").as("last_ts"))
 
+  /** Streaming exact dedup: drop repeated ids across micro-batches, with
+    * dedup state expiring once the watermark passes an id's event time —
+    * the streaming half of the exact-dedup operator (batch form:
+    * d1_exact_dedup). */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates(idCols :+ "ts")
+
   /** Run a streaming transformation over a bounded parquet source with
     * Trigger.AvailableNow and a memory sink, returning the final result —
     * the replay harness that lets the correctness gate cover the streaming

@@ -29,6 +29,21 @@ class StreamingSpec extends SparkSpec {
     assert(got === Seq((0L, 3L), (3600L, 2L), (5 * 3600L, 1L)))
   }
 
+  test("streaming dedup drops repeats across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Long)]
+    // (id, epoch): id 7 repeats within AND across batches.
+    stream.addData(Seq((7L, 100L), (7L, 100L), (8L, 200L)))
+    stream.addData(Seq((7L, 100L), (9L, 300L)))
+    val events = stream.toDF()
+      .select(col("_1").as("event_id"), timestamp_seconds(col("_2")).as("ts"))
+    runToMemory(EventsAnomaly.dedupStream(events, Seq("event_id")), "dedup_test", "append")
+    val got = spark.table("dedup_test").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got === Seq(7L, 8L, 9L))
+  }
+
   test("streaming session_window merges gaps below threshold per user") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
