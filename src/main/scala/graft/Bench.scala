@@ -31,10 +31,24 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver tail-captures stdout: one giant line risks losing its head
+    // (round-1 BENCH parsed:null). Keep the parseable line SMALL — total +
+    // headline per-query times — and put the full per-query map in a file;
+    // emit the line both before and after spark.stop so either capture wins.
+    val headlineTimes = fmt(results.view.filterKeys(SparkEntry.headline.toSet).toMap)
+    val compact =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir"}"""
+    val detail =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_detail.json")
+      try w.println(detail) finally w.close()
+    } catch { case _: Throwable => () }
+    println(compact)
     spark.stop()
+    println(compact)
   }
 }

@@ -106,9 +106,12 @@ object Pipelines {
     val ranked = perSource
       .withColumn("score",
         round(col("avg_polarity") * 0.7 + col("positive_rate") * 0.3, 6))
-      .orderBy(desc("score"), col("source"))
+    // min_by on (-score, source) — NOT orderBy+first, which is only
+    // coincidentally correct on a single partition; the agg must pick the
+    // winner itself so multi-partition execution keeps the tie-break
+    // (highest score, then lexicographically-smallest source).
     ranked.agg(count(lit(1)).as("n_sources"),
-      first("source").as("top_source"),
+      expr("min_by(source, struct(-score, source))").as("top_source"),
       round(max("score"), 6).as("top_score"),
       round(avg("avg_polarity"), 6).as("corpus_polarity"))
   }

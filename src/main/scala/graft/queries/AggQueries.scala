@@ -293,7 +293,7 @@ object AggQueries extends QueryCatalog {
       Some(s"""WITH c AS (SELECT ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
               |  (epoch_ns(ts) // $hourNs) % 24 AS hod, count(*) AS cnt
               |  FROM events GROUP BY 1, 2)
-              |SELECT dow, sum(cnt) OVER (PARTITION BY dow) AS total,
+              |SELECT dow, CAST(sum(cnt) OVER (PARTITION BY dow) AS BIGINT) AS total,
               |  hod AS peak_hour, cnt AS peak_count
               |FROM c QUALIFY row_number() OVER (PARTITION BY dow
               |  ORDER BY cnt DESC, hod) = 1 ORDER BY dow""".stripMargin))

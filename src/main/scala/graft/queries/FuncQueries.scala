@@ -96,7 +96,7 @@ object FuncQueries extends QueryCatalog {
         val brg = GeoFunctions.bearingSql("lat", "lon", "40.758", "-73.9857")
         s"""WITH pts AS (SELECT $lonSql AS lon, $latSql AS lat FROM customer),
            |d AS (SELECT ($hav) AS hav_km, ($brg) AS bearing FROM pts)
-           |SELECT floor(hav_km / 10.0) AS band, count(*) AS n,
+           |SELECT CAST(floor(hav_km / 10.0) AS BIGINT) AS band, count(*) AS n,
            |  round(avg(hav_km), 6) AS avg_km, round(avg(bearing), 6) AS avg_bearing
            |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
       },
@@ -128,7 +128,7 @@ object FuncQueries extends QueryCatalog {
           round(avg(coalesce(col("k"), lit(0L))), 4).as("avg_k"))
         .orderBy("event_type"),
       Some("""SELECT event_type, count(*) AS n,
-             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  round(avg(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)), 4) AS avg_k
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 

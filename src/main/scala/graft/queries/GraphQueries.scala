@@ -193,7 +193,8 @@ object GraphQueries extends QueryCatalog {
            |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
            |  GROUP BY 1),
            |pts AS (SELECT s_suppkey AS id, $lonSql AS lon, $latSql AS lat FROM supplier)
-           |SELECT floor((lon + 74.3) / 0.1) AS cx, floor((lat - 40.5) / 0.1) AS cy,
+           |SELECT CAST(floor((lon + 74.3) / 0.1) AS BIGINT) AS cx,
+           |  CAST(floor((lat - 40.5) / 0.1) AS BIGINT) AS cy,
            |  count(*) AS n_nodes, round(sum(degree) / 0.01, 4) AS degree_density
            |FROM pts JOIN deg USING (id)
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
@@ -218,7 +219,7 @@ object GraphQueries extends QueryCatalog {
               |    CASE src % 4 WHEN 0 THEN 30.0 WHEN 1 THEN 50.0
               |      WHEN 2 THEN 80.0 ELSE 100.0 END AS speed
               |  FROM edges)
-              |SELECT cls, count(*) AS n_edges, sum(w) AS total_w,
+              |SELECT cls, count(*) AS n_edges, CAST(sum(w) AS BIGINT) AS total_w,
               |  round(avg(w / speed * 3600), 4) AS avg_tt
               |FROM ann GROUP BY 1 ORDER BY 1""".stripMargin))
   )

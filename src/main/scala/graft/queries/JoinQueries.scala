@@ -221,8 +221,8 @@ object JoinQueries extends QueryCatalog {
            |  FROM pts),
            |z AS (SELECT lon, lat, $z AS z FROM cells)
            |SELECT z // 256 AS z_bucket, count(*) AS n,
-           |  sum(CASE WHEN lon BETWEEN -74.05 AND -73.95
-           |    AND lat BETWEEN 40.7 AND 40.8 THEN 1 ELSE 0 END) AS n_in_bbox
+           |  CAST(sum(CASE WHEN lon BETWEEN -74.05 AND -73.95
+           |    AND lat BETWEEN 40.7 AND 40.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_bbox
            |FROM z GROUP BY 1 HAVING sum(CASE WHEN lon BETWEEN -74.05 AND -73.95
            |  AND lat BETWEEN 40.7 AND 40.8 THEN 1 ELSE 0 END) > 0
            |ORDER BY 1""".stripMargin
@@ -270,14 +270,16 @@ object JoinQueries extends QueryCatalog {
             Seq(avg("value").as("type_avg")), salts = 16)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
-            round(sum(col("value") - col("type_avg")), 4).as("sum_dev"),
+            // + 0.0 canonicalizes IEEE -0.0 to +0.0 (DuckDB can emit the
+            // opposite sign on an exactly-cancelling deviation sum).
+            (round(sum(col("value") - col("type_avg")), 4) + lit(0.0)).as("sum_dev"),
             round(max(abs(col("value") - col("type_avg"))), 4).as("max_dev"))
           .orderBy("event_type")
       },
       Some("""WITH d AS (SELECT event_type, avg(value) AS type_avg
              |          FROM events GROUP BY 1)
              |SELECT event_type, count(*) AS n,
-             |  round(sum(value - type_avg), 4) AS sum_dev,
+             |  round(sum(value - type_avg), 4) + 0.0 AS sum_dev,
              |  round(max(abs(value - type_avg)), 4) AS max_dev
              |FROM events JOIN d USING (event_type)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
@@ -295,8 +297,8 @@ object JoinQueries extends QueryCatalog {
         .orderBy("cell_x", "cell_y"),
       Some {
         val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
-        s"""SELECT floor((lon + 74.3) / 0.05) AS cell_x,
-           |  floor((lat - 40.5) / 0.05) AS cell_y,
+        s"""SELECT CAST(floor((lon + 74.3) / 0.05) AS BIGINT) AS cell_x,
+           |  CAST(floor((lat - 40.5) / 0.05) AS BIGINT) AS cell_y,
            |  count(*) AS n_points, round(avg(c_acctbal), 4) AS avg_bal
            |FROM (SELECT c_acctbal, $lonSql AS lon, $latSql AS lat FROM customer)
            |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""".stripMargin

@@ -97,7 +97,7 @@ object MLQueries extends QueryCatalog {
           .agg(count(lit(1)).as("n"), round(avg("z"), 6).as("avg_z"))
           .orderBy("z_bucket")
       },
-      Some("""SELECT floor((l_extendedprice - m) / sd) AS z_bucket, count(*) AS n,
+      Some("""SELECT CAST(floor((l_extendedprice - m) / sd) AS BIGINT) AS z_bucket, count(*) AS n,
              |  round(avg((l_extendedprice - m) / sd), 6) AS avg_z
              |FROM lineitem,
              |  (SELECT avg(l_extendedprice) m, stddev_samp(l_extendedprice) sd FROM lineitem)
@@ -285,9 +285,9 @@ object MLQueries extends QueryCatalog {
           round(avg(col("is_rest").cast("double")), 6).as("holiday_rate"))
         .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority, count(*) AS n,
-             |  sum(CASE WHEN CAST(o_orderdate AS DATE) IN
+             |  CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) IN
              |    ('1995-01-01', '1995-07-04', '1995-12-25',
-             |     '1996-01-01', '1996-07-04', '1996-12-25') THEN 1 ELSE 0 END) AS n_holiday,
+             |     '1996-01-01', '1996-07-04', '1996-12-25') THEN 1 ELSE 0 END) AS BIGINT) AS n_holiday,
              |  round(avg(CASE WHEN CAST(o_orderdate AS DATE) IN
              |    ('1995-01-01', '1995-07-04', '1995-12-25',
              |     '1996-01-01', '1996-07-04', '1996-12-25') THEN 1.0 ELSE 0.0 END), 6) AS holiday_rate

@@ -33,8 +33,8 @@ object MediaQueries extends QueryCatalog {
              |      ELSE n // 50 + 1 END AS n_frames,
              |    16 + media_id % 64 AS width, 16 + media_id % 48 AS height
              |  FROM m)
-             |SELECT kind, count(*) AS n, sum(n) AS total_bytes,
-             |  sum(n_frames) AS total_frames,
+             |SELECT kind, count(*) AS n, CAST(sum(n) AS BIGINT) AS total_bytes,
+             |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
              |  round(avg(width), 4) AS avg_width, round(avg(height), 4) AS avg_height
              |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
   )

@@ -41,7 +41,8 @@ object StreamQueries extends QueryCatalog {
               |per_sess AS (SELECT user_id, sid, count(*) AS n_events
               |  FROM sess GROUP BY 1, 2)
               |SELECT user_id, count(*) AS n_sessions,
-              |  max(n_events) AS max_session_events, sum(n_events) AS n_total
+              |  max(n_events) AS max_session_events,
+              |  CAST(sum(n_events) AS BIGINT) AS n_total
               |FROM per_sess GROUP BY 1 ORDER BY 1 LIMIT 50""".stripMargin)),
 
     // Structured Streaming replay: hourly tumbling counts with a 1-hour

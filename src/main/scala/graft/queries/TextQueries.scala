@@ -42,8 +42,11 @@ object TextQueries extends QueryCatalog {
     // T2 — language ID as a self-trained naive-Bayes n-gram classifier:
     // per-language token profiles (add-one smoothing) scored against each
     // document; prediction = argmax log-likelihood. Pure joins + aggregates —
-    // the profile side is tiny and broadcasts; the scoring join shuffles on
-    // token, which is the right key at any scale. Output: confusion matrix.
+    // the scoring join shuffles on token, the right key at any scale. The
+    // profile side is NOT broadcast: it is vocabulary-sized (one row per
+    // (lang, token)), which at web scale is GBs per executor — let Spark
+    // pick (AQE will still broadcast it when it is genuinely small).
+    // Output: confusion matrix.
     "t2_lang_id_confusion" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
@@ -54,7 +57,7 @@ object TextQueries extends QueryCatalog {
         val langTotals = docTok.groupBy(col("lang").as("cand")).agg(count(lit(1)).as("n_l"))
         val vocab = docTok.agg(countDistinct("tok").as("v"))
         val scored = docTok
-          .join(broadcast(profile.join(langTotals, "cand").crossJoin(vocab)), Seq("tok"))
+          .join(profile.join(broadcast(langTotals), "cand").crossJoin(vocab), Seq("tok"))
           .withColumn("ll", log((col("n_lt") + 1.0) / (col("n_l") + col("v"))))
           .groupBy(col("doc_id"), col("lang"), col("cand"))
           .agg(round(sum("ll"), 6).as("loglik"))
@@ -133,8 +136,8 @@ object TextQueries extends QueryCatalog {
              |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
              |  FROM documents),
              |fp AS (SELECT doc_id,
-             |    sum((CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1099511627776)
-             |        * (pos % 7 + 1)) % 1099511627776 AS fingerprint
+             |    CAST(sum((CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1099511627776)
+             |        * (pos % 7 + 1)) % 1099511627776 AS BIGINT) AS fingerprint
              |  FROM dt GROUP BY 1)
              |SELECT fingerprint % 16 AS bucket, count(*) AS n_docs,
              |  count(DISTINCT fingerprint) AS n_distinct

@@ -188,7 +188,7 @@ object VectorQueries extends QueryCatalog {
              |  QUALIFY row_number() OVER (PARTITION BY vec_id
              |    ORDER BY cos DESC, c_label) = 1)
              |SELECT label, count(*) AS n,
-             |  sum(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS n_correct
+             |  CAST(sum(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
              |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1,15 +1,23 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's t2 correctness gate.
+"""Local stand-in for the driver's correctness gate — driver-STRICT.
 
 Usage: python3 tools/check.py [sfDir] [verifyOut]
+
 Reads each <verifyOut>/<name>/ parquet (written by graft.Verify), runs the
 matching oracle_sql.json statement in DuckDB over the sfDir parquet tables,
-and compares: columns sorted by name, rows sorted, exact match (floats to
-1e-9 reported separately so near-misses are visible).
+and compares at ARROW level:
+  - column names (sorted) must match
+  - arrow types must match EXACTLY (int64 vs decimal128 vs float64 all differ,
+    mirroring the driver's typed-value hashing — DuckDB sum(int)->HUGEINT and
+    floor()->DOUBLE artifacts fail here, as they do in the driver)
+  - values must match EXACTLY: floats compared by IEEE bit pattern (so -0.0 !=
+    0.0 and no epsilon), ints/strings/bools exact, lists recursively.
+No pandas dtype laundering, no float tolerance.
 """
-import json, sys, glob, os
+import json, sys, glob, struct
 import duckdb
-import pandas as pd
+import pyarrow.parquet as pq
+import pyarrow as pa
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/tmp/verify"
@@ -21,15 +29,84 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    # normalize dtypes: ints that pandas widened, timestamps to ns
-    for c in df.columns:
-        if str(df[c].dtype).startswith("datetime64"):
-            df[c] = df[c].astype("datetime64[ns]")
-        elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
-    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+def type_name(t: pa.DataType) -> str:
+    """Canonical type class, mirroring the driver's pandas-value hashing:
+    integer widths collapse (int32 == int64 — python ints hash by value),
+    but int vs float vs decimal STAY distinct (DuckDB HUGEINT -> pandas
+    float/decimal vs Spark BIGINT is exactly the class the driver fails)."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list<" + type_name(t.value_type) + ">"
+    return str(t)
+
+
+def canon_value(v, t: pa.DataType):
+    """Exact, hashable, sortable token for a value. Floats by bit pattern."""
+    if v is None:
+        return "\x00null"
+    if pa.types.is_floating(t):
+        f = v.as_py() if hasattr(v, "as_py") else float(v)
+        # bit-exact: -0.0, NaN payloads, everything distinguishes
+        return "f" + struct.pack(">d", f).hex()
+    if pa.types.is_integer(t) or pa.types.is_decimal(t):
+        x = v.as_py() if hasattr(v, "as_py") else v
+        return "i%032d" % int(x) if int(x) >= 0 else "i-%031d" % (-int(x))
+    if pa.types.is_boolean(t):
+        return "b1" if (v.as_py() if hasattr(v, "as_py") else v) else "b0"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        inner = t.value_type
+        items = v.as_py() if hasattr(v, "as_py") else v
+        # recurse via python values against inner type
+        return "[" + ",".join(canon_py(x, inner) for x in items) + "]"
+    if pa.types.is_timestamp(t):
+        x = v.as_py() if hasattr(v, "as_py") else v
+        return "t" + repr(x)
+    x = v.as_py() if hasattr(v, "as_py") else v
+    return "s" + str(x)
+
+
+def canon_py(x, t: pa.DataType):
+    if x is None:
+        return "\x00null"
+    if pa.types.is_floating(t):
+        return "f" + struct.pack(">d", float(x)).hex()
+    if pa.types.is_integer(t) or pa.types.is_decimal(t):
+        return "i%032d" % int(x) if int(x) >= 0 else "i-%031d" % (-int(x))
+    if pa.types.is_boolean(t):
+        return "b1" if x else "b0"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "[" + ",".join(canon_py(y, t.value_type) for y in x) + "]"
+    return "s" + str(x)
+
+
+def canon_table(tbl: pa.Table):
+    """-> (sorted col names, [type names], sorted row-token tuples)."""
+    cols = sorted(tbl.column_names)
+    tbl = tbl.select(cols)
+    types = [type_name(tbl.schema.field(c).type) for c in cols]
+    n = tbl.num_rows
+    col_tokens = []
+    for i, c in enumerate(cols):
+        t = tbl.schema.field(c).type
+        arr = tbl.column(c).to_pylist()
+        col_tokens.append([canon_py(x, t) for x in arr])
+    rows = sorted(tuple(col_tokens[j][i] for j in range(len(cols))) for i in range(n))
+    return cols, types, rows
+
 
 passed, failed = [], []
 for name in sorted(oracle):
@@ -38,33 +115,32 @@ for name in sorted(oracle):
     if not files:
         failed.append((name, "no spark output")); continue
     try:
-        got = canon(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
-        exp = canon(con.execute(oracle[name]).fetchdf())
+        got_tbl = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
+        exp_tbl = con.execute(oracle[name]).fetch_arrow_table()
+        gc, gt, gr = canon_table(got_tbl)
+        ec, et, er = canon_table(exp_tbl)
     except Exception as e:
         failed.append((name, f"error: {e}")); continue
-    if list(got.columns) != list(exp.columns):
-        failed.append((name, f"cols {list(got.columns)} != {list(exp.columns)}")); continue
-    if len(got) != len(exp):
-        failed.append((name, f"rows {len(got)} != {len(exp)}")); continue
-    ok, detail = True, ""
-    for c in got.columns:
-        g, e = got[c], exp[c]
-        if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
-            diff = (g.astype(float) - e.astype(float)).abs().max()
-            if diff > 0:
-                if diff < 1e-9:
-                    detail += f" [float col {c} max|Δ|={diff:.2e}]"
-                else:
-                    ok, detail = False, detail + f" col {c} max|Δ|={diff}"
-        else:
-            neq = (g.astype(str) != e.astype(str))
-            if neq.any():
-                i = neq.idxmax()
-                ok, detail = False, detail + f" col {c} row{i}: {g[i]!r} != {e[i]!r}"
-    (passed if ok else failed).append((name, detail))
+    if gc != ec:
+        failed.append((name, f"cols {gc} != {ec}")); continue
+    if gt != et:
+        diff = [f"{c}: spark={a} oracle={b}" for c, a, b in zip(gc, gt, et) if a != b]
+        failed.append((name, "TYPE " + "; ".join(diff))); continue
+    if len(gr) != len(er):
+        failed.append((name, f"rows {len(gr)} != {len(er)}")); continue
+    bad = None
+    for i, (a, b) in enumerate(zip(gr, er)):
+        if a != b:
+            cols_bad = [gc[j] for j in range(len(gc)) if a[j] != b[j]]
+            bad = f"row {i} differs in {cols_bad}: {[(a[j], b[j]) for j in range(len(gc)) if a[j] != b[j]][:3]}"
+            break
+    if bad:
+        failed.append((name, bad))
+    else:
+        passed.append((name, ""))
 
 for n, d in passed:
-    print(f"PASS {n}{d}")
+    print(f"PASS {n}")
 for n, d in failed:
     print(f"FAIL {n}: {d}")
 print(f"\n{len(passed)} passed, {len(failed)} failed")
