@@ -42,7 +42,46 @@ object VectorFunctions {
       .map(j => when(hyperplaneDot(emb, j, dim) > 0, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _)
 
+  /** All `planes` hyperplane projections materialized ONCE as an array
+    * column. Multi-table LSH derives per-table buckets from slices of this
+    * array — materializing it as its own projection keeps the (cheap) bucket
+    * arithmetic from re-inlining the 64-term dot products per table (the
+    * codegen-inlining trap measured on the MinHash family). */
+  def hyperplaneDots(emb: Column, planes: Int, dim: Int): Column =
+    transform(sequence(lit(0), lit(planes - 1)), j =>
+      aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
+        (acc, i) => acc + element_at(emb, i + 1).cast("double") *
+          (pmod((j.cast("long") * lit(64L) + i) * lit(2654435761L), lit(1000L))
+            / lit(1000.0) - lit(0.5))))
+
+  /** Multi-table LSH band keys from materialized projections: `tables`
+    * independent buckets of `planesPerTable` sign bits each, emitted as
+    * "t:bucket" strings. Two vectors are candidates iff ANY table agrees on
+    * all its bits (OR across tables → recall; more bits per table → fewer
+    * false candidates). Table t consumes planes [t·r, t·r+r) — table 0 with
+    * r=8 reproduces the single-table [[lshBucket]] of the same 8 planes. */
+  def lshBandKeysVec(dots: Column, tables: Int, planesPerTable: Int): Column =
+    array((0 until tables).map { t =>
+      val bucket = (0 until planesPerTable)
+        .map(p => when(element_at(dots, t * planesPerTable + p + 1) > 0,
+          lit(1 << p)).otherwise(lit(0)))
+        .reduce(_ + _)
+      concat_ws(":", lit(t.toString), bucket.cast("string"))
+    }: _*)
+
   /** DuckDB fragments computing the identical arithmetic. */
+  def hyperplaneDotsSql(emb: String, planes: Int, dim: Int): String =
+    s"""[ list_sum([ $emb[i+1]::DOUBLE *
+       |    ((((j*64 + i) * 2654435761) % 1000) / 1000.0 - 0.5)
+       |    for i in generate_series(0, ${dim - 1}) ])
+       |  for j in generate_series(0, ${planes - 1}) ]""".stripMargin
+
+  def lshBandKeysSql(dots: String, tables: Int, planesPerTable: Int): String =
+    s"""[ t::VARCHAR || ':' || list_sum([ CASE WHEN $dots[t*$planesPerTable+p+1] > 0
+       |    THEN (1 << p) ELSE 0 END
+       |    for p in generate_series(0, ${planesPerTable - 1}) ])::VARCHAR
+       |  for t in generate_series(0, ${tables - 1}) ]""".stripMargin
+
   def dotSql(a: String, b: String, dim: Int): String =
     s"list_sum([ $a[i+1]::DOUBLE * $b[i+1]::DOUBLE for i in generate_series(0, ${dim - 1}) ])"
 

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.functions.TextFunctions.{shingles, tokens}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The inverted word-3-gram shingle index shared by the near-dup operators
+  * (d2 Jaccard pairs, d5 dedup resolution, t6 curation).
+  *
+  * Scale posture — document-frequency cap: a shingle shared by f documents
+  * contributes f·(f−1)/2 candidate pairs to the self-join, so one boilerplate
+  * shingle with df=10⁶ alone yields ~5·10¹¹ pairs. Capping df (default 100)
+  * bounds the per-shingle fanout at cap²/2 while discarding only shingles too
+  * common to discriminate near-duplicates — the standard production guard in
+  * shingle-index dedup. The df filter is one extra aggregation on the same
+  * join key (`sh`), so the shuffle partitioning is reused by the pair join.
+  *
+  * The capped index is memoized per (session, dir) and persisted: d2 and d5
+  * both consume it (sizes + both self-join sides), and at bench time the
+  * corpus is tokenized and df-filtered once, not once per query.
+  */
+object ShingleIndex {
+
+  /** Max document frequency a shingle may have and still generate pairs. */
+  val DfCap = 100
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** (doc_id, sh) rows over distinct word-3-grams with df ≤ [[DfCap]]. */
+  def capped(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate(System.identityHashCode(s) + ":" + dir, {
+      val sh = graft.core.Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DfCap)
+        .select("sh")
+      sh.join(rare, "sh").select("doc_id", "sh").persist()
+    })
+
+  /** DuckDB fragment mirroring [[capped]]: CTEs `sh_all`, `sh` (capped).
+    * Callers embed it after their own `toks AS (...)` CTE. */
+  val cappedSql: String =
+    s"""sh_all AS (SELECT doc_id, unnest(list_distinct(
+       |    [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |     for i in generate_series(0, len(t) - 3)])) AS sh
+       |  FROM toks WHERE len(t) >= 3),
+       |rare AS (SELECT sh FROM sh_all GROUP BY sh HAVING count(*) <= $DfCap),
+       |sh AS (SELECT doc_id, sh_all.sh FROM sh_all JOIN rare USING (sh))""".stripMargin
+}

@@ -48,17 +48,15 @@ object DedupQueries extends QueryCatalog {
 
     // D2 — n-gram Jaccard near-dup pairs via an inverted shingle index:
     // distinct word-3-grams per doc, equi-join docs sharing a shingle,
-    // Jaccard = |∩| / (|A|+|B|−|∩|) ≥ 0.5. In production the index would
-    // drop ultra-common shingles (df cap) to bound fanout; the synthetic
-    // corpus needs no cap, so none is applied here.
+    // Jaccard = |∩| / (|A|+|B|−|∩|) ≥ 0.5 — over the df-capped index
+    // (ShingleIndex: ultra-common shingles generate O(df²) candidate pairs
+    // and discriminate nothing, so they are dropped before the self-join;
+    // sizes are post-cap so inter ≤ size always holds).
     "d2_ngram_jaccard" -> QueryDef(
       (s, dir) => {
-        // The exploded index feeds three consumers (sizes + both join
-        // sides); caching avoids re-tokenizing the corpus for each.
-        val sh = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
-          .persist()
+        // Shared memoized index: d2 and d5 tokenize + df-filter the corpus
+        // once between them (sizes + both join sides re-read the cache).
+        val sh = graft.ops.ShingleIndex.capped(s, dir)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val inter = sh.as("a").join(sh.as("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -73,11 +71,8 @@ object DedupQueries extends QueryCatalog {
           .select("id_a", "id_b", "jaccard")
           .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
       },
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-             |sh AS (SELECT doc_id, unnest(list_distinct(
-             |    [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-             |     for i in generate_series(0, len(t) - 3)])) AS sh
-             |  FROM toks WHERE len(t) >= 3),
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |${graft.ops.ShingleIndex.cappedSql},
              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
              |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -97,10 +92,7 @@ object DedupQueries extends QueryCatalog {
     // Oracle: transitive closure by recursive CTE over the (small) pair set.
     "d5_dedup_groups" -> QueryDef(
       (s, dir) => {
-        val sh = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
-          .persist()
+        val sh = graft.ops.ShingleIndex.capped(s, dir)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val pairs = sh.as("a").join(sh.as("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -117,12 +109,9 @@ object DedupQueries extends QueryCatalog {
           .select("keep_id", "group_size", "max_dropped")
           .orderBy("keep_id")
       },
-      Some("""WITH RECURSIVE
+      Some(s"""WITH RECURSIVE
              |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-             |sh AS (SELECT doc_id, unnest(list_distinct(
-             |    [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-             |     for i in generate_series(0, len(t) - 3)])) AS sh
-             |  FROM toks WHERE len(t) >= 3),
+             |${graft.ops.ShingleIndex.cappedSql},
              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
              |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

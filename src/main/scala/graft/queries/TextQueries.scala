@@ -162,10 +162,15 @@ object TextQueries extends QueryCatalog {
               lit(0.2) * least(lit(1.0),
                 ((col("n_chars") - col("n_tok") + 1).cast("double") / col("n_tok")) / lit(6.0)))
         val kept = docs.filter(col("quality") >= 0.8)
-        val sh = kept.select(col("doc_id"),
-            explode(array_distinct(graft.functions.TextFunctions.shingles(
-              graft.functions.TextFunctions.tokens(col("text")), 3))).as("sh"))
-          .persist()
+        // Same df-cap as ShingleIndex (common shingles → O(df²) pair fanout),
+        // but built over the quality-KEPT docs, so the shared index (which
+        // covers the full corpus) does not apply here.
+        val shAll = kept.select(col("doc_id"),
+          explode(array_distinct(graft.functions.TextFunctions.shingles(
+            graft.functions.TextFunctions.tokens(col("text")), 3))).as("sh"))
+        val rare = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= graft.ops.ShingleIndex.DfCap).select("sh")
+        val sh = shAll.join(rare, "sh").select("doc_id", "sh").persist()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val pairs = sh.as("a").join(sh.as("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -185,7 +190,7 @@ object TextQueries extends QueryCatalog {
           .withColumn("retention", round(col("n_curated") / col("n_raw"), 6))
           .orderBy("source")
       },
-      Some("""WITH RECURSIVE
+      Some(s"""WITH RECURSIVE
              |d AS (SELECT doc_id, source, text, n_chars,
              |    len(string_split(text, ' ')) AS n_tok,
              |    len(list_distinct(string_split(text, ' '))) AS n_dist
@@ -197,10 +202,7 @@ object TextQueries extends QueryCatalog {
              |  FROM d),
              |kept AS (SELECT doc_id, source, text FROM q WHERE quality >= 0.8),
              |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM kept),
-             |sh AS (SELECT doc_id, unnest(list_distinct(
-             |    [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-             |     for i in generate_series(0, len(t) - 3)])) AS sh
-             |  FROM toks WHERE len(t) >= 3),
+             |${graft.ops.ShingleIndex.cappedSql},
              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
              |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
              |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id

@@ -49,18 +49,31 @@ object VectorQueries extends QueryCatalog {
               |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin),
       headline = true),
 
-    // V2 — ANN via random-hyperplane LSH: 8 sign bits → 256 buckets; probes
-    // search only their own bucket. Output: per-probe top-3 in-bucket
-    // neighbors plus the bucket's candidate count (recall diagnostics).
+    // V2 — ANN via MULTI-TABLE random-hyperplane LSH: 4 tables × 8 sign bits
+    // (32 planes, materialized once), a candidate is any vector sharing ANY
+    // table's bucket with the probe. A single 8-bit table caps recall AND
+    // makes the same-bucket join Θ(n²/256) at scale; banding keeps each
+    // table's bucket small while OR-ing tables for recall — same shape as
+    // d3's banded MinHash. Candidate generation runs over bare (id, band)
+    // rows; embeddings re-attach after pair dedup (no wide-array shuffle).
+    // Output: per-probe top-3 with the deduped candidate count (recall
+    // diagnostics).
     "v2_ann_lsh" -> QueryDef(
       (s, dir) => {
+        val base = Tables.embeddings(s, dir)
+          .withColumn("dots", hyperplaneDots(col("embedding"), 32, Dim))
+          .withColumn("bands", lshBandKeysVec(col("dots"), 4, 8))
+        val banded = base.select(col("vec_id"), explode(col("bands")).as("band"))
+        val pbanded = banded.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("band"))
+        val candIds = banded.join(broadcast(pbanded), Seq("band"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select("probe_id", "vec_id").dropDuplicates("probe_id", "vec_id")
         val e = Tables.embeddings(s, dir)
-          .withColumn("bucket", lshBucket(col("embedding"), 8, Dim))
-        val probes = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-            col("bucket").as("pb"))
-        val cand = e.join(broadcast(probes),
-            col("bucket") === col("pb") && col("vec_id") =!= col("probe_id"))
+        val cand = candIds
+          .join(e, "vec_id")
+          .join(broadcast(e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))), "probe_id")
           .withColumn("cos", round(cosine(col("embedding"), col("pe")), 6))
         val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
         cand
@@ -71,41 +84,60 @@ object VectorQueries extends QueryCatalog {
           .orderBy("probe_id", "rn")
       },
       Some {
-        val bkt = lshBucketSql("embedding", 8, Dim)
-        s"""WITH e AS (SELECT vec_id, embedding, $bkt AS bucket FROM embeddings),
-           |p AS (SELECT vec_id AS probe_id, embedding AS pe, bucket AS pb
-           |      FROM e WHERE vec_id < 5),
-           |cand AS (SELECT probe_id, vec_id,
-           |    round(${cosineSql("embedding", "pe", Dim)}, 6) AS cos
-           |  FROM e JOIN p ON bucket = pb AND vec_id <> probe_id),
+        val dots = hyperplaneDotsSql("embedding", 32, Dim)
+        val bands = lshBandKeysSql("dots", 4, 8)
+        s"""WITH base AS (SELECT vec_id, embedding, $dots AS dots FROM embeddings),
+           |banded AS (SELECT vec_id, unnest($bands) AS band FROM base),
+           |p AS (SELECT vec_id AS probe_id, band FROM banded WHERE vec_id < 5),
+           |cand AS (SELECT DISTINCT probe_id, b.vec_id
+           |  FROM banded b JOIN p USING (band) WHERE b.vec_id <> probe_id),
+           |scored AS (SELECT probe_id, c.vec_id,
+           |    round(${cosineSql("ce.embedding", "pe.embedding", Dim)}, 6) AS cos
+           |  FROM cand c JOIN embeddings ce ON ce.vec_id = c.vec_id
+           |  JOIN embeddings pe ON pe.vec_id = c.probe_id),
            |r AS (SELECT probe_id, vec_id, cos,
            |    count(*) OVER (PARTITION BY probe_id) AS n_cand,
            |    row_number() OVER (PARTITION BY probe_id
-           |      ORDER BY cos DESC, vec_id) AS rn FROM cand)
+           |      ORDER BY cos DESC, vec_id) AS rn FROM scored)
            |SELECT probe_id, rn, vec_id AS neighbor, cos, n_cand
            |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
       }),
 
-    // V3 — embedding near-dup candidates: all same-bucket pairs ranked by
-    // cosine, top-20. The bucket equi-join replaces the n² pair scan; a
-    // dedup pipeline would threshold `cos`, this corpus has no true dups so
-    // the query surfaces the frontier instead.
+    // V3 — embedding near-dup candidates via the same 4×8 multi-table LSH:
+    // all pairs sharing any table's bucket, deduped, ranked by cosine,
+    // top-20. Banding bounds the per-bucket self-join (Θ(Σ bucket²) per
+    // table, not Θ(n²/256) in one table); a dedup pipeline would threshold
+    // `cos`, this corpus has no true dups so the query surfaces the frontier.
     "v3_embedding_neardup" -> QueryDef(
       (s, dir) => {
+        val base = Tables.embeddings(s, dir)
+          .withColumn("dots", hyperplaneDots(col("embedding"), 32, Dim))
+          .withColumn("bands", lshBandKeysVec(col("dots"), 4, 8))
+        val banded = base.select(col("vec_id"), explode(col("bands")).as("band"))
+        val pairIds = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
         val e = Tables.embeddings(s, dir)
-          .withColumn("bucket", lshBucket(col("embedding"), 8, Dim))
-        e.as("a").join(e.as("b"),
-            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-            round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+        pairIds
+          .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+          .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            round(cosine(col("ea"), col("eb")), 6).as("cos"))
           .orderBy(desc("cos"), col("id_a"), col("id_b")).limit(20)
       },
       Some {
-        val bkt = lshBucketSql("embedding", 8, Dim)
-        s"""WITH e AS (SELECT vec_id, embedding, $bkt AS bucket FROM embeddings)
-           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           |  round(${cosineSql("a.embedding", "b.embedding", Dim)}, 6) AS cos
-           |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        val dots = hyperplaneDotsSql("embedding", 32, Dim)
+        val bands = lshBandKeysSql("dots", 4, 8)
+        s"""WITH base AS (SELECT vec_id, embedding, $dots AS dots FROM embeddings),
+           |banded AS (SELECT vec_id, unnest($bands) AS band FROM base),
+           |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.vec_id < b.vec_id)
+           |SELECT id_a, id_b,
+           |  round(${cosineSql("ea.embedding", "eb.embedding", Dim)}, 6) AS cos
+           |FROM pairs JOIN embeddings ea ON ea.vec_id = id_a
+           |JOIN embeddings eb ON eb.vec_id = id_b
            |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin
       }),
 
