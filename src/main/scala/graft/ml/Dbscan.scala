@@ -73,8 +73,14 @@ object Dbscan {
     val out = pts.select("id", "x", "y")
       .join(labeled, Seq("id"), "left")
       .na.fill(Map("label" -> -1L, "is_core" -> false))
+      // Materialize BEFORE releasing the intermediates: `out` is lazy, so
+      // unpersisting first would silently re-run the grid pair join when the
+      // caller evaluates the result (measured as the round-1 m1 bench
+      // whale). localCheckpoint also cuts the lineage to a flat scan.
+      .localCheckpoint(true)
 
     pts.unpersist(); pairs.unpersist(); cores.unpersist(); coreEdges.unpersist()
+    labels.unpersist()
     out
   }
 

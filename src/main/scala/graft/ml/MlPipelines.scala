@@ -1,9 +1,11 @@
 package graft.ml
 
 import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.evaluation.RegressionEvaluator
 import org.apache.spark.ml.feature.{PCA, VectorAssembler}
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.regression.GBTRegressor
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -47,5 +49,42 @@ object MlPipelines {
       .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed).setStepSize(0.1)
     val model = gbt.fit(asm.transform(train))
     model.transform(asm.transform(valid)).drop("features")
+  }
+
+  /** GBT with the hyperparameter search SURVEY §7.3 promised (the
+    * reference's Optuna loop, 实习二/…taxi_travel_time_prediction.ipynb:
+    * 7252-7283): seeded ParamGridBuilder × TrainValidationSplit over
+    * (maxDepth, stepSize), evaluated by RMSE. The grid runs short fits
+    * (maxIter=5) on a seeded 20% sample — HPO explores model SHAPE, which a
+    * sample exposes at a fraction of full-fit cost — then ONE full-data fit
+    * at the winning point. The assembled feature frame is cached across the
+    * grid and the final fit (re-assembling per candidate was most of the
+    * round-1 bench whale). Returns (valid predictions, bestDepth, bestStep).
+    */
+  def gbtFitHpo(train: DataFrame, valid: DataFrame, features: Seq[String],
+      labelCol: String, maxIter: Int = 10, seed: Long = 42L)
+      : (DataFrame, Int, Double) = {
+    val asm = new VectorAssembler().setInputCols(features.toArray).setOutputCol("features")
+    val trainF = asm.transform(train).select(col("features"), col(labelCol)).persist()
+    val gbt = new GBTRegressor().setFeaturesCol("features").setLabelCol(labelCol)
+      .setMaxIter(5).setSeed(seed)
+    val grid = new ParamGridBuilder()
+      .addGrid(gbt.maxDepth, Array(3, 4))
+      .addGrid(gbt.stepSize, Array(0.1, 0.3))
+      .build()
+    val tvs = new TrainValidationSplit()
+      .setEstimator(gbt)
+      .setEvaluator(new RegressionEvaluator().setLabelCol(labelCol).setMetricName("rmse"))
+      .setEstimatorParamMaps(grid)
+      .setTrainRatio(0.75).setSeed(seed).setParallelism(4)
+    val best = tvs.fit(trainF.sample(withReplacement = false, 0.2, seed))
+      .bestModel.asInstanceOf[GBTRegressionModel]
+    val model = new GBTRegressor().setFeaturesCol("features").setLabelCol(labelCol)
+      .setMaxIter(maxIter).setMaxDepth(best.getMaxDepth)
+      .setStepSize(best.getStepSize).setSeed(seed)
+      .fit(trainF)
+    trainF.unpersist()
+    (model.transform(asm.transform(valid)).drop("features"),
+      best.getMaxDepth, best.getStepSize)
   }
 }

@@ -49,9 +49,11 @@ object MLModelQueries extends QueryCatalog {
           .orderBy("label")
       }),
 
-    // M12+M13 — seeded GBT regression of extendedprice from line features
-    // on the deterministic 70/30 hash split; output = metric battery
-    // (capability-level parity with the reference's LightGBM, SURVEY §7.4).
+    // M12+M13 — GBT regression with the hyperparameter grid (reference's
+    // Optuna HPO): TrainValidationSplit picks (maxDepth, stepSize) on a
+    // seeded sample, one full fit at the winner, metric battery + winning
+    // params on the deterministic 70/30 hash split (capability-level parity
+    // with the reference's LightGBM+Optuna, SURVEY §7.4).
     "m12_gbt_metrics" -> QueryDef(
       (s, dir) => {
         // Target = net revenue, a nonlinear function of the features — the
@@ -63,7 +65,7 @@ object MLModelQueries extends QueryCatalog {
             * (lit(1.0) + col("l_tax")))
           .withColumn("is_train", pmod(col("l_orderkey") * lit(2654435761L), lit(100L)) < 70)
         val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        val pred = MlPipelines.gbtFit(
+        val (pred, bestDepth, bestStep) = MlPipelines.gbtFitHpo(
           li.filter(col("is_train")), li.filter(!col("is_train")), feats, "y")
         pred.withColumn("err", col("prediction") - col("y"))
           .agg(count(lit(1)).as("n_valid"),
@@ -71,6 +73,8 @@ object MLModelQueries extends QueryCatalog {
             round(sqrt(avg(col("err") * col("err"))), 2).as("rmse"),
             round(lit(1.0) - sum(col("err") * col("err")) /
               (var_samp(col("y")) * (count(lit(1)) - 1)), 4).as("r2"))
+          .withColumn("best_depth", lit(bestDepth))
+          .withColumn("best_step", lit(bestStep))
       }),
 
     // M15 — convex hull aggregate of the bbox-filtered point cloud
