@@ -153,6 +153,42 @@ object AggQueries extends QueryCatalog {
              |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
              |FROM m""".stripMargin)),
 
+    // A8 — describe() battery (reference dfs[0].describe(), 实习二/…ipynb:259):
+    // pandas' count/mean/std/min/25%/50%/75%/max for each numeric column, in
+    // long format — stack the columns with one explode, then a single
+    // hash-aggregate pass (not one job per column).
+    "a8_describe" -> QueryDef(
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        Tables.lineitem(s, dir)
+          .select(explode(array(cols.map(c =>
+            struct(lit(c).as("col_name"), col(c).cast("double").as("v"))): _*)).as("cv"))
+          .select(col("cv.col_name").as("col_name"), col("cv.v").as("v"))
+          .groupBy("col_name")
+          .agg(count(lit(1)).as("n"),
+            round(avg("v"), 4).as("mean"),
+            round(stddev_samp(col("v")), 4).as("std"),
+            round(min("v"), 4).as("min_v"),
+            round(expr("percentile(v, 0.25)"), 4).as("p25"),
+            round(expr("percentile(v, 0.5)"), 4).as("p50"),
+            round(expr("percentile(v, 0.75)"), 4).as("p75"),
+            round(max("v"), 4).as("max_v"))
+          .orderBy("col_name")
+      },
+      Some("""WITH stacked AS (
+             |  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS v FROM lineitem
+             |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+             |  UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+             |  UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem)
+             |SELECT col_name, count(*) AS n,
+             |  round(avg(v), 4) AS mean, round(stddev_samp(v), 4) AS std,
+             |  round(min(v), 4) AS min_v,
+             |  round(quantile_cont(v, 0.25), 4) AS p25,
+             |  round(quantile_cont(v, 0.5), 4) AS p50,
+             |  round(quantile_cont(v, 0.75), 4) AS p75,
+             |  round(max(v), 4) AS max_v
+             |FROM stacked GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // A9 — histogram with fixed bins (reference density-level bins
     // …network_analysis.ipynb:1209-1218).
     "a9_histogram" -> QueryDef(

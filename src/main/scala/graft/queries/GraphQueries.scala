@@ -200,6 +200,72 @@ object GraphQueries extends QueryCatalog {
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       }),
 
+    // S9/S10 — POI tag-predicate + isochrone accessibility (reference
+    // ox.features_from_place(tags) at …urban_road_network_analysis.ipynb:796
+    // and the POIs-within-isochrone accessibility analysis at :806-822):
+    // a tagged POI layer (deterministic tags over the part table) is tested
+    // for membership in the cost≤30 isochrone of node 0 — a POI is
+    // "accessible" if any reachable network node lies within ε. The ε-match
+    // is a 3×3 grid-cell equi-join with the expansion on the SMALL
+    // (reachable) side, so the POI side scans once and never self-explodes —
+    // the same candidate-bounding shape as DBSCAN's pair join.
+    "g7_poi_accessibility" -> QueryDef(
+      (s, dir) => {
+        val eps = 0.02
+        val tags = Seq("school", "hospital", "park", "shop")
+        val pois = Tables.withSyntheticPoint(
+            Tables.part(s, dir).select(col("p_partkey").as("poi_id")), "poi_id")
+          .withColumn("tag", element_at(
+            array(tags.map(lit): _*), (pmod(col("poi_id"), lit(4L)) + 1).cast("int")))
+        val nodes = Tables.withSyntheticPoint(
+          Tables.supplier(s, dir).select(col("s_suppkey").as("id")), "id")
+        val reach = GraphOps.reachable(edges(s, dir), 0L, 30L, 8).join(nodes, "id")
+        val rcells = reach
+          .withColumn("cx", explode(array(
+            floor(col("lon") / eps) - 1, floor(col("lon") / eps), floor(col("lon") / eps) + 1)))
+          .withColumn("cy", explode(array(
+            floor(col("lat") / eps) - 1, floor(col("lat") / eps), floor(col("lat") / eps) + 1)))
+          .select(col("cx"), col("cy"), col("lon").as("nlon"), col("lat").as("nlat"))
+        val pcells = pois
+          .withColumn("cx", floor(col("lon") / eps))
+          .withColumn("cy", floor(col("lat") / eps))
+        val accessible = pcells.join(rcells, Seq("cx", "cy"))
+          .filter(pow(col("lon") - col("nlon"), 2)
+            + pow(col("lat") - col("nlat"), 2) <= eps * eps)
+          .select("poi_id").distinct()
+        pois.join(accessible.withColumn("acc", lit(1L)), Seq("poi_id"), "left")
+          .groupBy("tag")
+          .agg(count(lit(1)).as("n_pois"),
+            sum(coalesce(col("acc"), lit(0L))).as("n_accessible"),
+            round(avg(coalesce(col("acc"), lit(0L)).cast("double")), 6).as("access_rate"))
+          .orderBy("tag")
+      },
+      Some {
+        val (nodeLon, nodeLat) = Tables.syntheticPointSql("s_suppkey")
+        val (poiLon, poiLat) = Tables.syntheticPointSql("p_partkey")
+        s"""WITH RECURSIVE $edgesSql,
+           |walk(id, dist, depth) AS (
+           |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+           |  UNION ALL
+           |  SELECT e.dst, walk.dist + e.w, walk.depth + 1
+           |  FROM walk JOIN edges e ON e.src = walk.id WHERE walk.depth < 8),
+           |reach AS (SELECT id FROM walk GROUP BY 1 HAVING min(dist) <= 30),
+           |npts AS (SELECT s_suppkey AS id, $nodeLon AS lon, $nodeLat AS lat FROM supplier),
+           |rp AS (SELECT lon, lat FROM reach JOIN npts USING (id)),
+           |pois AS (SELECT p_partkey AS poi_id, $poiLon AS lon, $poiLat AS lat,
+           |    (['school', 'hospital', 'park', 'shop'])[CAST(p_partkey % 4 AS INT) + 1] AS tag
+           |  FROM part),
+           |acc AS (SELECT DISTINCT p.poi_id FROM pois p JOIN rp
+           |  ON power(rp.lon - p.lon, 2) + power(rp.lat - p.lat, 2) <= 0.02 * 0.02)
+           |SELECT tag, count(*) AS n_pois,
+           |  CAST(sum(CASE WHEN acc.poi_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_accessible,
+           |  round(avg(CASE WHEN acc.poi_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+           |    AS access_rate
+           |FROM pois LEFT JOIN acc ON pois.poi_id = acc.poi_id
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // M16 — edge speed/travel-time annotation by road class
     // (reference ox.add_edge_speeds, …network_analysis.ipynb:525-526) and
     // per-class aggregation.

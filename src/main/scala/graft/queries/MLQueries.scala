@@ -226,6 +226,108 @@ object MLQueries extends QueryCatalog {
            |FROM quads GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
+    // M10b — LISA permutation p-values (reference esda 999-permutation
+    // significance, 实习四/…yelp_analysis.ipynb:5995-6016). The reference's
+    // seeded-RNG loop is engine-specific; here the null distribution comes
+    // from DETERMINISTIC md5-hash permutations — rep r reorders the z values
+    // by ranking ids on hash64(r:id) and pairing that rank with the id-order
+    // rank — so a SQL oracle reproduces every permuted draw exactly.
+    // 49 reps ⇒ p ∈ {0.02,…,1}; p = (1 + #{I_r at least as extreme})/50.
+    // Neighbor sums fold over SORTED value lists (bit-identical cross-engine
+    // — group-order avg would flip >= comparisons on ulp differences).
+    // The rank windows are global over n points; at 100 TB the permutation
+    // would be block-local (permute within partitions), which preserves the
+    // null; documented trade-off.
+    "m10b_lisa_pvalues" -> QueryDef(
+      (s, dir) => {
+        val R = 49
+        val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+          .select(col("c_custkey").as("id"), col("lon"), col("lat"), col("c_acctbal").as("x"))
+        val stats = pts.agg(avg("x").as("m"), stddev_samp(col("x")).as("sd"))
+        val z = pts.crossJoin(stats).withColumn("z", (col("x") - col("m")) / col("sd"))
+          .select("id", "lon", "lat", "z")
+        val nbrs = graft.ml.Knn.neighbors(
+            z.select(col("id"), col("lon").as("x"), col("lat").as("y")), k = 5, cellSize = 0.03)
+          .select("aid", "bid").persist()
+        def sortedAvg(c: org.apache.spark.sql.Column) =
+          aggregate(sort_array(collect_list(c)), lit(0.0), (a, v) => a + v) / count(lit(1))
+        val obs = nbrs.join(z.select(col("id").as("bid"), col("z").as("bz")), "bid")
+          .groupBy(col("aid").as("id"))
+          .agg(sortedAvg(col("bz")).as("lag_obs"))
+          .join(z.select("id", "z"), "id")
+          .withColumn("i_obs", col("z") * col("lag_obs"))
+        val posById = z.select("id", "z")
+          .withColumn("pos", row_number().over(Window.orderBy("id")))
+        val reps = s.range(0, R).toDF("r")
+        val hashed = z.select("id").crossJoin(reps)
+          .withColumn("hk", graft.functions.TextFunctions.hash64(
+            concat(col("r").cast("string"), lit(":"), col("id").cast("string"))))
+          .withColumn("pos",
+            row_number().over(Window.partitionBy("r").orderBy(col("hk"), col("id"))))
+        val permz = hashed
+          .join(posById.select(col("pos"), col("z").as("pz")), "pos")
+          .select(col("r"), col("id").as("bid"), col("pz"))
+        val permLag = nbrs.join(permz, "bid")
+          .groupBy(col("aid").as("id"), col("r"))
+          .agg(sortedAvg(col("pz")).as("lag_r"))
+        val iR = permLag.join(obs.select("id", "z", "i_obs"), "id")
+          .withColumn("i_r", col("z") * col("lag_r"))
+        val pvals = iR.groupBy("id")
+          .agg(sum(when((col("i_obs") >= 0 && col("i_r") >= col("i_obs"))
+            || (col("i_obs") < 0 && col("i_r") <= col("i_obs")), 1L)
+            .otherwise(0L)).as("cnt"))
+          .withColumn("p", (col("cnt") + lit(1)).cast("double") / lit((R + 1).toDouble))
+        obs.join(pvals, "id")
+          .withColumn("quad", when(col("z") > 0 && col("lag_obs") > 0, "HH")
+            .when(col("z") <= 0 && col("lag_obs") <= 0, "LL")
+            .when(col("z") <= 0, "LH").otherwise("HL"))
+          .groupBy("quad")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("p") <= 0.05, 1L).otherwise(0L)).as("n_sig"),
+            round(avg("p"), 6).as("avg_p"))
+          .orderBy("quad")
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        s"""WITH pts AS (SELECT c_custkey AS id, $lonSql AS lon, $latSql AS lat,
+           |    c_acctbal AS x FROM customer),
+           |st AS (SELECT avg(x) m, stddev_samp(x) sd FROM pts),
+           |z AS (SELECT id, lon, lat, (x - m) / sd AS z FROM pts, st),
+           |nn AS (SELECT a.id AS aid, b.id AS bid, b.z AS bz
+           |  FROM z a JOIN z b ON a.id <> b.id
+           |  QUALIFY row_number() OVER (PARTITION BY a.id
+           |    ORDER BY power(a.lon-b.lon, 2) + power(a.lat-b.lat, 2), b.id) <= 5),
+           |obs AS (SELECT aid AS id, list_sum(list_sort(list(bz))) / count(*) AS lag_obs
+           |  FROM nn GROUP BY 1),
+           |obsz AS (SELECT o.id, z.z, o.lag_obs, z.z * o.lag_obs AS i_obs
+           |  FROM obs o JOIN z USING (id)),
+           |pos_by_id AS (SELECT id, z, row_number() OVER (ORDER BY id) AS pos FROM z),
+           |hashed AS (SELECT z.id, t.r,
+           |    row_number() OVER (PARTITION BY t.r ORDER BY
+           |      CAST(('0x' || substr(md5(t.r::VARCHAR || ':' || z.id::VARCHAR), 1, 15))
+           |        AS BIGINT), z.id) AS pos
+           |  FROM z, generate_series(0, 48) t(r)),
+           |permz AS (SELECT h.r, h.id AS bid, p.z AS pz
+           |  FROM hashed h JOIN pos_by_id p USING (pos)),
+           |permlag AS (SELECT nn.aid AS id, pz.r,
+           |    list_sum(list_sort(list(pz.pz))) / count(*) AS lag_r
+           |  FROM nn JOIN permz pz USING (bid) GROUP BY 1, 2),
+           |ir AS (SELECT pl.id, pl.r, oz.i_obs, oz.z * pl.lag_r AS i_r
+           |  FROM permlag pl JOIN obsz oz USING (id)),
+           |pv AS (SELECT id, (1 + sum(CASE WHEN (i_obs >= 0 AND i_r >= i_obs)
+           |      OR (i_obs < 0 AND i_r <= i_obs) THEN 1 ELSE 0 END)) / 50.0 AS p
+           |  FROM ir GROUP BY 1),
+           |quads AS (SELECT oz.id,
+           |    CASE WHEN z > 0 AND lag_obs > 0 THEN 'HH'
+           |      WHEN z <= 0 AND lag_obs <= 0 THEN 'LL'
+           |      WHEN z <= 0 THEN 'LH' ELSE 'HL' END AS quad, p
+           |  FROM obsz oz JOIN pv USING (id))
+           |SELECT quad, count(*) AS n,
+           |  CAST(sum(CASE WHEN p <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_sig,
+           |  round(avg(p), 6) AS avg_p
+           |FROM quads GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // M11 — one-variable linear regression, closed form (reference
     // stats.linregress stars↔sentiment, 实习四/…ipynb:1155-1170):
     // slope = cov/var, intercept, r, r².

@@ -76,6 +76,43 @@ object SetQueries extends QueryCatalog {
           round(avg("l_quantity"), 4).as("avg_qty")),
       Some("""SELECT count(*) AS n_sampled, round(sum(l_extendedprice), 2) AS sum_price,
              |  round(avg(l_quantity), 4) AS avg_qty
-             |FROM lineitem WHERE (l_orderkey * 7 + l_linenumber) % 10 = 0""".stripMargin))
+             |FROM lineitem WHERE (l_orderkey * 7 + l_linenumber) % 10 = 0""".stripMargin)),
+
+    // U5 — one-hot / get_dummies (reference pd.get_dummies + column concat,
+    // 实习二/…ipynb:850-853): o_orderpriority expands to indicator columns in
+    // one projection (the category list is declared, so the schema is static
+    // and no pivot-discovery pass scans the data), then per-status indicator
+    // sums + the mean of the first dummy — the groupby-mean a model-prep
+    // pipeline would feed.
+    "u5_one_hot" -> QueryDef(
+      (s, dir) => {
+        val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val dummies = Tables.orders(s, dir).select(
+          col("o_orderstatus") +: pris.zipWithIndex.map { case (p, i) =>
+            (col("o_orderpriority") === p).cast("long").as(s"pri_${i + 1}")
+          }: _*)
+        dummies.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum("pri_1").as("n_pri_1"), sum("pri_2").as("n_pri_2"),
+            sum("pri_3").as("n_pri_3"), sum("pri_4").as("n_pri_4"),
+            sum("pri_5").as("n_pri_5"),
+            round(avg("pri_1"), 6).as("urgent_rate"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH d AS (SELECT o_orderstatus,
+             |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pri_1,
+             |    CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END AS pri_2,
+             |    CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END AS pri_3,
+             |    CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END AS pri_4,
+             |    CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS pri_5
+             |  FROM orders)
+             |SELECT o_orderstatus, count(*) AS n,
+             |  CAST(sum(pri_1) AS BIGINT) AS n_pri_1,
+             |  CAST(sum(pri_2) AS BIGINT) AS n_pri_2,
+             |  CAST(sum(pri_3) AS BIGINT) AS n_pri_3,
+             |  CAST(sum(pri_4) AS BIGINT) AS n_pri_4,
+             |  CAST(sum(pri_5) AS BIGINT) AS n_pri_5,
+             |  round(avg(CAST(pri_1 AS DOUBLE)), 6) AS urgent_rate
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

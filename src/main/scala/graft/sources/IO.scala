@@ -83,4 +83,44 @@ object IO {
     * partition — the engine-side half of the reference's HTML/JSON panels. */
   def writeReportJson(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+
+  /** Geo-table sink (S6 write side) — the TEXT-BASED GeoPackage substitute.
+    *
+    * Real GPKG is a SQLite container (and SHP a fixed-width binary family);
+    * neither belongs in a distributed engine's write path, and no SQLite
+    * driver is in this engine's dependency budget. The layer instead ships
+    * as CSV parts with a `wkt` geometry column plus a `<layer>.meta.json`
+    * sidecar carrying what the GPKG `gpkg_contents`/`gpkg_geometry_columns`
+    * rows would: layer name, geometry type, srs id. One
+    * `ogr2ogr -f GPKG out.gpkg <layer dir>` (or `-f 'ESRI Shapefile'`)
+    * converts losslessly outside the cluster. Reference round-trips GPKG at
+    * 实习三/实习三代码/urban_road_struct_analysis.ipynb:198-202 and writes it
+    * at …bounds_analysis.ipynb:367-371. */
+  def writeGeoTable(df: DataFrame, path: String, layer: String,
+      lonCol: String = "lon", latCol: String = "lat"): Unit = {
+    val out = df
+      .withColumn("wkt", concat(lit("POINT ("),
+        col(lonCol).cast("string"), lit(" "), col(latCol).cast("string"), lit(")")))
+      .drop(lonCol, latCol)
+    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$path/$layer")
+    val meta = s"""{"layer": "$layer", "geometry_type": "POINT", "srs_id": 4326, """ +
+      s""""geometry_column": "wkt", "format": "wkt-csv"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/$layer.meta.json"), meta)
+  }
+
+  /** Geo-table source (S6 read side): parses the WKT POINT column written by
+    * [[writeGeoTable]] back to (lon, lat) doubles; all other columns pass
+    * through. The regexp runs columnar inside codegen — no geometry runtime. */
+  def readGeoTable(spark: SparkSession, path: String, layer: String): DataFrame = {
+    val raw = readCsv(spark, s"$path/$layer")
+    raw
+      .withColumn("lon",
+        regexp_extract(col("wkt"), """POINT \(([-0-9.eE]+) ([-0-9.eE]+)\)""", 1)
+          .cast("double"))
+      .withColumn("lat",
+        regexp_extract(col("wkt"), """POINT \(([-0-9.eE]+) ([-0-9.eE]+)\)""", 2)
+          .cast("double"))
+      .drop("wkt")
+  }
 }

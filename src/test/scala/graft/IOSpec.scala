@@ -62,4 +62,19 @@ class IOSpec extends SparkSpec {
     val back = spark.read.json(s"$dir/report")
     assert(back.head().getAs[Long]("value") === 42L)
   }
+
+  test("geo-table (GPKG-substitute) round-trip preserves points, attributes, sidecar") {
+    val dir = tmpDir("graft-geotable")
+    val pts = Seq((-74.05, 40.75, "cafe", 3L), (-73.91, 40.82, "park", 7L))
+      .toDF("lon", "lat", "kind", "score")
+    IO.writeGeoTable(pts, dir, "pois")
+    val meta = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/pois.meta.json")))
+    assert(meta.contains(""""geometry_type": "POINT"""") && meta.contains("4326"))
+    val back = IO.readGeoTable(spark, dir, "pois").orderBy("lon").collect()
+    assert(back.length === 2)
+    val r = back(0)
+    assert(r.getAs[Double]("lon") === -74.05 && r.getAs[Double]("lat") === 40.75)
+    assert(r.getAs[String]("kind") === "cafe" && r.getAs[Long]("score") === 3L)
+  }
 }
