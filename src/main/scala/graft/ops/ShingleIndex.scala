@@ -29,15 +29,26 @@ object ShingleIndex {
 
   /** (doc_id, sh) rows over distinct word-3-grams with df ≤ [[DfCap]]. */
   def capped(s: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate(System.identityHashCode(s) + ":" + dir, {
-      val sh = graft.core.Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
-      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= DfCap)
-        .select("sh")
-      sh.join(rare, "sh").select("doc_id", "sh").persist()
-    })
+    cache.getOrElseUpdate(System.identityHashCode(s) + ":" + dir,
+      cappedOf(graft.core.Tables.documents(s, dir)))
+
+  /** The capped index over an arbitrary documents frame (doc_id, text).
+    * The raw exploded index feeds both the df aggregate and the join side;
+    * it is persisted for the build and eagerly released — tokenizing the
+    * corpus twice is the kind of cost that doubles silently. */
+  def cappedOf(docs: DataFrame, cap: Int = DfCap): DataFrame = {
+    val shAll = docs
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+      .persist()
+    val rare = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap)
+      .select("sh")
+    val out = shAll.join(rare, "sh").select("doc_id", "sh")
+      .localCheckpoint(true)
+    shAll.unpersist()
+    out
+  }
 
   /** DuckDB fragment mirroring [[capped]]: CTEs `sh_all`, `sh` (capped).
     * Callers embed it after their own `toks AS (...)` CTE. */

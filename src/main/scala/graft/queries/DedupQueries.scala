@@ -205,21 +205,22 @@ object DedupQueries extends QueryCatalog {
            |ORDER BY jaccard DESC, id_a, id_b""".stripMargin
       }),
 
-    // D4 — SimHash near-dup: 32-bit signatures over word-3-gram shingles
-    // (shingles for the same vocabulary-collapse reason as D3; 32 bits so
-    // the signature space comfortably exceeds corpus size); Hamming ≤ 3
-    // pairs found by the pigeonhole block join (4 blocks of 8 bits — any
-    // pair within distance 3 must agree on ≥1 whole block), then exact
+    // D4 — SimHash near-dup: 48-bit signatures over word-3-gram shingles
+    // (shingles for the same vocabulary-collapse reason as D3; 48 bits so
+    // the signature space exceeds corpus size with headroom at 10¹⁰ docs —
+    // 32 bits saturates there); Hamming ≤ 3 pairs found by the pigeonhole
+    // block join (6 blocks of 8 bits — a pair within distance 3 agrees on
+    // ≥ 3 whole blocks, so any-block agreement is a superset), then exact
     // popcount verification. Equi-join on (block index, value): no cross join.
     "d4_simhash" -> QueryDef(
       (s, dir) => {
         val sh = Tables.documents(s, dir)
           .select(col("doc_id"),
             hashArray(shingles(tokens(col("text")), 3)).as("hashes"))
-          .select(col("doc_id"), simhashFromHashes(col("hashes"), 32).as("sh"))
+          .select(col("doc_id"), simhashFromHashes(col("hashes"), 48).as("sh"))
           .persist() // consumed by both sides of the block join
         val blocked = sh.select(col("doc_id"), col("sh"),
-          explode(array((0 until 4).map(b =>
+          explode(array((0 until 6).map(b =>
             concat_ws(":", lit(b.toString),
               (shiftright(col("sh"), b * 8) % 256).cast("string"))): _*)).as("blk"))
         blocked.as("a").join(blocked.as("b"),
@@ -236,8 +237,8 @@ object DedupQueries extends QueryCatalog {
       Some {
         val simhashSql =
           s"""list_sum([ CASE WHEN list_sum([ ((h >> b) & 1) * 2 - 1
-             |  for h in hashes ]) > 0 THEN 1 << b ELSE 0 END
-             |  for b in generate_series(0, 31) ])""".stripMargin
+             |  for h in hashes ]) > 0 THEN (1::BIGINT << b) ELSE 0 END
+             |  for b in generate_series(0, 47) ])""".stripMargin
         s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
            |sgl AS (SELECT doc_id,
            |    [${h64("t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]")}
@@ -246,7 +247,7 @@ object DedupQueries extends QueryCatalog {
            |sh AS (SELECT doc_id, $simhashSql AS sh FROM sgl),
            |blocked AS (SELECT doc_id, sh,
            |    unnest([ b::VARCHAR || ':' || ((sh >> (b*8)) & 255)::VARCHAR
-           |             for b in generate_series(0, 3) ]) AS blk
+           |             for b in generate_series(0, 5) ]) AS blk
            |  FROM sh),
            |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            |    a.sh AS ha, b.sh AS hb

@@ -162,15 +162,9 @@ object TextQueries extends QueryCatalog {
               lit(0.2) * least(lit(1.0),
                 ((col("n_chars") - col("n_tok") + 1).cast("double") / col("n_tok")) / lit(6.0)))
         val kept = docs.filter(col("quality") >= 0.8)
-        // Same df-cap as ShingleIndex (common shingles → O(df²) pair fanout),
-        // but built over the quality-KEPT docs, so the shared index (which
-        // covers the full corpus) does not apply here.
-        val shAll = kept.select(col("doc_id"),
-          explode(array_distinct(graft.functions.TextFunctions.shingles(
-            graft.functions.TextFunctions.tokens(col("text")), 3))).as("sh"))
-        val rare = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= graft.ops.ShingleIndex.DfCap).select("sh")
-        val sh = shAll.join(rare, "sh").select("doc_id", "sh").persist()
+        // Same df-cap machinery as the shared index, but built over the
+        // quality-KEPT docs (the corpus-wide cached index does not apply).
+        val sh = graft.ops.ShingleIndex.cappedOf(kept.select("doc_id", "text"))
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
         val pairs = sh.as("a").join(sh.as("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

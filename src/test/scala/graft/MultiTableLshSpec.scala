@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Multi-table LSH (v2/v3's candidate generator): exact duplicates must
+  * collide in EVERY table, and the banded join must generate strictly fewer
+  * candidate pairs than the n² scan it replaces. */
+class MultiTableLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 64
+
+  // Deterministic spread-out vectors; id 100 duplicates id 3 exactly.
+  private def vecs = ((0 until 20).map { i =>
+    (i.toLong, (0 until Dim).map(d => (((i * 31 + d * 17) % 97) / 97.0f - 0.5f)).toArray)
+  } :+ (100L, (0 until Dim).map(d => (((3 * 31 + d * 17) % 97) / 97.0f - 0.5f)).toArray))
+
+  private def banded = vecs.toDF("vec_id", "embedding")
+    .withColumn("dots", hyperplaneDots(col("embedding"), 32, Dim))
+    .withColumn("bands", lshBandKeysVec(col("dots"), 4, 8))
+
+  test("band keys are well-formed and span all 4 tables") {
+    val bands = banded.select(explode(col("bands")).as("band"))
+      .as[String].collect()
+    assert(bands.forall(_.matches("""[0-3]:\d+""")))
+    assert(bands.map(_.split(":")(0)).distinct.sorted.toSeq === Seq("0", "1", "2", "3"))
+  }
+
+  test("exact duplicates collide in every table; candidates stay below n²") {
+    val b = banded.select(col("vec_id"), explode(col("bands")).as("band"))
+    val dup = b.filter(col("vec_id").isin(3L, 100L))
+      .groupBy("band").agg(countDistinct("vec_id").as("n"))
+      .filter(col("n") === 2).count()
+    assert(dup === 4L, "an identical pair must share all 4 band keys")
+
+    val nPairs = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
+      .select("a.vec_id", "b.vec_id").distinct().count()
+    val allPairs = 21L * 20 / 2
+    assert(nPairs < allPairs,
+      s"banding must prune the pair space ($nPairs vs $allPairs)")
+  }
+}

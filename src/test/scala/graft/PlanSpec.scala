@@ -53,4 +53,14 @@ class PlanSpec extends SparkSpec {
     val p = plan("s1_scan_limit")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("t2: no broadcast hint on the vocabulary-sized profile join") {
+    // The per-(lang, token) profile is vocabulary-sized — GBs/executor at
+    // web scale — so the scoring join must not carry a builder-forced
+    // broadcast; only the 5-row per-language totals side may hint.
+    val df = SparkEntry.queries("t2_lang_id_confusion")(spark, dir)
+    val analyzed = df.queryExecution.analyzed.toString
+    val hints = "UnresolvedHint|ResolvedHint".r.findAllIn(analyzed).length
+    assert(hints <= 1, s"expected at most the langTotals hint, plan:\n$analyzed")
+  }
 }
