@@ -84,6 +84,59 @@ object IO {
   def writeReportJson(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
 
+  /** GraphML sink (S11; reference ox.save_graphml at
+    * 实习三/实习三代码/urban_road_network_analysis.ipynb): node and edge
+    * elements are rendered to XML fragments DISTRIBUTED (string building is
+    * a per-row projection — no driver-side iteration over the graph), then
+    * written as text parts; the enclosing `<graphml>` document header/footer
+    * land in a sidecar wrapper, the same parts+wrapper shape as the GeoJSON
+    * sink. `cat wrapper.head fragments/part-... wrapper.tail > g.graphml`
+    * assembles the single-file form outside the cluster.
+    *
+    * `nodes`: (id, lon, lat); `edges`: (src, dst, w). */
+  def writeGraphMl(nodes: DataFrame, edges: DataFrame, path: String): Unit = {
+    val nodeXml = nodes.select(concat(
+      lit("""    <node id="n"""), col("id"), lit("""">"""),
+      lit("""<data key="lon">"""), col("lon").cast("string"), lit("</data>"),
+      lit("""<data key="lat">"""), col("lat").cast("string"), lit("</data>"),
+      lit("</node>")).as("xml"))
+    val edgeXml = edges.select(concat(
+      lit("""    <edge source="n"""), col("src"),
+      lit("""" target="n"""), col("dst"), lit("""">"""),
+      lit("""<data key="w">"""), col("w").cast("string"), lit("</data>"),
+      lit("</edge>")).as("xml"))
+    nodeXml.unionByName(edgeXml).write.mode(SaveMode.Overwrite).text(s"$path/fragments")
+    val head =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+        |  <key id="lon" for="node" attr.name="lon" attr.type="double"/>
+        |  <key id="lat" for="node" attr.name="lat" attr.type="double"/>
+        |  <key id="w" for="edge" attr.name="w" attr.type="double"/>
+        |  <graph id="G" edgedefault="directed">
+        |""".stripMargin
+    val tail = "  </graph>\n</graphml>\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/wrapper.head"), head)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/wrapper.tail"), tail)
+  }
+
+  /** HTML report sink (S13 beyond JSON; the reference renders folium/
+    * matplotlib HTML panels): table rows render distributed as `<tr>`
+    * fragments; the page shell is the driver-side wrapper. */
+  def writeReportHtml(df: DataFrame, path: String, title: String): Unit = {
+    val cols = df.columns
+    val rowXml = df.select(concat(
+      lit("<tr>") +:
+        cols.flatMap(c => Seq(lit("<td>"), coalesce(col(c).cast("string"), lit("")), lit("</td>"))) :+
+        lit("</tr>"): _*).as("html"))
+    rowXml.coalesce(1).write.mode(SaveMode.Overwrite).text(s"$path/rows")
+    val header = cols.map(c => s"<th>$c</th>").mkString
+    val head = s"<!DOCTYPE html><html><head><title>$title</title></head>" +
+      s"<body><h1>$title</h1><table><thead><tr>$header</tr></thead><tbody>\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/wrapper.head"), head)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/wrapper.tail"),
+      "</tbody></table></body></html>\n")
+  }
+
   /** Geo-table sink (S6 write side) — the TEXT-BASED GeoPackage substitute.
     *
     * Real GPKG is a SQLite container (and SHP a fixed-width binary family);

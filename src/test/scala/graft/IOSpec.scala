@@ -63,6 +63,28 @@ class IOSpec extends SparkSpec {
     assert(back.head().getAs[Long]("value") === 42L)
   }
 
+  test("graphml sink renders node/edge elements distributed + document wrapper") {
+    val dir = tmpDir("graft-graphml")
+    val nodes = Seq((0L, -74.0, 40.7), (1L, -73.9, 40.8)).toDF("id", "lon", "lat")
+    val edges = Seq((0L, 1L, 2.5)).toDF("src", "dst", "w")
+    IO.writeGraphMl(nodes, edges, dir)
+    val frags = spark.read.text(s"$dir/fragments").collect().map(_.getString(0))
+    assert(frags.count(_.contains("<node id=")) === 2)
+    assert(frags.exists(f =>
+      f.contains("""<edge source="n0" target="n1">""") && f.contains(""""w">2.5""")))
+    val head = new String(Files.readAllBytes(java.nio.file.Paths.get(s"$dir/wrapper.head")))
+    assert(head.contains("<graphml") && head.contains("edgedefault=\"directed\""))
+  }
+
+  test("html report sink renders header and value rows") {
+    val dir = tmpDir("graft-html")
+    IO.writeReportHtml(Seq(("errors", 42L)).toDF("metric", "value"), dir, "Report")
+    val rows = spark.read.text(s"$dir/rows").collect().map(_.getString(0))
+    assert(rows.length === 1 && rows(0) === "<tr><td>errors</td><td>42</td></tr>")
+    val head = new String(Files.readAllBytes(java.nio.file.Paths.get(s"$dir/wrapper.head")))
+    assert(head.contains("<th>metric</th><th>value</th>"))
+  }
+
   test("geo-table (GPKG-substitute) round-trip preserves points, attributes, sidecar") {
     val dir = tmpDir("graft-geotable")
     val pts = Seq((-74.05, 40.75, "cafe", 3L), (-73.91, 40.82, "park", 7L))
