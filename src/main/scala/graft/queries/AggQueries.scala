@@ -293,6 +293,21 @@ object AggQueries extends QueryCatalog {
           count(lit(1)).as("n_events"))
         .orderBy("event_type")),
 
+    // A7b — sketch quantiles: approx_percentile (Greenwald-Khanna) as the
+    // 100 TB path for A7's exact percentile — the exact form buffers every
+    // value per group; GK keeps a bounded summary and merges map-side.
+    // Merge order makes the estimate partitioning-dependent → no SQL oracle;
+    // ApproxSpec pins the estimates inside the accuracy envelope vs exact.
+    "a7b_approx_quantiles" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+            .as("q"))
+        .select(
+          round(element_at(col("q"), 1), 4).as("q1_price"),
+          round(element_at(col("q"), 2), 4).as("median_price"),
+          round(element_at(col("q"), 3), 4).as("q3_price"))),
+
     // A14 — weighted composite score (reference sentiment*0.7 + stars/5*0.3,
     // 实习四/…ipynb:908-911).
     "a14_weighted_score" -> QueryDef(

@@ -54,6 +54,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("g7: POI-isochrone match is a grid equi-join, never a cartesian product") {
+    val p = plan("g7_poi_accessibility")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("v2: LSH candidates come from an equi-join on the band key") {
+    val p = plan("v2_ann_lsh")
+    // the band join keys on the exploded band string; any join flavor is
+    // fine as long as it is keyed (hashed/sorted on band), not nested-loop
+    assert(p.contains("band"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("t2: no broadcast hint on the vocabulary-sized profile join") {
     // The per-(lang, token) profile is vocabulary-sized — GBs/executor at
     // web scale — so the scoring join must not carry a builder-forced
