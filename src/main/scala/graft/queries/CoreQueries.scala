@@ -28,6 +28,43 @@ object CoreQueries extends QueryCatalog {
              |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
              |LIMIT 100""".stripMargin)),
 
+    // S10 — geocode lookup against an offline gazetteer (reference
+    // ox.geocode at 实习三/…urban_road_network_analysis.ipynb:307-310): the
+    // gazetteer maps place NAME → deterministic point, and the lookup joins
+    // on the name string — the geocode semantics — not on a surrogate key.
+    // The 25-row gazetteer broadcasts; per-region centroid of the geocoded
+    // customer places comes back. At scale the gazetteer stays the small
+    // dim side of a broadcast join, exactly this shape.
+    "s10_geocode_lookup" -> QueryDef(
+      (s, dir) => {
+        val gaz = Tables.withSyntheticPoint(
+            Tables.nation(s, dir).select(col("n_name").as("place"),
+              col("n_nationkey").as("k")), "k")
+          .select("place", "lon", "lat")
+        val places = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+          .join(Tables.nation(s, dir)
+            .select(col("n_nationkey").as("c_nationkey"),
+              col("n_name").as("place"), col("n_regionkey")), "c_nationkey")
+        places.join(broadcast(gaz), "place")
+          .groupBy("n_regionkey")
+          .agg(count(lit(1)).as("n_geocoded"),
+            round(avg("lon"), 6).as("centroid_lon"),
+            round(avg("lat"), 6).as("centroid_lat"))
+          .orderBy("n_regionkey")
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("n_nationkey")
+        s"""WITH gaz AS (SELECT n_name AS place, $lonSql AS lon, $latSql AS lat
+           |  FROM nation),
+           |places AS (SELECT c_custkey, n_name AS place, n_regionkey
+           |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+           |SELECT n_regionkey, count(*) AS n_geocoded,
+           |  round(avg(lon), 6) AS centroid_lon,
+           |  round(avg(lat), 6) AS centroid_lat
+           |FROM places JOIN gaz USING (place)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // S2 — scan with date parsing (reference parse_dates at
     // 实习二/…taxi_travel_time_prediction.ipynb:106): group by parsed year/month.
     "s2_scan_dates" -> QueryDef(
