@@ -222,6 +222,90 @@ object TextQueries extends QueryCatalog {
              |ORDER BY source""".stripMargin),
       headline = true),
 
+    // T7 — PII scrub: regex-detect and redact email/phone-shaped spans, the
+    // standard pre-release curation pass. The synthetic corpus contains no
+    // PII, so deterministic PII-shaped suffixes are injected first (doc_id
+    // mod 5 / mod 7 gates) — the scrub then has real work that both engines
+    // reproduce exactly. Per-row projection: no shuffle beyond the final
+    // per-source rollup. Patterns stay in the regex subset Java and RE2
+    // share (no backrefs, no lookaround).
+    "t7_pii_scrub" -> QueryDef(
+      (s, dir) => {
+        val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+        val phoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+        // expr() goes through the SQL parser, which consumes one level of
+        // backslash escaping inside string literals — double them there.
+        val emailSql = emailRe.replace("\\", "\\\\")
+        val phoneSql = phoneRe.replace("\\", "\\\\")
+        val docs = Tables.documents(s, dir)
+          .withColumn("raw", concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" contact"), col("doc_id"), lit("@example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit(""))))
+        docs
+          .withColumn("n_emails", size(expr(s"regexp_extract_all(raw, '$emailSql', 0)")))
+          .withColumn("n_phones", size(expr(s"regexp_extract_all(raw, '$phoneSql', 0)")))
+          .withColumn("clean",
+            regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"), phoneRe, "<PHONE>"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_emails").as("total_emails"),
+            sum("n_phones").as("total_phones"),
+            sum((col("n_emails") > 0 || col("n_phones") > 0).cast("long")).as("n_docs_with_pii"),
+            sum(length(col("raw")) - length(col("clean"))).as("chars_delta"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, doc_id, text ||
+             |    CASE WHEN doc_id % 5 = 0
+             |      THEN ' contact' || doc_id || '@example.com' ELSE '' END ||
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN ' +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+             |    AS raw FROM documents),
+             |scrubbed AS (SELECT source, raw,
+             |    len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
+             |    len(regexp_extract_all(raw, '\+1-[0-9]{3}-[0-9]{4}')) AS n_phones,
+             |    regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+             |      '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+             |  FROM d)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_emails) AS BIGINT) AS total_emails,
+             |  CAST(sum(n_phones) AS BIGINT) AS total_phones,
+             |  CAST(sum(CASE WHEN n_emails > 0 OR n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_docs_with_pii,
+             |  CAST(sum(len(raw) - len(clean)) AS BIGINT) AS chars_delta
+             |FROM scrubbed GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // T8 — repetition filter (the Gopher-style "fraction of text in the
+    // most-repeated n-gram" quality rule): per-doc ratio of the top word-3-
+    // gram's count to all 3-grams (WITH multiplicity — repetition is the
+    // signal), bucketed to a corpus histogram. explode → two hash aggs.
+    "t8_repetition" -> QueryDef(
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(graft.functions.TextFunctions.shingles(
+            graft.functions.TextFunctions.tokens(col("text")), 3)).as("sh"))
+        sh.groupBy("doc_id", "sh").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg((max("cnt") / sum("cnt")).as("rep_ratio"))
+          .groupBy(floor(col("rep_ratio") * 10).cast("long").as("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg("rep_ratio"), 6).as("avg_ratio"))
+          .orderBy("decile")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT doc_id, unnest(
+             |    [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+             |     for i in generate_series(0, len(t) - 3)]) AS sh
+             |  FROM toks WHERE len(t) >= 3),
+             |per AS (SELECT doc_id, sh, count(*) AS cnt FROM sh GROUP BY 1, 2),
+             |ratios AS (SELECT doc_id, max(cnt) * 1.0 / sum(cnt) AS rep_ratio
+             |  FROM per GROUP BY 1)
+             |SELECT CAST(floor(rep_ratio * 10) AS BIGINT) AS decile,
+             |  count(*) AS n_docs, round(avg(rep_ratio), 6) AS avg_ratio
+             |FROM ratios GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // T5 — term frequency / word-cloud prep (reference M8: concat → split →
     // stopword filter → top-n, 实习四/…ipynb:1042-1101).
     "t5_word_freq" -> QueryDef(
