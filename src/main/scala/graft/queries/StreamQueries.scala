@@ -17,33 +17,53 @@ object StreamQueries extends QueryCatalog {
 
   private val gapUs = 30L * 60 * 1000000 // 30 min in microseconds
 
+  /** Gap-sessionize oracle shared by the batch (w9) and streaming (w11)
+    * session_window queries — both must reproduce it exactly. */
+  private val sessionOracle =
+    s"""WITH t AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+       |flagged AS (SELECT user_id, us,
+       |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+       |      >= $gapUs THEN 1 ELSE 0 END AS brk
+       |  FROM t),
+       |sess AS (SELECT user_id,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged),
+       |per_sess AS (SELECT user_id, sid, count(*) AS n_events
+       |  FROM sess GROUP BY 1, 2)
+       |SELECT user_id, count(*) AS n_sessions,
+       |  max(n_events) AS max_session_events,
+       |  CAST(sum(n_events) AS BIGINT) AS n_total
+       |FROM per_sess GROUP BY 1 ORDER BY 1 LIMIT 50""".stripMargin
+
+  private def sessionSummary(perSession: org.apache.spark.sql.DataFrame) =
+    perSession
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max("n_events").as("max_session_events"),
+        sum("n_events").as("n_total"))
+      .orderBy("user_id").limit(50)
+
   def defs: Map[String, QueryDef] = Map(
 
     // Native session_window (gap ≤ 30 min merges), per-user summary.
     "w9_session_window" -> QueryDef(
-      (s, dir) => Tables.events(s, dir)
+      (s, dir) => sessionSummary(Tables.events(s, dir)
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_sessions"),
-          max("n_events").as("max_session_events"),
-          sum("n_events").as("n_total"))
-        .orderBy("user_id").limit(50),
-      Some(s"""WITH t AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
-              |flagged AS (SELECT user_id, us,
-              |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
-              |      >= $gapUs THEN 1 ELSE 0 END AS brk
-              |  FROM t),
-              |sess AS (SELECT user_id,
-              |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
-              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-              |  FROM flagged),
-              |per_sess AS (SELECT user_id, sid, count(*) AS n_events
-              |  FROM sess GROUP BY 1, 2)
-              |SELECT user_id, count(*) AS n_sessions,
-              |  max(n_events) AS max_session_events,
-              |  CAST(sum(n_events) AS BIGINT) AS n_total
-              |FROM per_sess GROUP BY 1 ORDER BY 1 LIMIT 50""".stripMargin)),
+        .agg(count(lit(1)).as("n_events"))),
+      Some(sessionOracle)),
+
+    // The STREAMING path of the same sessionization: parquet file stream →
+    // watermark → session_window state merges across micro-batches →
+    // memory sink; the per-user rollup runs in batch over the sink. Checked
+    // against the identical oracle as w9 — streaming/batch equivalence for
+    // stateful session windows, same contract as w10 for tumbling windows.
+    "w11_stream_sessions" -> QueryDef(
+      (s, dir) => sessionSummary(
+        EventsAnomaly.replayBounded(s, s"$dir/events.parquet",
+          src => EventsAnomaly.userSessions(
+            Tables.normalizeEvents(src), "30 minutes"))),
+      Some(sessionOracle)),
 
     // Structured Streaming replay: hourly tumbling counts with a 1-hour
     // watermark over the parquet-file stream; must reproduce the batch
