@@ -16,6 +16,19 @@ final case class QueryDef(
     oracle: Option[String] = None,
     headline: Boolean = false)
 
+object QueryDef {
+  /** Materialize a (small) query result and release its cached build-side
+    * intermediates. Returning a lazy result over unpersisted caches silently
+    * re-runs the whole DAG (the round-1 DBSCAN whale); returning it over
+    * still-persisted caches leaks blocks that GC-thrash later queries in a
+    * suite run. Eager localCheckpoint + unpersist avoids both. */
+  def materialized(df: DataFrame, caches: DataFrame*): DataFrame = {
+    val out = df.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    out
+  }
+}
+
 trait QueryCatalog {
   def defs: Map[String, QueryDef]
 }

@@ -62,8 +62,11 @@ object Knn {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
 
-    val out = exactPart.unionByName(fbPart)
-    pts.unpersist()
+    // Materialize before releasing the caches (candA feeds both phases and
+    // the verdict; a lazy return over unpersisted caches re-runs the pair
+    // join, and a still-persisted candA leaks blocks into later queries).
+    val out = exactPart.unionByName(fbPart).localCheckpoint(true)
+    pts.unpersist(); candA.unpersist()
     out
   }
 }

@@ -130,27 +130,29 @@ object DedupQueries extends QueryCatalog {
              |  max(id) AS max_dropped
              |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // D3 — MinHash + LSH: 16-component signatures over DISTINCT WORD-3-GRAM
-    // SHINGLES, 8 bands × 2 rows. Shingles, not unigrams: the corpus
-    // vocabulary is ~31 words, so unigram minima collapse to the same
-    // values corpus-wide and every band becomes one giant bucket (measured:
-    // a 600-second quadratic pair join at sf0.1); the ~29k-point shingle
-    // space keeps buckets collision-driven. Candidates = docs sharing any
-    // band key; verification = exact shingle-set Jaccard + the signature's
-    // own estimate, so the output exposes estimator quality.
+    // D3 — MinHash + LSH: 16-component signatures over the df-capped
+    // DISTINCT WORD-3-GRAM index, 8 bands × 2 rows. Shingles, not unigrams:
+    // the corpus vocabulary is ~31 words, so unigram minima collapse
+    // corpus-wide and every band becomes one giant bucket (measured: a
+    // 600-second quadratic pair join at sf0.1). The signature computes
+    // RELATIONALLY off the shared ShingleIndex — one md5 per (doc, shingle)
+    // row, 16 codegen'd min-aggregates in a single hash-agg pass (the
+    // per-doc array-HOF form evaluates interpreted and re-walks the array
+    // per seed), with the per-doc shingle list collected in the same pass
+    // for exact verification. Candidates = docs sharing any band key;
+    // verification = exact Jaccard + the signature's own estimate, so the
+    // output exposes estimator quality.
     "d3_minhash_lsh" -> QueryDef(
       (s, dir) => {
         val k = 16
-        // Two explicit projections: `hashes` materializes as its own column
-        // so the 16 per-seed min-transforms reference it instead of inlining
-        // the md5 transform 16× (CollapseProject keeps non-cheap aliases).
-        val sigs = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            array_distinct(shingles(tokens(col("text")), 3)).as("toks"))
-          .filter(size(col("toks")) > 0)
-          .withColumn("hashes", hashArray(col("toks")))
-          .withColumn("sig", minhashSignatureFromHashes(col("hashes"), k))
-          .drop("hashes")
+        val hashed = graft.ops.ShingleIndex.capped(s, dir)
+          .withColumn("h", hash64(col("sh")))
+        val sigCols = (0 until k).map(i =>
+          min(seededFromBase(i, col("h"))).as(s"s$i"))
+        val sigs = hashed.groupBy("doc_id")
+          .agg(sort_array(collect_list(col("sh"))).as("toks"), sigCols: _*)
+          .withColumn("sig", array((0 until k).map(i => col(s"s$i")): _*))
+          .select("doc_id", "toks", "sig")
           .persist() // consumed by banding and twice by pair re-attachment
         // Band join and pair dedup run over bare (id, band) rows; the toks
         // and signature arrays re-attach per side AFTER dedup — shuffling
@@ -165,7 +167,7 @@ object DedupQueries extends QueryCatalog {
         val cand = pairIds
           .join(sigs.select(col("doc_id").as("id_a"), col("toks").as("ta"), col("sig").as("sa")), "id_a")
           .join(sigs.select(col("doc_id").as("id_b"), col("toks").as("tb"), col("sig").as("sb")), "id_b")
-        cand
+        val result = cand
           .withColumn("est", round(signatureMatchFraction(col("sa"), col("sb"), k), 6))
           .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
           .withColumn("jaccard", round(
@@ -173,21 +175,25 @@ object DedupQueries extends QueryCatalog {
           .filter(col("jaccard") >= 0.6)
           .select("id_a", "id_b", "est", "jaccard")
           .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
+        graft.QueryDef.materialized(result, sigs)
       },
       Some {
         val p = 2147483647L
-        val sig = s"[ list_min([ ((h % $p) * (2*i+3) + (i*12345+67891)) % $p for h in hashes ]) for i in generate_series(0, 15) ]"
-        s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-           |d AS (SELECT doc_id, list_distinct(
-           |    [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-           |     for i in generate_series(0, len(t) - 3)]) AS toks
-           |  FROM tk WHERE len(t) >= 3),
-           |hs AS (SELECT doc_id, toks, [${h64("sg")} for sg in toks] AS hashes FROM d),
-           |sigs AS (SELECT doc_id, toks, $sig AS sig FROM hs),
+        val sigMins = (0 until 16).map(i =>
+          s"min(((h % $p) * (${2 * i + 3}) + (${i * 12345 + 67891})) % $p) AS s$i")
+          .mkString(",\n           |    ")
+        val sigArr = (0 until 16).map(i => s"s$i").mkString("[", ", ", "]")
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |${graft.ops.ShingleIndex.cappedSql},
+           |hs AS (SELECT doc_id, sh, ${h64("sh")} AS h FROM sh),
+           |sigs AS (SELECT doc_id, list_sort(list(sh)) AS toks,
+           |    $sigMins
+           |  FROM hs GROUP BY doc_id),
+           |sigarr AS (SELECT doc_id, toks, $sigArr AS sig FROM sigs),
            |banded AS (SELECT doc_id, toks, sig,
            |    unnest([ b::VARCHAR || '_' || sig[2*b+1]::VARCHAR || '_' || sig[2*b+2]::VARCHAR
            |             for b in generate_series(0, 7) ]) AS band
-           |  FROM sigs),
+           |  FROM sigarr),
            |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            |    a.toks AS ta, b.toks AS tb, a.sig AS sa, b.sig AS sb
            |  FROM banded a JOIN banded b
@@ -223,7 +229,7 @@ object DedupQueries extends QueryCatalog {
           explode(array((0 until 6).map(b =>
             concat_ws(":", lit(b.toString),
               (shiftright(col("sh"), b * 8) % 256).cast("string"))): _*)).as("blk"))
-        blocked.as("a").join(blocked.as("b"),
+        val result = blocked.as("a").join(blocked.as("b"),
             col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
             col("a.sh").as("ha"), col("b.sh").as("hb"))
@@ -233,6 +239,7 @@ object DedupQueries extends QueryCatalog {
           .groupBy("hamming")
           .agg(count(lit(1)).as("n_pairs"), min("id_a").as("min_id_a"))
           .orderBy("hamming")
+        graft.QueryDef.materialized(result, sh)
       },
       Some {
         val simhashSql =

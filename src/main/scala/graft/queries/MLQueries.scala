@@ -277,7 +277,7 @@ object MLQueries extends QueryCatalog {
             || (col("i_obs") < 0 && col("i_r") <= col("i_obs")), 1L)
             .otherwise(0L)).as("cnt"))
           .withColumn("p", (col("cnt") + lit(1)).cast("double") / lit((R + 1).toDouble))
-        obs.join(pvals, "id")
+        val result = obs.join(pvals, "id")
           .withColumn("quad", when(col("z") > 0 && col("lag_obs") > 0, "HH")
             .when(col("z") <= 0 && col("lag_obs") <= 0, "LL")
             .when(col("z") <= 0, "LH").otherwise("HL"))
@@ -286,6 +286,7 @@ object MLQueries extends QueryCatalog {
             sum(when(col("p") <= 0.05, 1L).otherwise(0L)).as("n_sig"),
             round(avg("p"), 6).as("avg_p"))
           .orderBy("quad")
+        graft.QueryDef.materialized(result, nbrs)
       },
       Some {
         val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
