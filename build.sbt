@@ -30,4 +30,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // eviction once the suite's checkpointed state accumulates (measured as
   // 9 s → 31 s run-to-run variance on the DBSCAN query).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xlog:gc${sys.env.get("SPARK_GC_LOG").map(f => s":file=$f").getOrElse(":none")}",
 )
