@@ -193,7 +193,10 @@ object VectorQueries extends QueryCatalog {
           .withColumn("x", col("x").cast("double"))
         val centroids = comps.groupBy(col("label").as("c_label"), col("dim"))
           .agg(avg("x").as("cx"))
-        val scored = comps.join(centroids, "dim")
+        // Broadcast: centroids are |labels|×|dims| rows by construction
+        // (tiny at any corpus size), and joining on `dim` alone has only 64
+        // distinct keys — a shuffle there caps parallelism at 64 tasks.
+        val scored = comps.join(broadcast(centroids), "dim")
           .groupBy("vec_id", "label", "c_label")
           .agg(sum(col("x") * col("cx")).as("dot"),
             sum(col("x") * col("x")).as("n2a"),
