@@ -220,10 +220,27 @@ object DedupQueries extends QueryCatalog {
     // popcount verification. Equi-join on (block index, value): no cross join.
     "d4_simhash" -> QueryDef(
       (s, dir) => {
-        val sh = Tables.documents(s, dir)
+        // Bit votes computed RELATIONALLY: one md5 per (doc, shingle) row
+        // (multiplicity kept — unlike the dedup index, repetition weights
+        // the signature), then 48 codegen'd sum-aggregates in a single
+        // hash-agg pass with map-side partials. The per-doc array form
+        // (simhashFromHashes, kept for bounded inputs) re-walks the hash
+        // array once per bit in the interpreted HOF evaluator and evaluates
+        // each document on a single thread — the relational form spreads a
+        // pathological 10^6-shingle document across tasks and merges.
+        val bits = 48
+        val hashed = Tables.documents(s, dir)
           .select(col("doc_id"),
-            hashArray(shingles(tokens(col("text")), 3)).as("hashes"))
-          .select(col("doc_id"), simhashFromHashes(col("hashes"), 48).as("sh"))
+            explode(shingles(tokens(col("text")), 3)).as("shingle"))
+          .withColumn("h", hash64(col("shingle")))
+        val voteCols = (0 until bits).map(b =>
+          sum((shiftright(col("h"), b) % 2) * 2 - 1).as(s"v$b"))
+        val sh = hashed.groupBy("doc_id")
+          .agg(voteCols.head, voteCols.tail: _*)
+          .select(col("doc_id"),
+            (0 until bits).map(b =>
+              when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+              .reduce(_ + _).as("sh"))
           .persist() // consumed by both sides of the block join
         val blocked = sh.select(col("doc_id"), col("sh"),
           explode(array((0 until 6).map(b =>
