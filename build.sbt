@@ -30,5 +30,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // eviction once the suite's checkpointed state accumulates (measured as
   // 9 s → 31 s run-to-run variance on the DBSCAN query).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  s"-Xlog:gc${sys.env.get("SPARK_GC_LOG").map(f => s":file=$f").getOrElse(":none")}",
-)
+  // Opt-in GC log: emit the flag only when requested — "-Xlog:gc:none"
+  // makes the JVM log to a FILE literally named "none".
+) ++ sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc:file=$f").toSeq

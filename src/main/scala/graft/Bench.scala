@@ -30,11 +30,15 @@ object Bench {
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Periodic GC lets the ContextCleaner release unreferenced
-      // localCheckpoint blocks — accumulated blocks otherwise GC-thrash the
-      // heavy iterative queries at unpredictable points (measured: 8→45 s
-      // swings on the model fits). Every 8 queries bounds the GC overhead
-      // itself (~0.3 s each) to a few seconds across the suite.
+      // The finished query's checkpointed result/state blocks are dead —
+      // sweep them now (pinning the memoized shingle index, whose truncated
+      // lineage cannot recompute). Left to GC + ContextCleaner they evict
+      // execution memory at unpredictable suite positions (measured: the
+      // same query 12 s or 60 s depending on what ran before it).
+      graft.core.GraftSession.releaseTransientBlocks(
+        spark, graft.ops.ShingleIndex.pinnedRddIds)
+      // Periodic GC still reaps broadcast blocks (not in getPersistentRDDs);
+      // every 8 queries bounds the ~0.3 s/GC overhead across the suite.
       if (i % 8 == 7) System.gc()
       name -> dt
     }.toMap

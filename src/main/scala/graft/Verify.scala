@@ -20,6 +20,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Same between-queries block hygiene as Bench (see there).
+      graft.core.GraftSession.releaseTransientBlocks(
+        spark, graft.ops.ShingleIndex.pinnedRddIds)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

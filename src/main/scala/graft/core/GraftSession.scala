@@ -33,4 +33,19 @@ object GraftSession {
     GraftFunctions.register(spark)
     spark
   }
+
+  /** Drop every persisted/checkpointed RDD's blocks except `keep`.
+    *
+    * Suite runners (Bench, Verify) call this between queries: each query's
+    * materialized result and the iterative ops' final state are
+    * `localCheckpoint`ed frames whose blocks otherwise live until a driver
+    * full GC lets the ContextCleaner reap them — across a 100+-query suite
+    * that accumulation evicts execution memory at unpredictable points
+    * (measured: same query 12 s or 60 s depending on suite position).
+    * Only safe once the current query is fully evaluated; checkpointed
+    * lineage is truncated, so swept frames must never be re-read. */
+  def releaseTransientBlocks(spark: SparkSession, keep: Set[Int] = Set.empty): Unit =
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!keep.contains(id)) rdd.unpersist(blocking = false)
+    }
 }

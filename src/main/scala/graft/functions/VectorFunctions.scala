@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ, sequential left-to-right in double precision. */
+  /** Σ aᵢ·bᵢ, sequential left-to-right in double precision. Generic over
+    * array length (interpreted HOF evaluation — fine off the hot path). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -22,6 +23,24 @@ object VectorFunctions {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** The same left-to-right fold as `aggregate(…, 0.0, _+_)`, unrolled:
+    * seeding with 0.0 keeps the IEEE sequence bit-identical to the HOF form
+    * (and to DuckDB list_sum), including the +0.0 ⊕ −0.0 edge. */
+  private def foldSum(terms: Seq[Column]): Column =
+    (lit(0.0) +: terms).reduce(_ + _)
+
+  /** [[dot]] unrolled for a statically-known dim: a flat chain of codegen'd
+    * element_at/multiply/add ops instead of an interpreted lambda fold —
+    * `aggregate`/`zip_with`/`transform` are HigherOrderFunctions, which
+    * whole-stage codegen evaluates interpreted per row (measured: the
+    * difference is the bulk of the ANN queries' runtime). Same IEEE result. */
+  def dotN(a: Column, b: Column, dim: Int): Column =
+    foldSum((0 until dim).map(i =>
+      element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double")))
+
+  def cosineN(a: Column, b: Column, dim: Int): Column =
+    dotN(a, b, dim) / (sqrt(dotN(a, a, dim)) * sqrt(dotN(b, b, dim)))
 
   /** Deterministic pseudo-random hyperplane component for LSH: plane j,
     * dimension i ↦ a value in [−0.5, 0.5) via modular arithmetic (no RNG —
@@ -43,16 +62,23 @@ object VectorFunctions {
       .reduce(_ + _)
 
   /** All `planes` hyperplane projections materialized ONCE as an array
-    * column. Multi-table LSH derives per-table buckets from slices of this
-    * array — materializing it as its own projection keeps the (cheap) bucket
-    * arithmetic from re-inlining the 64-term dot products per table (the
-    * codegen-inlining trap measured on the MinHash family). */
+    * column. Kept in the HOF (`transform`/`aggregate`) form deliberately:
+    * consumers like [[lshBandKeysVec]] reference the array many times, and an
+    * unrolled alias would re-inline planes×dim multiply-adds per reference —
+    * the codegen-inlining trap (measured: minutes of CodeBlock assembly). */
   def hyperplaneDots(emb: Column, planes: Int, dim: Int): Column =
     transform(sequence(lit(0), lit(planes - 1)), j =>
       aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0),
         (acc, i) => acc + element_at(emb, i + 1).cast("double") *
           (pmod((j.cast("long") * lit(64L) + i) * lit(2654435761L), lit(1000L))
             / lit(1000.0) - lit(0.5))))
+
+  // NOTE: an unrolled band-key variant (per-sign-bit 64-term codegen chains)
+  // was tried and REVERTED: whole-stage codegen fuses the chains into the
+  // downstream join/dedup pipeline's single per-stage method, which cannot
+  // be split past Janino's 64 KB ceiling — the whole stage then runs
+  // interpreted, slower than the lambda fold above. Unrolling pays off only
+  // for single-use scalar outputs (see dotN/cosineN).
 
   /** Multi-table LSH band keys from materialized projections: `tables`
     * independent buckets of `planesPerTable` sign bits each, emitted as

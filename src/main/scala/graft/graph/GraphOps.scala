@@ -54,6 +54,10 @@ object GraphOps {
       val row = next.agg(count(lit(1)).as("c"), sum("dist").as("s")).head()
       val nextSig = (row.getLong(0), row.getLong(1))
       converged = nextSig == sig
+      // `next` is eagerly materialized, so the previous round's checkpoint
+      // blocks are dead — drop them now. Left to the ContextCleaner they
+      // accumulate across a suite run and GC-thrash unrelated queries.
+      dist.unpersist(false)
       dist = next
       sig = nextSig
     }
@@ -84,6 +88,10 @@ object GraphOps {
       .unionByName(edges.select(col("dst").as("id"))).distinct()
     var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
     var active = edges.select(col("src").as("aid"), col("dst").as("bid")).localCheckpoint(true)
+    // The frame whose checkpoint blocks back `active` — released one round
+    // later, once the next contraction has materialized off it (dropping
+    // per-round checkpoints otherwise leaks blocks suite-wide, see sssp).
+    var activeSource = active
     var sig = -1L
     var converged = false
     for (_ <- 1 to maxIters if !converged) {
@@ -94,6 +102,8 @@ object GraphOps {
         .select(col("la"), col("lb"))
         .distinct()
         .localCheckpoint(true)
+      activeSource.unpersist(false)
+      activeSource = contracted
       val viaNbr = contracted.select(col("la").as("id"), col("lb").as("label"))
         .unionByName(contracted.select(col("lb").as("id"), col("la").as("label")))
       val stepped = labels.unionByName(viaNbr)
@@ -109,9 +119,11 @@ object GraphOps {
       val row = next.agg(sum("label")).head()
       val s = if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
       converged = s == sig
+      labels.unpersist(false)
       labels = next
       sig = s
     }
+    activeSource.unpersist(false)
     labels.withColumnRenamed("label", "component")
   }
 }

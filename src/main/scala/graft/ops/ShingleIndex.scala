@@ -27,10 +27,22 @@ object ShingleIndex {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  private val pinned = scala.collection.mutable.Set.empty[Int]
+
+  /** RDD ids backing the memoized indexes — suite runners sweeping transient
+    * checkpoint blocks between queries must NOT drop these: the index's
+    * lineage is truncated, so lost blocks cannot be recomputed. */
+  def pinnedRddIds: Set[Int] = pinned.synchronized(pinned.toSet)
+
   /** (doc_id, sh) rows over distinct word-3-grams with df ≤ [[DfCap]]. */
   def capped(s: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate(System.identityHashCode(s) + ":" + dir,
-      cappedOf(graft.core.Tables.documents(s, dir)))
+    cache.getOrElseUpdate(System.identityHashCode(s) + ":" + dir, {
+      val before = s.sparkContext.getPersistentRDDs.keySet
+      val df = cappedOf(graft.core.Tables.documents(s, dir))
+      val added = s.sparkContext.getPersistentRDDs.keySet -- before
+      pinned.synchronized(pinned ++= added)
+      df
+    })
 
   /** The capped index over an arbitrary documents frame (doc_id, text).
     * The raw exploded index feeds both the df aggregate and the join side;

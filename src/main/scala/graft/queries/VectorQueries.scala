@@ -19,6 +19,18 @@ object VectorQueries extends QueryCatalog {
 
   private val Dim = 64
 
+  /** (vec_id, band) rows for the 4×8 multi-table LSH. The band keys stay in
+    * the HOF (`hyperplaneDots` + `lshBandKeysVec`) form on purpose: the
+    * unrolled 32×64 multiply-add chains, fused by whole-stage codegen into
+    * the downstream join/dedup pipeline, blow Janino's 64 KB method ceiling
+    * and drop the WHOLE stage to interpreted (measured 2× slower than the
+    * interpreted-lambda fold, which at least leaves the rest codegen'd). */
+  private def bandedIds(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
+      .withColumn("dots", hyperplaneDots(col("embedding"), 32, Dim))
+      .withColumn("bands", lshBandKeysVec(col("dots"), 4, 8))
+      .select(col("vec_id"), explode(col("bands")).as("band"))
+
   def defs: Map[String, QueryDef] = Map(
 
     // V1 — brute-force cosine top-k: for each of 5 probe vectors, the 5
@@ -31,7 +43,7 @@ object VectorQueries extends QueryCatalog {
           .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
         val scored = e.crossJoin(broadcast(probes))
           .filter(col("vec_id") =!= col("probe_id"))
-          .withColumn("cos", round(cosine(col("embedding"), col("pe")), 6))
+          .withColumn("cos", round(cosineN(col("embedding"), col("pe"), Dim), 6))
         val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
         scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
           .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
@@ -60,10 +72,10 @@ object VectorQueries extends QueryCatalog {
     // diagnostics).
     "v2_ann_lsh" -> QueryDef(
       (s, dir) => {
-        val base = Tables.embeddings(s, dir)
-          .withColumn("dots", hyperplaneDots(col("embedding"), 32, Dim))
-          .withColumn("bands", lshBandKeysVec(col("dots"), 4, 8))
-        val banded = base.select(col("vec_id"), explode(col("bands")).as("band"))
+        // Band keys unrolled straight off the embedding (lshBandKeyN), one
+        // column per table, exploded as attributes — see lshBandKeyN for why
+        // neither a shared dots array nor a single array expression works.
+        val banded = bandedIds(s, dir)
         val pbanded = banded.filter(col("vec_id") < 5)
           .select(col("vec_id").as("probe_id"), col("band"))
         val candIds = banded.join(broadcast(pbanded), Seq("band"))
@@ -74,7 +86,7 @@ object VectorQueries extends QueryCatalog {
           .join(e, "vec_id")
           .join(broadcast(e.filter(col("vec_id") < 5)
             .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))), "probe_id")
-          .withColumn("cos", round(cosine(col("embedding"), col("pe")), 6))
+          .withColumn("cos", round(cosineN(col("embedding"), col("pe"), Dim), 6))
         val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
         cand
           .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("probe_id")))
@@ -110,10 +122,7 @@ object VectorQueries extends QueryCatalog {
     // `cos`, this corpus has no true dups so the query surfaces the frontier.
     "v3_embedding_neardup" -> QueryDef(
       (s, dir) => {
-        val base = Tables.embeddings(s, dir)
-          .withColumn("dots", hyperplaneDots(col("embedding"), 32, Dim))
-          .withColumn("bands", lshBandKeysVec(col("dots"), 4, 8))
-        val banded = base.select(col("vec_id"), explode(col("bands")).as("band"))
+        val banded = bandedIds(s, dir)
         val pairIds = banded.as("a").join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
@@ -123,7 +132,7 @@ object VectorQueries extends QueryCatalog {
           .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
           .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
           .select(col("id_a"), col("id_b"),
-            round(cosine(col("ea"), col("eb")), 6).as("cos"))
+            round(cosineN(col("ea"), col("eb"), Dim), 6).as("cos"))
           .orderBy(desc("cos"), col("id_a"), col("id_b")).limit(20)
       },
       Some {
@@ -163,14 +172,14 @@ object VectorQueries extends QueryCatalog {
         val probes = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
         val probeLists = probes.crossJoin(broadcast(centers))
-          .withColumn("c_cos", cosine(col("pe"), col("center")))
+          .withColumn("c_cos", cosineN(col("pe"), col("center"), Dim))
           .withColumn("crn", row_number().over(
             Window.partitionBy("probe_id").orderBy(desc("c_cos"), col("list_id"))))
           .filter(col("crn") <= 4)
           .select("probe_id", "pe", "list_id")
         val cand = probeLists.join(lists, "list_id")
           .filter(col("vec_id") =!= col("probe_id"))
-          .withColumn("cos", round(cosine(col("embedding"), col("pe")), 6))
+          .withColumn("cos", round(cosineN(col("embedding"), col("pe"), Dim), 6))
         val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
         cand
           .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("probe_id")))
