@@ -24,23 +24,11 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** The same left-to-right fold as `aggregate(…, 0.0, _+_)`, unrolled:
-    * seeding with 0.0 keeps the IEEE sequence bit-identical to the HOF form
-    * (and to DuckDB list_sum), including the +0.0 ⊕ −0.0 edge. */
-  private def foldSum(terms: Seq[Column]): Column =
-    (lit(0.0) +: terms).reduce(_ + _)
-
-  /** [[dot]] unrolled for a statically-known dim: a flat chain of codegen'd
-    * element_at/multiply/add ops instead of an interpreted lambda fold —
-    * `aggregate`/`zip_with`/`transform` are HigherOrderFunctions, which
-    * whole-stage codegen evaluates interpreted per row (measured: the
-    * difference is the bulk of the ANN queries' runtime). Same IEEE result. */
-  def dotN(a: Column, b: Column, dim: Int): Column =
-    foldSum((0 until dim).map(i =>
-      element_at(a, i + 1).cast("double") * element_at(b, i + 1).cast("double")))
-
-  def cosineN(a: Column, b: Column, dim: Int): Column =
-    dotN(a, b, dim) / (sqrt(dotN(a, a, dim)) * sqrt(dotN(b, b, dim)))
+  // Hot-path variants live in VectorExpr (native loop expressions with
+  // doGenCode): the HOF forms here evaluate an interpreted lambda per
+  // element per row, and unrolled multiply-add chains overflow Janino's
+  // 64 KB method ceiling once whole-stage codegen fuses them into a join
+  // pipeline (both measured). Specs pin VectorExpr == these HOF forms.
 
   /** Deterministic pseudo-random hyperplane component for LSH: plane j,
     * dimension i ↦ a value in [−0.5, 0.5) via modular arithmetic (no RNG —
@@ -73,12 +61,6 @@ object VectorFunctions {
           (pmod((j.cast("long") * lit(64L) + i) * lit(2654435761L), lit(1000L))
             / lit(1000.0) - lit(0.5))))
 
-  // NOTE: an unrolled band-key variant (per-sign-bit 64-term codegen chains)
-  // was tried and REVERTED: whole-stage codegen fuses the chains into the
-  // downstream join/dedup pipeline's single per-stage method, which cannot
-  // be split past Janino's 64 KB ceiling — the whole stage then runs
-  // interpreted, slower than the lambda fold above. Unrolling pays off only
-  // for single-use scalar outputs (see dotN/cosineN).
 
   /** Multi-table LSH band keys from materialized projections: `tables`
     * independent buckets of `planesPerTable` sign bits each, emitted as

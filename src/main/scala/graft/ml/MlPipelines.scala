@@ -66,6 +66,10 @@ object MlPipelines {
       : (DataFrame, Int, Double) = {
     val asm = new VectorAssembler().setInputCols(features.toArray).setOutputCol("features")
     val trainF = asm.transform(train).select(col("features"), col(labelCol)).persist()
+    // Materialize the cache before the grid: TrainValidationSplit launches
+    // `parallelism` fits concurrently, and racing them into a cold cache
+    // makes each compute (and block on) the assembly instead of reading it.
+    trainF.count()
     val gbt = new GBTRegressor().setFeaturesCol("features").setLabelCol(labelCol)
       .setMaxIter(5).setSeed(seed)
     val grid = new ParamGridBuilder()

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryCatalog, QueryDef}
 import graft.core.Tables
+import graft.functions.VectorExpr
 import graft.functions.VectorFunctions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -19,15 +20,16 @@ object VectorQueries extends QueryCatalog {
 
   private val Dim = 64
 
-  /** (vec_id, band) rows for the 4×8 multi-table LSH. The band keys stay in
-    * the HOF (`hyperplaneDots` + `lshBandKeysVec`) form on purpose: the
-    * unrolled 32×64 multiply-add chains, fused by whole-stage codegen into
-    * the downstream join/dedup pipeline, blow Janino's 64 KB method ceiling
-    * and drop the WHOLE stage to interpreted (measured 2× slower than the
-    * interpreted-lambda fold, which at least leaves the rest codegen'd). */
+  /** (vec_id, band) rows for the 4×8 multi-table LSH. The 32 projections
+    * come from the native loop expression (VectorExpr.vecHyperplaneDots —
+    * one codegen'd static call per row); the cheap band/sign arithmetic
+    * derives from that array column. Inline unrolled chains are NOT an
+    * option here: fused into the downstream join/dedup pipeline they blow
+    * Janino's 64 KB method ceiling and drop the whole stage to interpreted
+    * (measured). */
   private def bandedIds(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.embeddings(s, dir)
-      .withColumn("dots", hyperplaneDots(col("embedding"), 32, Dim))
+      .withColumn("dots", VectorExpr.vecHyperplaneDots(col("embedding"), 32))
       .withColumn("bands", lshBandKeysVec(col("dots"), 4, 8))
       .select(col("vec_id"), explode(col("bands")).as("band"))
 
@@ -43,7 +45,7 @@ object VectorQueries extends QueryCatalog {
           .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
         val scored = e.crossJoin(broadcast(probes))
           .filter(col("vec_id") =!= col("probe_id"))
-          .withColumn("cos", round(cosineN(col("embedding"), col("pe"), Dim), 6))
+          .withColumn("cos", round(VectorExpr.vecCosine(col("embedding"), col("pe")), 6))
         val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
         scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
           .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
@@ -72,9 +74,6 @@ object VectorQueries extends QueryCatalog {
     // diagnostics).
     "v2_ann_lsh" -> QueryDef(
       (s, dir) => {
-        // Band keys unrolled straight off the embedding (lshBandKeyN), one
-        // column per table, exploded as attributes — see lshBandKeyN for why
-        // neither a shared dots array nor a single array expression works.
         val banded = bandedIds(s, dir)
         val pbanded = banded.filter(col("vec_id") < 5)
           .select(col("vec_id").as("probe_id"), col("band"))
@@ -86,7 +85,7 @@ object VectorQueries extends QueryCatalog {
           .join(e, "vec_id")
           .join(broadcast(e.filter(col("vec_id") < 5)
             .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))), "probe_id")
-          .withColumn("cos", round(cosineN(col("embedding"), col("pe"), Dim), 6))
+          .withColumn("cos", round(VectorExpr.vecCosine(col("embedding"), col("pe")), 6))
         val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
         cand
           .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("probe_id")))
@@ -132,7 +131,7 @@ object VectorQueries extends QueryCatalog {
           .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
           .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
           .select(col("id_a"), col("id_b"),
-            round(cosineN(col("ea"), col("eb"), Dim), 6).as("cos"))
+            round(VectorExpr.vecCosine(col("ea"), col("eb")), 6).as("cos"))
           .orderBy(desc("cos"), col("id_a"), col("id_b")).limit(20)
       },
       Some {
@@ -172,14 +171,14 @@ object VectorQueries extends QueryCatalog {
         val probes = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
         val probeLists = probes.crossJoin(broadcast(centers))
-          .withColumn("c_cos", cosineN(col("pe"), col("center"), Dim))
+          .withColumn("c_cos", VectorExpr.vecCosine(col("pe"), col("center")))
           .withColumn("crn", row_number().over(
             Window.partitionBy("probe_id").orderBy(desc("c_cos"), col("list_id"))))
           .filter(col("crn") <= 4)
           .select("probe_id", "pe", "list_id")
         val cand = probeLists.join(lists, "list_id")
           .filter(col("vec_id") =!= col("probe_id"))
-          .withColumn("cos", round(cosineN(col("embedding"), col("pe"), Dim), 6))
+          .withColumn("cos", round(VectorExpr.vecCosine(col("embedding"), col("pe")), 6))
         val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
         cand
           .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("probe_id")))

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{GeoFunctions, TextFunctions, VectorFunctions}
+import graft.functions.{GeoFunctions, TextFunctions, VectorExpr, VectorFunctions}
 import org.apache.spark.sql.functions._
 
 class GeoFunctionsSpec extends SparkSpec {
@@ -109,5 +109,34 @@ class VectorFunctionsSpec extends SparkSpec {
     val m = df.as[(Long, Int)].collect().toMap
     assert(m(1L) === m(2L), "identical vectors must share a bucket")
     assert(m(1L) >= 0 && m(1L) < 256)
+  }
+
+  // The native loop expressions must be BIT-identical to the HOF forms —
+  // the oracle SQL reproduces the HOF fold order, so any drift here is an
+  // oracle hash mismatch at the driver.
+  test("native vecCosine/vecHyperplaneDots are bit-identical to HOF forms") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)(
+      (Seq.fill(64)(rnd.nextFloat() - 0.5f), Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("a", "b")
+    val cos = df.select(
+      VectorExpr.vecCosine(col("a"), col("b")).as("fast"),
+      VectorFunctions.cosine(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    cos.foreach { case (f, h) =>
+      assert(java.lang.Double.doubleToLongBits(f) ===
+        java.lang.Double.doubleToLongBits(h))
+    }
+    val dots = df.select(
+      VectorExpr.vecHyperplaneDots(col("a"), 32).as("fast"),
+      VectorFunctions.hyperplaneDots(col("a"), 32, 64).as("hof"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    dots.foreach { case (f, h) =>
+      assert(f.size === 32 && h.size === 32)
+      f.zip(h).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) ===
+          java.lang.Double.doubleToLongBits(y))
+      }
+    }
   }
 }
