@@ -281,6 +281,48 @@ object DedupQueries extends QueryCatalog {
            |  min(id_a) AS min_id_a
            |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
            |GROUP BY 1 ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // D6 — benchmark decontamination: flag corpus docs sharing ≥ 3 distinct
+    // word-3-grams with the "benchmark" set (stand-in: doc_id < 5) — the
+    // n-gram overlap filter every pretraining pipeline runs before training
+    // so eval data cannot leak into the corpus. The benchmark shingle set is
+    // small BY CONSTRUCTION (eval suites are thousands of docs, not
+    // billions), so it broadcasts and the corpus-side scan stays
+    // shuffle-free until the tiny per-doc overlap aggregate. Raw distinct
+    // shingles, NOT the df-capped dedup index: a contaminated doc must be
+    // caught even via shingles common in the corpus.
+    "d6_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+        val probe = sh.filter(col("doc_id") < 5).select("sh").distinct()
+        val shared = sh.filter(col("doc_id") >= 5)
+          .join(broadcast(probe), "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        Tables.documents(s, dir).filter(col("doc_id") >= 5).select("doc_id")
+          .join(shared, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_shared"))
+          .withColumn("contaminated", col("n_shared") >= 3)
+          .groupBy("contaminated")
+          .agg(count(lit(1)).as("n_docs"), max("n_shared").as("max_shared"),
+            min("doc_id").as("min_doc"))
+          .orderBy("contaminated")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sha AS (SELECT doc_id, unnest(list_distinct(
+             |    [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+             |     for i in generate_series(0, len(t) - 3)])) AS sh
+             |  FROM toks WHERE len(t) >= 3),
+             |probe AS (SELECT DISTINCT sh FROM sha WHERE doc_id < 5),
+             |shared AS (SELECT a.doc_id, count(*) AS n_shared
+             |  FROM sha a JOIN probe USING (sh) WHERE a.doc_id >= 5 GROUP BY 1),
+             |f AS (SELECT b.doc_id, coalesce(s.n_shared, 0) AS n_shared
+             |  FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) b
+             |  LEFT JOIN shared s ON b.doc_id = s.doc_id)
+             |SELECT n_shared >= 3 AS contaminated, count(*) AS n_docs,
+             |  max(n_shared) AS max_shared, min(doc_id) AS min_doc
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

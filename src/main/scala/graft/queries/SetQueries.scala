@@ -113,6 +113,39 @@ object SetQueries extends QueryCatalog {
              |  CAST(sum(pri_4) AS BIGINT) AS n_pri_4,
              |  CAST(sum(pri_5) AS BIGINT) AS n_pri_5,
              |  round(avg(CAST(pri_1 AS DOUBLE)), 6) AS urgent_rate
-             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // U6 — per-source quota sampling (the per-domain cap of a corpus
+    // curation pipeline: no single source may dominate the training mix).
+    // Rank docs within each source by a deterministic md5-derived key and
+    // keep the first q — reproducible across runs/engines, unlike seeded
+    // RNG. One shuffle on source; the window sorts only within a group, and
+    // the hot sources a cap exists for are trimmed to q anyway. Summary
+    // proves the cap: kept counts never exceed q and ranks are 1..q.
+    "u6_source_quota" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val q = 8
+        val ranked = Tables.documents(s, dir)
+          .withColumn("hk", graft.functions.TextFunctions.hash64(
+            concat(lit("quota:"), col("doc_id").cast("string"))))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))))
+        ranked.filter(col("rn") <= q)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            min("doc_id").as("first_kept"),
+            sum("doc_id").as("kept_checksum"))
+          .orderBy("source")
+      },
+      Some("""WITH ranked AS (SELECT source, doc_id,
+             |    row_number() OVER (PARTITION BY source ORDER BY
+             |      CAST(('0x' || substr(md5('quota:' || doc_id), 1, 15)) AS BIGINT),
+             |      doc_id) AS rn
+             |  FROM documents)
+             |SELECT source, count(*) AS n_kept, min(doc_id) AS first_kept,
+             |  CAST(sum(doc_id) AS BIGINT) AS kept_checksum
+             |FROM ranked WHERE rn <= 8
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
