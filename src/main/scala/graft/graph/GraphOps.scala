@@ -55,9 +55,11 @@ object GraphOps {
       val nextSig = (row.getLong(0), row.getLong(1))
       converged = nextSig == sig
       // `next` is eagerly materialized, so the previous round's checkpoint
-      // blocks are dead — drop them now. Left to the ContextCleaner they
-      // accumulate across a suite run and GC-thrash unrelated queries.
-      dist.unpersist(false)
+      // blocks are dead — drop them now (CheckpointBlocks: df.unpersist is
+      // a cache-manager no-op for checkpointed frames). Left to the
+      // ContextCleaner they accumulate across a suite run and GC-thrash
+      // unrelated queries.
+      org.apache.spark.sql.graft.CheckpointBlocks.release(dist)
       dist = next
       sig = nextSig
     }
@@ -102,7 +104,7 @@ object GraphOps {
         .select(col("la"), col("lb"))
         .distinct()
         .localCheckpoint(true)
-      activeSource.unpersist(false)
+      org.apache.spark.sql.graft.CheckpointBlocks.release(activeSource)
       activeSource = contracted
       val viaNbr = contracted.select(col("la").as("id"), col("lb").as("label"))
         .unionByName(contracted.select(col("lb").as("id"), col("la").as("label")))
@@ -119,11 +121,11 @@ object GraphOps {
       val row = next.agg(sum("label")).head()
       val s = if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
       converged = s == sig
-      labels.unpersist(false)
+      org.apache.spark.sql.graft.CheckpointBlocks.release(labels)
       labels = next
       sig = s
     }
-    activeSource.unpersist(false)
+    org.apache.spark.sql.graft.CheckpointBlocks.release(activeSource)
     labels.withColumnRenamed("label", "component")
   }
 }

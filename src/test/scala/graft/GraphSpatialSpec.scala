@@ -35,6 +35,20 @@ class GraphOpsSpec extends SparkSpec {
     val d = GraphOps.degrees(edges).as[(Long, Long)].collect().toMap
     assert(d === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
   }
+
+  test("iterative ops release per-round checkpoint blocks (suite hygiene)") {
+    // Each round localCheckpoints its new state; the previous round's blocks
+    // must be dropped as it goes (regression guard: leaked rounds accumulate
+    // across a 100+-query suite and evict execution memory unpredictably).
+    // Tolerance: the returned frame (+ its CC edge input) may stay persisted.
+    val edges = (0L until 200L).map(i => (i, (i + 3) % 200, 1L)).toDF("src", "dst", "w")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    GraphOps.sssp(edges, 0L, iters = 8).count()
+    GraphOps.connectedComponents(
+      edges.select(col("src"), col("dst")), maxIters = 20).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 2, s"leaked ${leaked.size} persistent RDDs: $leaked")
+  }
 }
 
 class ConvexHullSpec extends SparkSpec {

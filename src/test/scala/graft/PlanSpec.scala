@@ -76,4 +76,9 @@ class PlanSpec extends SparkSpec {
     val hints = "UnresolvedHint|ResolvedHint".r.findAllIn(analyzed).length
     assert(hints <= 1, s"expected at most the langTotals hint, plan:\n$analyzed")
   }
+
+  test("d6: benchmark shingle set broadcasts (corpus side never shuffles for the probe join)") {
+    val p = plan("d6_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
