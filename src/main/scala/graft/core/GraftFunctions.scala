@@ -37,13 +37,31 @@ object GraftFunctions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
+  private def buildVecCosine(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(a, b) => graft.functions.VecCosine(a, b)
+    case _ => throw new IllegalArgumentException(
+      "vec_cosine(a, b) expects 2 array<float> arguments")
+  }
+
+  private def buildVecHyperplaneDots(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(emb, IntegerLiteral(planes)) => graft.functions.VecHyperplaneDots(emb, planes)
+    case _ => throw new IllegalArgumentException(
+      "vec_hyperplane_dots(emb, planes literal) expects 2 arguments")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("st_project_utm"),
       info("st_project_utm", "WGS84 lon/lat degrees -> UTM [easting, northing] meters"),
       buildProject),
     (FunctionIdentifier("st_unproject_utm"),
       info("st_unproject_utm", "UTM easting/northing meters -> [lon, lat] degrees"),
-      buildUnproject))
+      buildUnproject),
+    (FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "cosine similarity of two array<float> embeddings (native loop)"),
+      buildVecCosine),
+    (FunctionIdentifier("vec_hyperplane_dots"),
+      info("vec_hyperplane_dots", "deterministic LSH hyperplane projections of an embedding"),
+      buildVecHyperplaneDots))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -111,6 +111,17 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(m(1L) >= 0 && m(1L) < 256)
   }
 
+  test("vec_cosine / vec_hyperplane_dots are callable from SQL (registry + extensions)") {
+    val cos = spark.sql(
+      "SELECT vec_cosine(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val dots = spark.sql(
+      "SELECT vec_hyperplane_dots(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), 4)")
+      .head().getSeq[Double](0)
+    assert(dots.size === 4)
+  }
+
   // The native loop expressions must be BIT-identical to the HOF forms —
   // the oracle SQL reproduces the HOF fold order, so any drift here is an
   // oracle hash mismatch at the driver.
