@@ -19,7 +19,11 @@ object Bench {
     }
     // Warming the headline set covers the shared plan shapes (scan, agg,
     // join, window, explode) without paying a full second suite run.
+    // Optional regex filter (dev iteration: time one family without the
+    // full suite). The driver runs unfiltered.
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => nameFilter.forall(_.findFirstIn(n).isDefined))
     SparkEntry.headline.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).count()
       catch { case _: Throwable => () }

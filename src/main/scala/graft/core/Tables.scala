@@ -49,6 +49,18 @@ object Tables {
     * modular arithmetic so a SQL oracle reproduces the exact doubles.
     * lon = −74.3 + (key·7919 mod 6000)/10⁴, lat = 40.5 + (key·104729 mod 5000)/10⁴.
     */
+  /** Spread a fan-out stage across all cores. An explode that multiplies
+    * rows ~50× (shingling, n-gram expansion) should run with tasks scaled to
+    * cores, not to INPUT splits: a small parquet file arrives as one split,
+    * so without this the expensive per-row expansion runs on one thread (at
+    * cluster scale the same mismatch appears whenever compact inputs fan out
+    * into wide intermediates). The shuffle moves only the compact
+    * pre-explode rows. Do NOT apply to a side that relies on scan-level
+    * filter pruning — repartition sits above the scan and would force a full
+    * read before the filter's own shuffle. */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def withSyntheticPoint(df: DataFrame, keyCol: String): DataFrame =
     df.withColumn("lon", lit(-74.3) + pmod(col(keyCol) * lit(7919L), lit(6000L)) / lit(10000.0))
       .withColumn("lat", lit(40.5) + pmod(col(keyCol) * lit(104729L), lit(5000L)) / lit(10000.0))

@@ -49,9 +49,10 @@ object ShingleIndex {
     * it is persisted for the build and eagerly released — tokenizing the
     * corpus twice is the kind of cost that doubles silently. */
   def cappedOf(docs: DataFrame, cap: Int = DfCap): DataFrame = {
-    val shAll = docs
+    val shAll = graft.core.Tables.fanout(docs)
       .select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
+        explode(array_distinct(
+          graft.functions.ShingleExpr.shinglesNative(tokens(col("text")), 3))).as("sh"))
       .persist()
     val rare = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= cap)

@@ -30,9 +30,12 @@ object Pipelines {
     val periods = Anomaly.highDensityPeriods(ev, maxGapHours = 1, sigma = 2.0)
       .agg(count(lit(1)).as("n_periods"),
         coalesce(max("max_count"), lit(0L)).as("peak_hourly_count"))
+    // max_by on (cnt, hod) — bare max_by(hod, cnt) picks an arbitrary hour
+    // on count ties (partition-order dependent); the struct key makes the
+    // tie-break deterministic (highest count, then latest hour).
     val hourly = ev.groupBy(expr("(ts_ns div 3600000000000) % 24").as("hod"))
       .agg(count(lit(1)).as("cnt"))
-      .agg(max_by(col("hod"), col("cnt")).as("peak_hour"))
+      .agg(max_by(col("hod"), struct(col("cnt"), col("hod"))).as("peak_hour"))
     clusters.crossJoin(periods).crossJoin(hourly)
   }
 

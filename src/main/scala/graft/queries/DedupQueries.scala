@@ -229,9 +229,10 @@ object DedupQueries extends QueryCatalog {
         // each document on a single thread — the relational form spreads a
         // pathological 10^6-shingle document across tasks and merges.
         val bits = 48
-        val hashed = Tables.documents(s, dir)
+        val hashed = Tables.fanout(Tables.documents(s, dir))
           .select(col("doc_id"),
-            explode(shingles(tokens(col("text")), 3)).as("shingle"))
+            explode(graft.functions.ShingleExpr.shinglesNative(
+              tokens(col("text")), 3)).as("shingle"))
           .withColumn("h", hash64(col("shingle")))
         val voteCols = (0 until bits).map(b =>
           sum((shiftright(col("h"), b) % 2) * 2 - 1).as(s"v$b"))
@@ -294,11 +295,15 @@ object DedupQueries extends QueryCatalog {
     // caught even via shingles common in the corpus.
     "d6_decontaminate" -> QueryDef(
       (s, dir) => {
-        val sh = Tables.documents(s, dir)
+        def shOf(base: org.apache.spark.sql.DataFrame) = base
           .select(col("doc_id"),
-            explode(array_distinct(shingles(tokens(col("text")), 3))).as("sh"))
-        val probe = sh.filter(col("doc_id") < 5).select("sh").distinct()
-        val shared = sh.filter(col("doc_id") >= 5)
+            explode(array_distinct(graft.functions.ShingleExpr.shinglesNative(
+              tokens(col("text")), 3))).as("sh"))
+        // Probe side keeps its pruned scan (doc_id < 5 reaches the parquet
+        // reader); only the full-corpus side is fanned out before exploding.
+        val probe = shOf(Tables.documents(s, dir).filter(col("doc_id") < 5))
+          .select("sh").distinct()
+        val shared = shOf(Tables.fanout(Tables.documents(s, dir).filter(col("doc_id") >= 5)))
           .join(broadcast(probe), "sh")
           .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
         Tables.documents(s, dir).filter(col("doc_id") >= 5).select("doc_id")

@@ -7,11 +7,13 @@ import graft.spatial.ConvexHull
 import org.apache.spark.sql.functions._
 
 /** Model-fitting / iterative operators (SURVEY.md §2.9 M1, M3, M4, M12,
-  * M15-hull). These have no SQL oracle — DBSCAN's connected components and
-  * spark.ml training aren't DuckDB-expressible — so the driver records the
-  * weaker rows>0 check; exact behavior is pinned by ScalaTest specs against
-  * brute-force implementations on fixtures. All outputs are seeded /
-  * deterministic summaries, never raw model state.
+  * M15-hull). DBSCAN is fully deterministic (min-id cluster labels, min-label
+  * border assignment), so its summary has an exact DuckDB oracle via a
+  * recursive-CTE reachability closure over the core-core ε-graph. The
+  * spark.ml fits (K-Means, PCA, GBT) aren't DuckDB-expressible — those record
+  * the weaker rows>0 check, pinned by ScalaTest specs against brute-force
+  * implementations on fixtures. All outputs are seeded / deterministic
+  * summaries, never raw model state.
   */
 object MLModelQueries extends QueryCatalog {
 
@@ -24,7 +26,47 @@ object MLModelQueries extends QueryCatalog {
         val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
           .select(col("c_custkey").as("id"), col("lon").as("x"), col("lat").as("y"))
         Dbscan.summary(Dbscan.run(pts, eps = 0.017, minPts = 5))
-      }),
+      },
+      // Exact oracle: same grid pair join, core test, min-id components
+      // (recursive reachability closure — min reachable id == min of the
+      // component since the ε-graph is symmetric), min-label borders.
+      Some("""WITH RECURSIVE cells AS (
+             |  SELECT c_custkey AS id,
+             |         -74.3 + ((c_custkey * 7919) % 6000) / 10000.0 AS x,
+             |         40.5 + ((c_custkey * 104729) % 5000) / 10000.0 AS y
+             |  FROM customer),
+             |g AS (SELECT id, x, y,
+             |    CAST(floor(x / 0.017) AS BIGINT) AS cx,
+             |    CAST(floor(y / 0.017) AS BIGINT) AS cy FROM cells),
+             |pairs AS (
+             |  SELECT a.id AS aid, b.id AS bid
+             |  FROM g a JOIN g b
+             |    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+             |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+             |   AND (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= 0.017*0.017),
+             |cores AS (SELECT aid AS id FROM pairs GROUP BY aid HAVING count(*) >= 5),
+             |core_edges AS (
+             |  SELECT p.aid AS src, p.bid AS dst FROM pairs p
+             |  JOIN cores ca ON ca.id = p.aid JOIN cores cb ON cb.id = p.bid),
+             |reach(id, lbl) AS (
+             |  SELECT id, id FROM cores
+             |  UNION
+             |  SELECT e.dst, r.lbl FROM reach r JOIN core_edges e ON e.src = r.id),
+             |labels AS (SELECT id, min(lbl) AS label FROM reach GROUP BY id),
+             |border AS (
+             |  SELECT p.aid AS id, min(l.label) AS label
+             |  FROM pairs p JOIN labels l ON l.id = p.bid
+             |  WHERE p.aid NOT IN (SELECT id FROM cores)
+             |  GROUP BY p.aid),
+             |final AS (
+             |  SELECT c.id, coalesce(a.label, -1) AS label
+             |  FROM cells c LEFT JOIN (SELECT * FROM labels UNION ALL SELECT * FROM border) a USING (id)),
+             |sizes AS (SELECT label, count(*) AS n FROM final GROUP BY label)
+             |SELECT CAST(sum(CASE WHEN label >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters,
+             |  CAST(coalesce(sum(CASE WHEN label = -1 THEN n END), 0) AS BIGINT) AS n_noise,
+             |  CAST(sum(n) AS BIGINT) AS n_points,
+             |  CAST(coalesce(max(CASE WHEN label >= 0 THEN n END), 0) AS BIGINT) AS max_cluster_size
+             |FROM sizes""".stripMargin)),
 
     // M3 — K-Means zoning (k=10, seeded); output = zone sizes sorted desc
     // (zone ids are permutation-arbitrary, sizes are not).

@@ -283,8 +283,8 @@ object TextQueries extends QueryCatalog {
     // signal), bucketed to a corpus histogram. explode → two hash aggs.
     "t8_repetition" -> QueryDef(
       (s, dir) => {
-        val sh = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(graft.functions.TextFunctions.shingles(
+        val sh = Tables.fanout(Tables.documents(s, dir))
+          .select(col("doc_id"), explode(graft.functions.ShingleExpr.shinglesNative(
             graft.functions.TextFunctions.tokens(col("text")), 3)).as("sh"))
         sh.groupBy("doc_id", "sh").agg(count(lit(1)).as("cnt"))
           .groupBy("doc_id")

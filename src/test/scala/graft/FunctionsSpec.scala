@@ -66,6 +66,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(empty.isEmpty)
   }
 
+  // The native loop form must produce the SAME strings as the HOF form —
+  // every shingle oracle reproduces the HOF/concat_ws output, so any drift
+  // here is a driver hash mismatch.
+  test("native word_shingles is identical to the HOF form") {
+    val docs = Seq("a b c d e", "x y", "", "one two three",
+      (1 to 40).map(i => s"w$i").mkString(" ")).toDF("t")
+    val both = docs.select(
+      TextFunctions.shingles(TextFunctions.tokens(col("t")), 3).as("hof"),
+      graft.functions.ShingleExpr.shinglesNative(
+        TextFunctions.tokens(col("t")), 3).as("native"))
+    assert(both.filter(not(col("hof") === col("native"))).count() === 0)
+    // And via the interpreted path (no codegen): Literal input forces eval.
+    val sh = graft.functions.ShingleMath.wordShingles(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array("a", "b", "c", "d").map(org.apache.spark.unsafe.types.UTF8String.fromString)), 3)
+    assert(sh.numElements() === 2)
+    assert(sh.getUTF8String(0).toString === "a b c")
+    assert(sh.getUTF8String(1).toString === "b c d")
+  }
+
   test("minhash signature match fraction estimates Jaccard") {
     // Two near-identical token sets (J = 18/22 ≈ 0.82) vs two disjoint sets.
     val a = (1 to 20).map(i => s"tok$i").mkString(" ")
