@@ -39,6 +39,18 @@ object VectorMath {
   def cosineF(a: ArrayData, b: ArrayData): Double =
     dotF(a, b) / (math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b)))
 
+  /** Sequential left-to-right Σ over an array<double>, from +0.0 — bit-
+    * identical to `aggregate(arr, 0.0, _+_)` and DuckDB `list_sum`, without
+    * the interpreted per-element lambda (measured dominant in the LISA
+    * permutation pass: one fold per (point, permutation) group). */
+  def seqSumD(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i); i += 1 }
+    acc
+  }
+
   /** All `planes` deterministic-hyperplane projections of an embedding.
     * Coefficient for (plane j, dim i): integer-exact modular arithmetic,
     * then the same /1000.0 − 0.5 IEEE ops as the SQL oracle formula. */
@@ -95,6 +107,22 @@ case class VecHyperplaneDots(child: Expression, planes: Int) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** `vec_seq_sum(a)` over an `array<double>` column → double. */
+case class VecSeqSumD(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorMath.seqSumD(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, aT =>
+      s"${ev.value} = graft.functions.VectorMath.seqSumD($aT);")
+
+  override protected def withNewChildInternal(newChild: Expression): VecSeqSumD =
+    copy(child = newChild)
+}
+
 object VectorExpr {
   /** Column API: codegen'd cosine over two float-array columns. */
   def vecCosine(a: Column, b: Column): Column =
@@ -103,4 +131,8 @@ object VectorExpr {
 
   def vecHyperplaneDots(emb: Column, planes: Int): Column =
     ColumnBridge.column(VecHyperplaneDots(ColumnBridge.expression(emb), planes))
+
+  /** Sequential sum of an array<double> column (see VectorMath.seqSumD). */
+  def vecSeqSumD(a: Column): Column =
+    ColumnBridge.column(VecSeqSumD(ColumnBridge.expression(a)))
 }

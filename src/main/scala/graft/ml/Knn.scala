@@ -51,9 +51,14 @@ object Knn {
 
     val exactPart = candA.join(exactIds, Seq("aid"), "left_semi")
 
-    // Phase B: full scan for the (tiny) fallback set only.
-    val fbProbes = fallbackIds.join(pts.withColumnRenamed("id", "aid"), "aid")
-      .select(col("aid"), col("x").as("ax"), col("y").as("ay"))
+    // Phase B: full scan for the (tiny) fallback set only. The probe side
+    // must be spread first: the cross join's parallelism is the left side's
+    // partition count, and AQE coalesces the small anti-join output to ONE
+    // partition — measured as a single task computing |fallback|×n distances
+    // while 31 cores idled.
+    val fbProbes = graft.core.Tables.fanout(
+      fallbackIds.join(pts.withColumnRenamed("id", "aid"), "aid")
+        .select(col("aid"), col("x").as("ax"), col("y").as("ay")))
     val fbPart = fbProbes
       .join(pts.select(col("id").as("bid"), col("x").as("bx"), col("y").as("by")))
       .filter(col("aid") =!= col("bid"))

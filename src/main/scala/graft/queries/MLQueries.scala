@@ -249,8 +249,13 @@ object MLQueries extends QueryCatalog {
         val nbrs = graft.ml.Knn.neighbors(
             z.select(col("id"), col("lon").as("x"), col("lat").as("y")), k = 5, cellSize = 0.03)
           .select("aid", "bid").persist()
+        // Sorted-then-sequential sum: deterministic FP order cross-engine
+        // (matches DuckDB list_sum(list_sort(...))). The sum itself is the
+        // native loop — the HOF fold ran interpreted once per (point, rep)
+        // group, which dominated this query's wall-clock.
         def sortedAvg(c: org.apache.spark.sql.Column) =
-          aggregate(sort_array(collect_list(c)), lit(0.0), (a, v) => a + v) / count(lit(1))
+          graft.functions.VectorExpr.vecSeqSumD(
+            sort_array(collect_list(c))) / count(lit(1))
         val obs = nbrs.join(z.select(col("id").as("bid"), col("z").as("bz")), "bid")
           .groupBy(col("aid").as("id"))
           .agg(sortedAvg(col("bz")).as("lag_obs"))
@@ -259,9 +264,14 @@ object MLQueries extends QueryCatalog {
         val posById = z.select("id", "z")
           .withColumn("pos", row_number().over(Window.orderBy("id")))
         val reps = s.range(0, R).toDF("r")
+        // Permutation key from the arithmetic universal-hash family (an
+        // affine bijection mod the Mersenne prime per rep) — one md5 per
+        // (id, rep) measured as this stage's dominant cost, and the digest
+        // buys nothing over a bijective scramble here.
+        val hp = lit(graft.functions.TextFunctions.HashP)
         val hashed = z.select("id").crossJoin(reps)
-          .withColumn("hk", graft.functions.TextFunctions.hash64(
-            concat(col("r").cast("string"), lit(":"), col("id").cast("string"))))
+          .withColumn("hk", pmod(
+            pmod(col("id"), hp) * (col("r") * 2 + 3) + (col("r") * 12345L + 67891L), hp))
           .withColumn("pos",
             row_number().over(Window.partitionBy("r").orderBy(col("hk"), col("id"))))
         val permz = hashed
@@ -305,8 +315,8 @@ object MLQueries extends QueryCatalog {
            |pos_by_id AS (SELECT id, z, row_number() OVER (ORDER BY id) AS pos FROM z),
            |hashed AS (SELECT z.id, t.r,
            |    row_number() OVER (PARTITION BY t.r ORDER BY
-           |      CAST(('0x' || substr(md5(t.r::VARCHAR || ':' || z.id::VARCHAR), 1, 15))
-           |        AS BIGINT), z.id) AS pos
+           |      ((z.id % 2147483647) * (t.r * 2 + 3) + (t.r * 12345 + 67891))
+           |        % 2147483647, z.id) AS pos
            |  FROM z, generate_series(0, 48) t(r)),
            |permz AS (SELECT h.r, h.id AS bid, p.z AS pz
            |  FROM hashed h JOIN pos_by_id p USING (pos)),

@@ -170,4 +170,18 @@ class VectorFunctionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("native vecSeqSumD is bit-identical to the aggregate fold") {
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(60)(Seq.fill(rnd.nextInt(9))(rnd.nextDouble() * 1e3 - 500))
+      .toDF("a")
+    val got = df.select(
+      VectorExpr.vecSeqSumD(col("a")).as("fast"),
+      aggregate(col("a"), lit(0.0), (acc, v) => acc + v).as("hof"))
+      .as[(Double, Double)].collect()
+    got.foreach { case (f, h) =>
+      assert(java.lang.Double.doubleToLongBits(f) ===
+        java.lang.Double.doubleToLongBits(h))
+    }
+  }
 }
