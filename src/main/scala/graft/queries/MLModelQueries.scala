@@ -4,6 +4,7 @@ import graft.{QueryCatalog, QueryDef}
 import graft.core.Tables
 import graft.ml.{Dbscan, MlPipelines}
 import graft.spatial.ConvexHull
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model-fitting / iterative operators (SURVEY.md §2.9 M1, M3, M4, M12,
@@ -77,6 +78,68 @@ object MLModelQueries extends QueryCatalog {
         MlPipelines.kmeansZones(pts, k = 10)
           .groupBy("zone").agg(count(lit(1)).as("n"))
           .select(col("n")).orderBy(desc("n"))
+      }),
+
+    // M3b — Lloyd's K-Means relationally (fixed 3 iterations, k=8,
+    // deterministic init = the k lowest-id points): every step is a
+    // broadcast nearest-center join + one hash agg, so — unlike the MLlib
+    // kmeans|| fit above, whose seeded init depends on partitioning — the
+    // result is bit-reproducible across engines and cluster layouts, and
+    // DuckDB checks it exactly. Center means use sorted native sequential
+    // sums (VecSeqSumD ≡ list_sum(list_sort(...))) so the FP accumulation
+    // order matches through all iterations. Scale: centers (k rows)
+    // broadcast; points shuffle once per iteration for the cid agg.
+    "m3b_kmeans_lloyd" -> QueryDef(
+      (s, dir) => {
+        val k = 8
+        val iters = 3
+        val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+          .select(col("c_custkey").as("id"), col("lon").as("x"), col("lat").as("y"))
+        def sortedMean(c: org.apache.spark.sql.Column) =
+          graft.functions.VectorExpr.vecSeqSumD(
+            sort_array(collect_list(c))) / count(lit(1))
+        var centers = pts
+          .withColumn("cid", row_number().over(Window.orderBy("id")).cast("long"))
+          .filter(col("cid") <= k)
+          .select(col("cid"), col("x").as("cx"), col("y").as("cy"))
+        var assigned = pts
+        for (_ <- 1 to iters) {
+          val w = Window.partitionBy("id").orderBy(col("d2"), col("cid"))
+          assigned = pts.crossJoin(broadcast(centers))
+            .withColumn("d2",
+              pow(col("x") - col("cx"), 2) + pow(col("y") - col("cy"), 2))
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select("id", "x", "y", "cid")
+          centers = assigned.groupBy("cid")
+            .agg(sortedMean(col("x")).as("cx"), sortedMean(col("y")).as("cy"))
+        }
+        assigned.groupBy("cid").agg(count(lit(1)).as("n"))
+          .join(centers, "cid")
+          .select(col("cid"), col("n"),
+            round(col("cx"), 6).as("cx"), round(col("cy"), 6).as("cy"))
+          .orderBy("cid")
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        val iters = 3
+        val steps = (1 to iters).map { i =>
+          s"""a$i AS (SELECT p.id, p.x, p.y, c.cid FROM pts p CROSS JOIN c${i - 1} c
+             |  QUALIFY row_number() OVER (PARTITION BY p.id
+             |    ORDER BY power(p.x-c.cx, 2) + power(p.y-c.cy, 2), c.cid) = 1),
+             |c$i AS (SELECT cid,
+             |    list_sum(list_sort(list(x))) / count(*) AS cx,
+             |    list_sum(list_sort(list(y))) / count(*) AS cy
+             |  FROM a$i GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH pts AS (SELECT c_custkey AS id, $lonSql AS x, $latSql AS y FROM customer),
+           |c0 AS (SELECT CAST(rn AS BIGINT) AS cid, x AS cx, y AS cy FROM
+           |  (SELECT row_number() OVER (ORDER BY id) AS rn, x, y FROM pts)
+           |  WHERE rn <= 8),
+           |$steps
+           |SELECT a.cid, count(*) AS n,
+           |  round(any_value(c.cx), 6) AS cx, round(any_value(c.cy), 6) AS cy
+           |FROM a$iters a JOIN c$iters c USING (cid)
+           |GROUP BY a.cid ORDER BY a.cid""".stripMargin
       }),
 
     // M4 — PCA of the 64-dim embeddings to 2 components; output per-label
