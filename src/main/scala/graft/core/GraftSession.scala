@@ -23,6 +23,13 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Parallelism-first coalescing (the default) is kept deliberately:
+      // size-based coalescing (parallelismFirst=false) was measured to
+      // serialize the compute-dense stages whose shuffle BYTES understate
+      // per-row work — the kNN pair window reads 0.8 MB and runs 13 s of
+      // distance math, one task under any size target (m10 4.6→19.2 s,
+      // lab3 3.4→16.2 s). The tiny-state iterative rounds it would have
+      // helped are stage-count-bound, not task-count-bound (also measured).
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
