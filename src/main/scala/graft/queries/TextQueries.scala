@@ -306,6 +306,53 @@ object TextQueries extends QueryCatalog {
              |  count(*) AS n_docs, round(avg(rep_ratio), 6) AS avg_ratio
              |FROM ratios GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // T9 — sequence packing: assemble documents into fixed-token-budget
+    // training sequences (the step between a curated corpus and a trainer's
+    // fixed-length batches). Greedy contiguous fill by running token count:
+    // a doc's bin is its EXCLUSIVE prefix sum div the budget. Packing is
+    // per (source, shard) — real pipelines never pack across shard/file
+    // boundaries, and that is exactly what keeps this distributed: the
+    // running sum is a window over (source, shard), never a global-order
+    // window (which would funnel the corpus through one task at any scale).
+    "t9_sequence_pack" -> QueryDef(
+      (s, dir) => {
+        val budget = 512
+        val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+        val bins = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).as("n_tokens"))
+          .withColumn("shard", pmod(col("doc_id"), lit(4L)))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("bin",
+            floor((col("cum") - col("n_tokens")) / budget).cast("long"))
+          .groupBy("source", "shard", "bin")
+          .agg(sum("n_tokens").as("fill"), count(lit(1)).as("n_docs"))
+        bins.groupBy("source")
+          .agg(count(lit(1)).as("n_bins"),
+            sum("n_docs").as("n_docs"),
+            sum("fill").as("total_tokens"),
+            round(avg(col("fill").cast("double") / budget), 6).as("avg_fill"),
+            max("fill").as("max_bin_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    len(string_split(text, ' ')) AS n_tokens, doc_id % 4 AS shard
+             |  FROM documents),
+             |c AS (SELECT doc_id, source, shard, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM t),
+             |bins AS (SELECT source, shard,
+             |    CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin,
+             |    CAST(sum(n_tokens) AS BIGINT) AS fill, count(*) AS n_docs
+             |  FROM c GROUP BY 1, 2, 3)
+             |SELECT source, count(*) AS n_bins,
+             |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             |  CAST(sum(fill) AS BIGINT) AS total_tokens,
+             |  round(avg(CAST(fill AS DOUBLE) / 512), 6) AS avg_fill,
+             |  CAST(max(fill) AS BIGINT) AS max_bin_tokens
+             |FROM bins GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // T5 — term frequency / word-cloud prep (reference M8: concat → split →
     // stopword filter → top-n, 实习四/…ipynb:1042-1101).
     "t5_word_freq" -> QueryDef(
