@@ -81,4 +81,23 @@ class PlanSpec extends SparkSpec {
     val p = plan("d6_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("d6: probe side keeps its pruned scan (fanout must not sit below the filter)") {
+    val p = plan("d6_decontaminate")
+    assert(p.contains("LessThan(doc_id,5)"), p)
+  }
+
+  test("t9: packing windows are partitioned, never a global-order window") {
+    val p = plan("t9_sequence_pack")
+    assert(p.contains("Window"), p)
+    // A global-order window plans a single-partition exchange feeding the
+    // Window operator — the shape that serializes the corpus at scale.
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("m3b: Lloyd assignment joins broadcast the k-row center side") {
+    val p = plan("m3b_kmeans_lloyd")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
