@@ -65,6 +65,31 @@ object StreamQueries extends QueryCatalog {
             Tables.normalizeEvents(src), "30 minutes"))),
       Some(sessionOracle)),
 
+    // Stream-static enrichment join over the replay harness: the event
+    // stream joins the broadcast 5-row region dimension per micro-batch,
+    // then hourly per-region windowed counts; the batch rollup summarizes
+    // per region. Exercises the join+stateful-agg combination (w10/w11
+    // cover aggregation alone).
+    "w12_stream_enriched" -> QueryDef(
+      (s, dir) => {
+        val dim = Tables.region(s, dir)
+          .select(col("r_regionkey").as("rk"), col("r_name"))
+        EventsAnomaly.replayBounded(s, s"$dir/events.parquet",
+            src => EventsAnomaly.enrichedHourly(Tables.normalizeEvents(src), dim, 5))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_hours"),
+            sum("cnt").as("n_events"),
+            max("cnt").as("max_hourly"))
+          .orderBy("r_name")
+      },
+      Some("""WITH h AS (SELECT r_name, epoch_ns(ts) // 3600000000000 AS hr,
+             |    count(*) AS cnt
+             |  FROM events e JOIN region r ON e.user_id % 5 = r.r_regionkey
+             |  GROUP BY 1, 2)
+             |SELECT r_name, count(*) AS n_hours,
+             |  CAST(sum(cnt) AS BIGINT) AS n_events, max(cnt) AS max_hourly
+             |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Structured Streaming replay: hourly tumbling counts with a 1-hour
     // watermark over the parquet-file stream; must reproduce the batch
     // w1_hourly_counts result exactly.

@@ -40,6 +40,20 @@ object EventsAnomaly {
       .agg(count(lit(1)).as("n_events"),
         min("ts").as("first_ts"), max("ts").as("last_ts"))
 
+  /** Stream-static enrichment: the canonical "join the stream to a slowly-
+    * changing dimension" pattern. The dimension is broadcast (static side of
+    * a stream-static join is re-read per micro-batch; broadcasting pins it
+    * executor-local), then hourly per-key windowed counts. `dim` must carry
+    * (rk, r_name); events join on user_id mod the dimension key space. */
+  def enrichedHourly(events: DataFrame, dim: DataFrame, keySpace: Int): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .withColumn("rk", pmod(col("user_id"), lit(keySpace.toLong)))
+      .join(broadcast(dim), "rk")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("r_name"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("r_name"), col("cnt"))
+
   /** Streaming exact dedup: drop repeated ids across micro-batches, with
     * dedup state expiring once the watermark passes an id's event time —
     * the streaming half of the exact-dedup operator (batch form:
