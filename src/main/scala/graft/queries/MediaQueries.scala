@@ -36,6 +36,43 @@ object MediaQueries extends QueryCatalog {
              |SELECT kind, count(*) AS n, CAST(sum(n) AS BIGINT) AS total_bytes,
              |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
              |  round(avg(width), 4) AS avg_width, round(avg(height), 4) AS avg_height
-             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // MM2 — frame sampling: decoded media fan out into every-4th-frame rows
+    // (the video→frames step of a multimodal training pipeline), per-frame
+    // feature (fake brightness, arithmetic over (id, frame) so the oracle is
+    // exact), per-kind rollup. The explode is the scale-relevant part: frame
+    // sampling multiplies rows by frames/stride, so it must run distributed
+    // after the batched decode, never by collecting media to the driver.
+    "mm2_frame_sample" -> QueryDef(
+      (s, dir) => Multimodal.decode(
+          Multimodal.mediaFromDocuments(Tables.documents(s, dir)),
+          Multimodal.DeterministicFakeCodec)
+        .withColumn("frame_idx",
+          explode(sequence(lit(0), col("n_frames") - 1, lit(4))))
+        .withColumn("brightness",
+          pmod(col("media_id") + col("frame_idx") * 7, lit(256L)))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_frames_sampled"),
+          countDistinct(col("media_id")).as("n_media"),
+          round(avg("brightness"), 4).as("avg_brightness"),
+          max("frame_idx").as("max_frame_idx"))
+        .orderBy("kind"),
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+             |    octet_length(encode(text)) AS n FROM documents),
+             |d AS (SELECT media_id, kind,
+             |    CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN n // 100 + 1
+             |      ELSE n // 50 + 1 END AS n_frames
+             |  FROM m),
+             |f AS (SELECT media_id, kind, unnest(range(0, n_frames, 4)) AS frame_idx
+             |  FROM d),
+             |feat AS (SELECT media_id, kind, frame_idx,
+             |    (media_id + frame_idx * 7) % 256 AS brightness FROM f)
+             |SELECT kind, count(*) AS n_frames_sampled,
+             |  count(DISTINCT media_id) AS n_media,
+             |  round(avg(brightness), 4) AS avg_brightness,
+             |  CAST(max(frame_idx) AS BIGINT) AS max_frame_idx
+             |FROM feat GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
