@@ -31,6 +31,33 @@ object UtmProperties extends Properties("UtmMath") {
   }
 }
 
+/** Pure-JVM kernels behind the native loop expressions: same math as the
+  * interpreted HOF forms, provable without a SparkSession. */
+object NativeKernelProperties extends Properties("NativeKernels") {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val doubles = Gen.listOf(Gen.choose(-1e6, 1e6))
+
+  property("seqSumDMatchesLeftFold") = forAll(doubles) { ds =>
+    val got = graft.functions.VectorMath.seqSumD(
+      ArrayData.toArrayData(ds.toArray))
+    java.lang.Double.doubleToLongBits(got) ==
+      java.lang.Double.doubleToLongBits(ds.foldLeft(0.0)(_ + _))
+  }
+
+  private val words = Gen.listOf(Gen.identifier.map(_.take(6)))
+
+  property("shinglesMatchSlidingJoin") = forAll(words, Gen.choose(1, 4)) { (ws, n) =>
+    val arr = ArrayData.toArrayData(ws.map(UTF8String.fromString).toArray)
+    val got = graft.functions.ShingleMath.wordShingles(arr, n)
+    val expect =
+      if (ws.size < n) Seq.empty
+      else ws.sliding(n).map(_.mkString(" ")).toSeq
+    (0 until got.numElements()).map(got.getUTF8String(_).toString) == expect
+  }
+}
+
 object ConvexHullProperties extends Properties("ConvexHull") {
 
   private val pt = for {
