@@ -232,6 +232,72 @@ object VectorQueries extends QueryCatalog {
              |    ORDER BY cos DESC, c_label) = 1)
              |SELECT label, count(*) AS n,
              |  CAST(sum(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
-             |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // V6 — embedding clustering: Lloyd's K-Means over the 64-dim vectors in
+    // fully relational form (the m3b pattern lifted to high dimensions via
+    // the (id, dim, value) row layout — posexplode, a dim equi-join against
+    // the k×64-row broadcast-sized center relation, per-(vector, center)
+    // sorted-fold distances, argmin window, per-(center, dim) sorted-fold
+    // means). Deterministic init = the k lowest vec_ids, so the run is
+    // bit-reproducible and DuckDB checks it exactly with unrolled
+    // iterations. The training-pipeline use: topic-bucketing a corpus by
+    // embedding before mixture sampling.
+    "v6_kmeans_embed" -> QueryDef(
+      (s, dir) => {
+        val k = 4
+        val iters = 2
+        def ssum(c: org.apache.spark.sql.Column) =
+          VectorExpr.vecSeqSumD(sort_array(collect_list(c)))
+        val rows = Tables.embeddings(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("pos").as("dim"), col("col").cast("double").as("v"))
+          .persist()
+        var centers = rows.filter(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("dim"), col("v").as("cv"))
+        var assigned = rows.select("vec_id").limit(0)
+        for (_ <- 1 to iters) {
+          val d2 = rows.join(centers, "dim")
+            .withColumn("t", (col("v") - col("cv")) * (col("v") - col("cv")))
+            .groupBy("vec_id", "cid")
+            .agg(ssum(col("t")).as("d2"))
+          val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+          assigned = d2.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).select("vec_id", "cid")
+          centers = assigned.join(rows, "vec_id")
+            .groupBy("cid", "dim")
+            .agg((ssum(col("v")) / count(lit(1))).as("cv"))
+        }
+        val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("n"))
+        val norms = centers.withColumn("c2", col("cv") * col("cv"))
+          .groupBy("cid").agg(sqrt(ssum(col("c2"))).as("nrm"))
+        val result = sizes.join(norms, "cid")
+          .select(col("cid"), col("n"), round(col("nrm"), 6).as("center_norm"))
+          .orderBy("cid")
+        graft.QueryDef.materialized(result, rows)
+      },
+      Some {
+        val steps = (1 to 2).map { i =>
+          s"""a$i AS (SELECT vec_id, cid FROM (
+             |    SELECT r.vec_id, c.cid,
+             |      list_sum(list_sort(list((r.v - c.cv) * (r.v - c.cv)))) AS d2
+             |    FROM rows_ r JOIN c${i - 1} c USING (dim) GROUP BY 1, 2)
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+             |c$i AS (SELECT a.cid, r.dim,
+             |    list_sum(list_sort(list(r.v))) / count(*) AS cv
+             |  FROM a$i a JOIN rows_ r USING (vec_id) GROUP BY 1, 2)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH rows_ AS (SELECT vec_id,
+           |    generate_subscripts(embedding, 1) - 1 AS dim,
+           |    unnest(embedding)::DOUBLE AS v
+           |  FROM embeddings),
+           |c0 AS (SELECT vec_id AS cid, dim, v AS cv FROM rows_ WHERE vec_id < 4),
+           |$steps,
+           |sizes AS (SELECT cid, count(*) AS n FROM a2 GROUP BY 1),
+           |norms AS (SELECT cid, sqrt(list_sum(list_sort(list(cv * cv)))) AS nrm
+           |  FROM c2 GROUP BY 1)
+           |SELECT cid, n, round(nrm, 6) AS center_norm
+           |FROM sizes JOIN norms USING (cid) ORDER BY cid""".stripMargin
+      })
   )
 }
