@@ -29,6 +29,39 @@ object WindowQueries extends QueryCatalog {
               |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
       headline = true),
 
+    // W13 — rolling 24-hour moving average + hour-over-hour delta (pandas
+    // df.rolling(24).mean() / .diff() over the hourly series). The global-
+    // order window is over the AGGREGATED series — one row per hour, bounded
+    // by the time range regardless of event volume — never the raw events,
+    // so the single-partition window input stays tiny at any scale (same
+    // argument as the sessionize ops). Ratio kept as exact-sum / exact-count
+    // so both engines divide the same integers.
+    "w13_rolling_avg" -> QueryDef(
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(expr(s"ts_ns div $hourNs").as("hour_idx"))
+          .agg(count(lit(1)).as("cnt"))
+        val roll = Window.orderBy("hour_idx").rowsBetween(-23, 0)
+        val seq = Window.orderBy("hour_idx")
+        hourly
+          .withColumn("roll_avg",
+            round(sum("cnt").over(roll) / count(lit(1)).over(roll), 6))
+          .withColumn("delta",
+            coalesce(col("cnt") - lag("cnt", 1).over(seq), lit(0L)))
+          .select((col("hour_idx") * 3600L).as("hour_epoch"),
+            col("cnt"), col("roll_avg"), col("delta"))
+          .orderBy(desc("roll_avg"), col("hour_epoch")).limit(10)
+      },
+      Some(s"""WITH h AS (SELECT epoch_ns(ts) // $hourNs AS hour_idx, count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |r AS (SELECT hour_idx, cnt,
+             |    round(CAST(sum(cnt) OVER w AS DOUBLE) / count(*) OVER w, 6) AS roll_avg,
+             |    coalesce(cnt - lag(cnt, 1) OVER (ORDER BY hour_idx), 0) AS delta
+             |  FROM h
+             |  WINDOW w AS (ORDER BY hour_idx ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+             |SELECT hour_idx * 3600 AS hour_epoch, cnt, roll_avg, delta
+             |FROM r ORDER BY roll_avg DESC, hour_epoch LIMIT 10""".stripMargin)),
+
     // W2 — threshold anomaly: hours with count > mean + 2σ (test.py:642-651).
     "w2_anomalous_hours" -> QueryDef(
       (s, dir) => {
