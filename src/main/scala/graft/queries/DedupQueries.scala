@@ -87,29 +87,31 @@ object DedupQueries extends QueryCatalog {
       headline = true),
 
     // D7 — weighted (TF-IDF-style) cosine similarity over the same inverted
-    // index: each shingle weighted by inverse document frequency w = 1/df
-    // (rational, not ln(N/df) — libm transcendentals are not bit-identical
-    // across engines, and any monotone-decreasing df weight serves the
-    // ranking), binary per-doc occurrence, cosine = Σw²/(‖a‖‖b‖) over shared
-    // shingles. Same df-capped self-join scale posture as d2; sums are
-    // sorted native sequential folds so both engines accumulate in the same
-    // order. sqrt is IEEE-exact in both engines.
+    // index: each shingle weighted by inverse document frequency w² =
+    // ⌊2⁴⁰/df²⌋, a FIXED-POINT rational (not ln(N/df) — libm transcendentals
+    // are not bit-identical across engines, and any monotone-decreasing df
+    // weight serves the ranking). Integer weights make every sum an
+    // order-free exact long — plain map-side-combinable aggregates, no
+    // per-group collect/sort (the first cut folded sorted double lists per
+    // pair and cost 2× the Jaccard query). cos = Σw²/√(‖a‖²‖b‖²) over
+    // shared shingles, binary per-doc occurrence; the final divide/sqrt is
+    // one double op on integer-exact inputs. Same df-capped self-join scale
+    // posture as d2.
     "d7_tfidf_similarity" -> QueryDef(
       (s, dir) => {
-        def ssum(c: org.apache.spark.sql.Column) =
-          graft.functions.VectorExpr.vecSeqSumD(sort_array(collect_list(c)))
         val sh = graft.ops.ShingleIndex.capped(s, dir)
         val dfq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         val wsh = sh.join(dfq, "sh")
-          .withColumn("w2", lit(1.0) / (col("df") * col("df")))
-        val norms = wsh.groupBy("doc_id").agg(sqrt(ssum(col("w2"))).as("nrm"))
+          .withColumn("iw2", lit(1L << 40) / (col("df") * col("df")))
+        val norms = wsh.groupBy("doc_id").agg(sum("iw2").as("n2"))
         wsh.as("a").join(wsh.as("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(ssum(col("a.w2")).as("dot"))
-          .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("na")), "id_a")
-          .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")), "id_b")
-          .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 6))
+          .agg(sum(col("a.iw2")).as("dot"))
+          .join(norms.select(col("doc_id").as("id_a"), col("n2").as("na2")), "id_a")
+          .join(norms.select(col("doc_id").as("id_b"), col("n2").as("nb2")), "id_b")
+          .withColumn("cos", round(col("dot").cast("double") /
+            sqrt(col("na2").cast("double") * col("nb2").cast("double")), 6))
           .filter(col("cos") >= 0.5)
           .select("id_a", "id_b", "cos")
           .orderBy(desc("cos"), col("id_a"), col("id_b"))
@@ -117,16 +119,17 @@ object DedupQueries extends QueryCatalog {
       Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
              |${graft.ops.ShingleIndex.cappedSql},
              |dfq AS (SELECT sh, count(*) AS df FROM sh GROUP BY 1),
-             |wsh AS (SELECT doc_id, sh.sh, CAST(1.0 AS DOUBLE) / (df * df) AS w2
+             |wsh AS (SELECT doc_id, sh.sh, (1::BIGINT << 40) // (df * df) AS iw2
              |  FROM sh JOIN dfq USING (sh)),
-             |norms AS (SELECT doc_id, sqrt(list_sum(list_sort(list(w2)))) AS nrm
+             |norms AS (SELECT doc_id, CAST(sum(iw2) AS BIGINT) AS n2
              |  FROM wsh GROUP BY 1),
              |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |    list_sum(list_sort(list(a.w2))) AS dot
+             |    CAST(sum(a.iw2) AS BIGINT) AS dot
              |  FROM wsh a JOIN wsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
              |  GROUP BY 1, 2),
              |scored AS (SELECT id_a, id_b,
-             |    round(dot / (na.nrm * nb.nrm), 6) AS cos
+             |    round(CAST(dot AS DOUBLE) /
+             |      sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6) AS cos
              |  FROM dots
              |  JOIN norms na ON na.doc_id = id_a
              |  JOIN norms nb ON nb.doc_id = id_b)
