@@ -146,6 +146,34 @@ object SetQueries extends QueryCatalog {
              |SELECT source, count(*) AS n_kept, min(doc_id) AS first_kept,
              |  CAST(sum(doc_id) AS BIGINT) AS kept_checksum
              |FROM ranked WHERE rn <= 8
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // U7 — stratified mixture sampling: per-stratum RATES (a per-language
+    // target mixture — the knob a pretraining pipeline turns to up/down-
+    // weight domains), enforced by a deterministic per-row hash gate, so
+    // unlike u6's fixed CAP there is no per-stratum ranking shuffle at all:
+    // one scan, one filter, one agg — embarrassingly parallel at any scale.
+    // Rates are percent thresholds against hash64(doc_id) mod 100.
+    "u7_stratified_sample" -> QueryDef(
+      (s, dir) => {
+        val gate = pmod(graft.functions.TextFunctions.hash64(
+          concat(lit("mix:"), col("doc_id").cast("string"))), lit(100L))
+        val rate = when(col("lang") === "en", 80L)
+          .when(col("lang") === "de", 50L)
+          .otherwise(20L)
+        Tables.documents(s, dir)
+          .filter(gate < rate)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            min("doc_id").as("first_kept"),
+            sum("doc_id").as("kept_checksum"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_kept, min(doc_id) AS first_kept,
+             |  CAST(sum(doc_id) AS BIGINT) AS kept_checksum
+             |FROM documents
+             |WHERE CAST(('0x' || substr(md5('mix:' || doc_id), 1, 15)) AS BIGINT) % 100
+             |  < CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 ELSE 20 END
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
