@@ -189,6 +189,34 @@ object AggQueries extends QueryCatalog {
              |  round(max(v), 4) AS max_v
              |FROM stacked GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // A16 — per-group decile binning (pandas groupby().qcut shape): ntile
+    // windows partitioned by return flag — ntile is the SQL-standard
+    // equal-count binning both engines implement identically, and the
+    // PARTITIONED window keeps it distributed (a global qcut would funnel
+    // the table through one task; per-group is the scale-safe form). Total
+    // tie-break (price, orderkey, linenumber) makes bucket membership
+    // deterministic. Per-bucket stats are count/min/max only — exact in
+    // both engines, no FP accumulation.
+    "a16_group_deciles" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        Tables.lineitem(s, dir)
+          .withColumn("decile", ntile(10).over(w).cast("long"))
+          .groupBy("l_returnflag", "decile")
+          .agg(count(lit(1)).as("n"),
+            min("l_extendedprice").as("min_price"),
+            max("l_extendedprice").as("max_price"))
+          .orderBy("l_returnflag", "decile")
+      },
+      Some("""WITH d AS (SELECT l_returnflag, l_extendedprice,
+             |    CAST(ntile(10) OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS decile
+             |  FROM lineitem)
+             |SELECT l_returnflag, decile, count(*) AS n,
+             |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+             |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // A9 — histogram with fixed bins (reference density-level bins
     // …network_analysis.ipynb:1209-1218).
     "a9_histogram" -> QueryDef(
