@@ -20,6 +20,58 @@ object VectorQueries extends QueryCatalog {
 
   private val Dim = 64
 
+  private def ssum(c: org.apache.spark.sql.Column) =
+    VectorExpr.vecSeqSumD(sort_array(collect_list(c)))
+
+  /** Deterministic relational Lloyd over the embeddings (k=4, 2 iterations,
+    * init = k lowest vec_ids) in the (id, dim, value) row layout. Returns
+    * (rows [PERSISTED — caller must release], final centers, assignment).
+    * Shared by v6 (cluster summary) and v7 (IVF codebook + inverted lists);
+    * mirrored CTE fragments in [[lloydSql]]. */
+  private def lloyd(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 4, iters: Int = 2) = {
+    val rows = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("dim"), col("col").cast("double").as("v"))
+      .persist()
+    var centers = rows.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("dim"), col("v").as("cv"))
+    var assigned = rows.select("vec_id").limit(0)
+    for (_ <- 1 to iters) {
+      val d2 = rows.join(centers, "dim")
+        .withColumn("t", (col("v") - col("cv")) * (col("v") - col("cv")))
+        .groupBy("vec_id", "cid")
+        .agg(ssum(col("t")).as("d2"))
+      val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      assigned = d2.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("vec_id", "cid")
+      centers = assigned.join(rows, "vec_id")
+        .groupBy("cid", "dim")
+        .agg((ssum(col("v")) / count(lit(1))).as("cv"))
+    }
+    (rows, centers, assigned)
+  }
+
+  /** DuckDB CTE chain mirroring [[lloyd]]: rows_, c0..c2, a1..a2. */
+  private val lloydSql: String = {
+    val steps = (1 to 2).map { i =>
+      s"""a$i AS (SELECT vec_id, cid FROM (
+         |    SELECT r.vec_id, c.cid,
+         |      list_sum(list_sort(list((r.v - c.cv) * (r.v - c.cv)))) AS d2
+         |    FROM rows_ r JOIN c${i - 1} c USING (dim) GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+         |c$i AS (SELECT a.cid, r.dim,
+         |    list_sum(list_sort(list(r.v))) / count(*) AS cv
+         |  FROM a$i a JOIN rows_ r USING (vec_id) GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""rows_ AS (SELECT vec_id,
+       |    generate_subscripts(embedding, 1) - 1 AS dim,
+       |    unnest(embedding)::DOUBLE AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, dim, v AS cv FROM rows_ WHERE vec_id < 4),
+       |$steps""".stripMargin
+  }
+
   /** (vec_id, band) rows for the 4×8 multi-table LSH. The 32 projections
     * come from the native loop expression (VectorExpr.vecHyperplaneDots —
     * one codegen'd static call per row); the cheap band/sign arithmetic
@@ -245,29 +297,7 @@ object VectorQueries extends QueryCatalog {
     // embedding before mixture sampling.
     "v6_kmeans_embed" -> QueryDef(
       (s, dir) => {
-        val k = 4
-        val iters = 2
-        def ssum(c: org.apache.spark.sql.Column) =
-          VectorExpr.vecSeqSumD(sort_array(collect_list(c)))
-        val rows = Tables.embeddings(s, dir)
-          .select(col("vec_id"), posexplode(col("embedding")))
-          .select(col("vec_id"), col("pos").as("dim"), col("col").cast("double").as("v"))
-          .persist()
-        var centers = rows.filter(col("vec_id") < k)
-          .select(col("vec_id").as("cid"), col("dim"), col("v").as("cv"))
-        var assigned = rows.select("vec_id").limit(0)
-        for (_ <- 1 to iters) {
-          val d2 = rows.join(centers, "dim")
-            .withColumn("t", (col("v") - col("cv")) * (col("v") - col("cv")))
-            .groupBy("vec_id", "cid")
-            .agg(ssum(col("t")).as("d2"))
-          val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
-          assigned = d2.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).select("vec_id", "cid")
-          centers = assigned.join(rows, "vec_id")
-            .groupBy("cid", "dim")
-            .agg((ssum(col("v")) / count(lit(1))).as("cv"))
-        }
+        val (rows, centers, assigned) = lloyd(s, dir)
         val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("n"))
         val norms = centers.withColumn("c2", col("cv") * col("cv"))
           .groupBy("cid").agg(sqrt(ssum(col("c2"))).as("nrm"))
@@ -277,27 +307,74 @@ object VectorQueries extends QueryCatalog {
         graft.QueryDef.materialized(result, rows)
       },
       Some {
-        val steps = (1 to 2).map { i =>
-          s"""a$i AS (SELECT vec_id, cid FROM (
-             |    SELECT r.vec_id, c.cid,
-             |      list_sum(list_sort(list((r.v - c.cv) * (r.v - c.cv)))) AS d2
-             |    FROM rows_ r JOIN c${i - 1} c USING (dim) GROUP BY 1, 2)
-             |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
-             |c$i AS (SELECT a.cid, r.dim,
-             |    list_sum(list_sort(list(r.v))) / count(*) AS cv
-             |  FROM a$i a JOIN rows_ r USING (vec_id) GROUP BY 1, 2)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH rows_ AS (SELECT vec_id,
-           |    generate_subscripts(embedding, 1) - 1 AS dim,
-           |    unnest(embedding)::DOUBLE AS v
-           |  FROM embeddings),
-           |c0 AS (SELECT vec_id AS cid, dim, v AS cv FROM rows_ WHERE vec_id < 4),
-           |$steps,
+        s"""WITH $lloydSql,
            |sizes AS (SELECT cid, count(*) AS n FROM a2 GROUP BY 1),
            |norms AS (SELECT cid, sqrt(list_sum(list_sort(list(cv * cv)))) AS nrm
            |  FROM c2 GROUP BY 1)
            |SELECT cid, n, round(nrm, 6) AS center_norm
            |FROM sizes JOIN norms USING (cid) ORDER BY cid""".stripMargin
+      }),
+
+    // V7 — IVF search end-to-end on the deterministic codebook: the v6
+    // Lloyd centers are the coarse quantizer, its assignment the inverted
+    // lists; each probe ranks centers exactly, scans only its nprobe=2
+    // nearest lists, and re-ranks candidates by exact cosine. Same output
+    // shape as the v1 brute-force baseline, so the two are directly
+    // comparable — and unlike the MLlib-trained v5 (spec-pinned recall),
+    // every stage here is bit-reproducible and oracle-checked. Scale: the
+    // probe side broadcasts; the list scan touches |corpus|·nprobe/k rows.
+    "v7_ivf_search" -> QueryDef(
+      (s, dir) => {
+        val nprobe = 2
+        val topk = 5
+        val (rows, centers, assigned) = lloyd(s, dir)
+        val probeRows = rows.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("dim"), col("v").as("pv"))
+        val pc = probeRows.join(centers, "dim")
+          .withColumn("t", (col("pv") - col("cv")) * (col("pv") - col("cv")))
+          .groupBy("probe_id", "cid").agg(ssum(col("t")).as("d2"))
+        val wc = Window.partitionBy("probe_id").orderBy(col("d2"), col("cid"))
+        val probeLists = pc.withColumn("crn", row_number().over(wc))
+          .filter(col("crn") <= nprobe).select("probe_id", "cid")
+        val e = Tables.embeddings(s, dir)
+        val scored = probeLists.join(assigned, "cid")
+          .filter(col("vec_id") =!= col("probe_id"))
+          .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+          .join(broadcast(e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))), "probe_id")
+          .withColumn("cos",
+            round(VectorExpr.vecCosine(col("embedding"), col("pe")), 6))
+        val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
+        val result = scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= topk)
+          .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor"), col("cos"))
+          .orderBy("probe_id", "rn")
+        graft.QueryDef.materialized(result, rows)
+      },
+      Some {
+        s"""WITH $lloydSql,
+           |probes AS (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id < 5),
+           |pc AS (SELECT p.probe_id, c.cid,
+           |    list_sum(list_sort(list((r.v - c.cv) * (r.v - c.cv)))) AS d2
+           |  FROM probes p
+           |  JOIN rows_ r ON r.vec_id = p.probe_id
+           |  JOIN c2 c ON c.dim = r.dim
+           |  GROUP BY 1, 2),
+           |plist AS (SELECT probe_id, cid FROM pc
+           |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d2, cid) <= 2),
+           |cand AS (SELECT pl.probe_id, a.vec_id
+           |  FROM plist pl JOIN a2 a USING (cid)
+           |  WHERE a.vec_id <> pl.probe_id),
+           |scored AS (SELECT c.probe_id, c.vec_id,
+           |    round(${cosineSql("ec.embedding", "ep.embedding", Dim)}, 6) AS cos
+           |  FROM cand c
+           |  JOIN embeddings ec ON ec.vec_id = c.vec_id
+           |  JOIN embeddings ep ON ep.vec_id = c.probe_id),
+           |r AS (SELECT probe_id, vec_id, cos,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY cos DESC, vec_id) AS rn FROM scored)
+           |SELECT probe_id, rn, vec_id AS neighbor, cos
+           |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
       })
   )
 }
