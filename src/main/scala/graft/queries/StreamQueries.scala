@@ -90,6 +90,22 @@ object StreamQueries extends QueryCatalog {
              |  CAST(sum(cnt) AS BIGINT) AS n_events, max(cnt) AS max_hourly
              |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Streaming exact dedup through the replay harness: dropDuplicates
+    // state across micro-batches (watermark-expired), then a per-type
+    // rollup. The events fixture has unique ids, so the oracle is the plain
+    // distinct count — what matters is that the STREAMING path (stateful
+    // dedup operator, not batch distinct) reproduces it.
+    "w14_stream_dedup" -> QueryDef(
+      (s, dir) => {
+        val deduped = EventsAnomaly.replayBounded(s, s"$dir/events.parquet",
+          src => EventsAnomaly.dedupStream(
+            Tables.normalizeEvents(src), Seq("event_id"))
+            .groupBy("event_type").agg(count(lit(1)).as("n")))
+        deduped.orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT event_id) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Structured Streaming replay: hourly tumbling counts with a 1-hour
     // watermark over the parquet-file stream; must reproduce the batch
     // w1_hourly_counts result exactly.
