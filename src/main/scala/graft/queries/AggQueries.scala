@@ -217,6 +217,27 @@ object AggQueries extends QueryCatalog {
              |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
              |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // A17 — exact per-group quantiles (pandas groupby().median()/.quantile):
+    // Spark's `percentile` exact aggregate == DuckDB quantile_cont (both the
+    // SQL-standard continuous interpolation over the sorted group). Exact
+    // sort-based aggregation, deterministic — unlike avg, no FP accumulation
+    // order in play (interpolation touches at most two values). The approx
+    // scale path for wide groups is a7b's GK sketch; this is the exact form
+    // a reference user gets from pandas.
+    "a17_group_quantiles" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  quantile_cont(l_quantity, 0.5) AS median_qty,
+             |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+             |  quantile_cont(l_extendedprice, 0.5) AS median_price
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // A9 — histogram with fixed bins (reference density-level bins
     // …network_analysis.ipynb:1209-1218).
     "a9_histogram" -> QueryDef(
