@@ -49,6 +49,18 @@ object GraftFunctions {
       "vec_hyperplane_dots(emb, planes literal) expects 2 arguments")
   }
 
+  private def buildVecSeqSum(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(a) => graft.functions.VecSeqSumD(a)
+    case _ => throw new IllegalArgumentException(
+      "vec_seq_sum(a) expects 1 array<double> argument")
+  }
+
+  private def buildWordShingles(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(toks, IntegerLiteral(n)) => graft.functions.WordShingles(toks, n)
+    case _ => throw new IllegalArgumentException(
+      "word_shingles(toks, n literal) expects 2 arguments")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("st_project_utm"),
       info("st_project_utm", "WGS84 lon/lat degrees -> UTM [easting, northing] meters"),
@@ -61,7 +73,13 @@ object GraftFunctions {
       buildVecCosine),
     (FunctionIdentifier("vec_hyperplane_dots"),
       info("vec_hyperplane_dots", "deterministic LSH hyperplane projections of an embedding"),
-      buildVecHyperplaneDots))
+      buildVecHyperplaneDots),
+    (FunctionIdentifier("vec_seq_sum"),
+      info("vec_seq_sum", "sequential left-to-right sum of an array<double> (native loop)"),
+      buildVecSeqSum),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word n-gram shingles of a token array (native loop)"),
+      buildWordShingles))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

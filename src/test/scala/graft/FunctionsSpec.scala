@@ -131,6 +131,14 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(m(1L) >= 0 && m(1L) < 256)
   }
 
+  test("vec_seq_sum / word_shingles are callable from SQL (registry + extensions)") {
+    val s = spark.sql("SELECT vec_seq_sum(array(1.5D, 2.5D, -1.0D))").head().getDouble(0)
+    assert(s === 3.0)
+    val sh = spark.sql("SELECT word_shingles(array('a','b','c'), 2)")
+      .head().getSeq[String](0)
+    assert(sh === Seq("a b", "b c"))
+  }
+
   test("vec_cosine / vec_hyperplane_dots are callable from SQL (registry + extensions)") {
     val cos = spark.sql(
       "SELECT vec_cosine(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)), " +
