@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output passes through sbt's logger by default, which prefixes
+// every line with [info] — that broke the bench driver's JSON-line parse
+// (BENCH_r01/r02 "parsed": null). StdoutOutput inherits the parent's stdout
+// unprefixed, so graft.Bench's one-line summary survives tail-capture intact.
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

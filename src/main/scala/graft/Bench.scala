@@ -35,12 +35,11 @@ object Bench {
       catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // The finished query's checkpointed result/state blocks are dead —
-      // sweep them now (pinning the memoized shingle index, whose truncated
-      // lineage cannot recompute). Left to GC + ContextCleaner they evict
-      // execution memory at unpredictable suite positions (measured: the
-      // same query 12 s or 60 s depending on what ran before it).
-      graft.core.GraftSession.releaseTransientBlocks(
-        spark, graft.ops.ShingleIndex.pinnedRddIds)
+      // sweep them now. (The shared shingle index lives as a parquet
+      // intermediate, not executor blocks, so nothing needs pinning.) Left
+      // to GC + ContextCleaner they evict execution memory at unpredictable
+      // suite positions (measured: same query 12 s or 60 s by position).
+      graft.core.GraftSession.releaseTransientBlocks(spark)
       // Periodic GC still reaps broadcast blocks (not in getPersistentRDDs);
       // every 8 queries bounds the ~0.3 s/GC overhead across the suite.
       if (i % 8 == 7) System.gc()

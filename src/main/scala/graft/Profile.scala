@@ -39,8 +39,7 @@ object Profile {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val wallMs = (System.nanoTime() - t0) / 1000000
-      graft.core.GraftSession.releaseTransientBlocks(
-        spark, graft.ops.ShingleIndex.pinnedRddIds)
+      graft.core.GraftSession.releaseTransientBlocks(spark)
       // Listener events are posted asynchronously; drain before reading.
       Thread.sleep(300)
       val taskMs = stages.map(_.taskMs).sum

@@ -21,8 +21,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Same between-queries block hygiene as Bench (see there).
-      graft.core.GraftSession.releaseTransientBlocks(
-        spark, graft.ops.ShingleIndex.pinnedRddIds)
+      graft.core.GraftSession.releaseTransientBlocks(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -275,46 +275,62 @@ object AggQueries extends QueryCatalog {
 
     // A11 — Pareto concentration (reference top-20%-users share,
     // analyze_data_bias.py:155-178): running share over the desc-ordered
-    // per-user totals; totals rounded before ranking so cross-engine ulp
-    // differences cannot reorder near-ties.
+    // per-user totals. Totals are EXACT INTEGER ten-thousandths and the
+    // running sum is the range-partitioned distributed prefix sum
+    // (ops.Cumulative): integer sums are order-free, so partition partials
+    // reordering the adds cannot move the >= 0.5 threshold by an ulp, and no
+    // global single-partition window survives in the plan (per-user rows are
+    // data-proportional — the old Window.orderBy was the scale bottleneck).
     "a11_pareto" -> QueryDef(
       (s, dir) => {
         val totals = Tables.events(s, dir)
-          .groupBy("user_id").agg(round(sum("value"), 4).as("total"))
-        val w = Window.orderBy(desc("total"), col("user_id"))
-        val cum = totals
-          .withColumn("rnk", row_number().over(w))
-          .withColumn("cum", sum("total").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .crossJoin(totals.agg(sum("total").as("grand"), count(lit(1)).as("n_users")))
-        cum.filter(col("cum") / col("grand") >= 0.5)
+          .groupBy("user_id")
+          .agg(round(sum("value") * 10000).cast("long").as("ti"))
+        val cum = graft.ops.Cumulative.runningSum(
+          totals, Seq(col("ti").desc, col("user_id")), col("ti"), "rnk", "cum")
+          .crossJoin(totals.agg(sum("ti").as("grand"), count(lit(1)).as("n_users")))
+        cum.filter(col("cum") * 2 >= col("grand"))
           .orderBy("rnk").limit(1)
           .select(col("rnk").as("users_for_half"), col("n_users"),
             round(col("rnk").cast("double") / col("n_users"), 6).as("user_share"))
       },
-      Some("""WITH t AS (SELECT user_id, round(sum(value), 4) AS total
+      Some("""WITH t AS (SELECT user_id, CAST(round(sum(value) * 10000) AS BIGINT) AS ti
              |           FROM events GROUP BY 1),
-             |c AS (SELECT row_number() OVER (ORDER BY total DESC, user_id) AS rnk,
-             |  sum(total) OVER (ORDER BY total DESC, user_id
+             |c AS (SELECT row_number() OVER (ORDER BY ti DESC, user_id) AS rnk,
+             |  sum(ti) OVER (ORDER BY ti DESC, user_id
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
              |  FROM t),
-             |g AS (SELECT sum(total) AS grand, count(*) AS n_users FROM t)
+             |g AS (SELECT sum(ti) AS grand, count(*) AS n_users FROM t)
              |SELECT rnk AS users_for_half, n_users,
              |  round(CAST(rnk AS DOUBLE) / n_users, 6) AS user_share
-             |FROM c, g WHERE cum / grand >= 0.5 ORDER BY rnk LIMIT 1""".stripMargin)),
+             |FROM c, g WHERE cum * 2 >= grand ORDER BY rnk LIMIT 1""".stripMargin)),
 
     // A12 — cumulative distribution (reference cumsum/len CDF,
-    // …network_analysis.ipynb:1163-1169) via cume_dist.
+    // …network_analysis.ipynb:1163-1169). cume_dist(t) = #{rows ≤ t} / n,
+    // computed scale-safe: group by distinct total, distributed prefix-count
+    // over the grouped frame (ops.Cumulative — integer counts, order-free),
+    // then only the 100 lowest candidates (TakeOrderedAndProject) join their
+    // tie-group's inclusive count by broadcast. The old global cume_dist
+    // window single-partitioned the whole per-user aggregate.
     "a12_cdf" -> QueryDef(
       (s, dir) => {
         val totals = Tables.events(s, dir)
-          .groupBy("user_id").agg(round(sum("value"), 4).as("total"))
-        totals.withColumn("cdf", round(cume_dist().over(Window.orderBy("total")), 6))
+          .groupBy("user_id")
+          .agg(round(sum("value") * 10000).cast("long").as("ti"))
+        val byVal = totals.groupBy("ti").agg(count(lit(1)).as("cnt"))
+        val cum = graft.ops.Cumulative.runningSum(
+            byVal, Seq(col("ti")), col("cnt"), "r", "cum_cnt")
+          .crossJoin(totals.agg(count(lit(1)).as("n")))
+          .select(col("ti"), round(col("cum_cnt").cast("double") / col("n"), 6).as("cdf"))
+        val cand = totals.orderBy("ti", "user_id").limit(100)
+        cand.join(cum, "ti")
+          .select(col("user_id"), (col("ti") / 10000.0).as("total"), col("cdf"))
           .orderBy("total", "user_id").limit(100)
       },
-      Some("""WITH t AS (SELECT user_id, round(sum(value), 4) AS total
+      Some("""WITH t AS (SELECT user_id, CAST(round(sum(value) * 10000) AS BIGINT) AS ti
              |           FROM events GROUP BY 1)
-             |SELECT user_id, total,
-             |  round(cume_dist() OVER (ORDER BY total), 6) AS cdf
+             |SELECT user_id, ti / 10000.0 AS total,
+             |  round(cume_dist() OVER (ORDER BY ti), 6) AS cdf
              |FROM t ORDER BY total, user_id LIMIT 100""".stripMargin)),
 
     // A13 — coverage ratio: distinct ÷ count (reference reviewed businesses ÷

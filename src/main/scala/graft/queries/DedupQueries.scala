@@ -101,8 +101,12 @@ object DedupQueries extends QueryCatalog {
       (s, dir) => {
         val sh = graft.ops.ShingleIndex.capped(s, dir)
         val dfq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        // `div` (not `/`): Spark's `/` on longs is fractional double division,
+        // which would make the weights order-dependent FP; `div` is floored
+        // integer division returning LONG, matching DuckDB's `//` exactly, so
+        // every downstream sum is an order-free exact long.
         val wsh = sh.join(dfq, "sh")
-          .withColumn("iw2", lit(1L << 40) / (col("df") * col("df")))
+          .withColumn("iw2", expr(s"${1L << 40}L div (df * df)"))
         val norms = wsh.groupBy("doc_id").agg(sum("iw2").as("n2"))
         wsh.as("a").join(wsh.as("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -188,41 +192,48 @@ object DedupQueries extends QueryCatalog {
     // RELATIONALLY off the shared ShingleIndex — one md5 per (doc, shingle)
     // row, 16 codegen'd min-aggregates in a single hash-agg pass (the
     // per-doc array-HOF form evaluates interpreted and re-walks the array
-    // per seed), with the per-doc shingle list collected in the same pass
-    // for exact verification. Candidates = docs sharing any band key;
-    // verification = exact Jaccard + the signature's own estimate, so the
-    // output exposes estimator quality.
+    // per seed). Candidates = docs sharing any band key; verification =
+    // exact Jaccard + the signature's own estimate, so the output exposes
+    // estimator quality. Verification joins the candidate ids BACK TO THE
+    // INVERTED INDEX (two narrow equi-joins + a count) — NOT a per-doc
+    // collect_list of shingles carried through the aggregate: rows stay a
+    // few longs wide at every stage, which is what survives 100 TB.
     "d3_minhash_lsh" -> QueryDef(
       (s, dir) => {
         val k = 16
-        val hashed = graft.ops.ShingleIndex.capped(s, dir)
-          .withColumn("h", hash64(col("sh")))
+        val sh = graft.ops.ShingleIndex.capped(s, dir)
+        val hashed = sh.withColumn("h", hash64(col("sh")))
         val sigCols = (0 until k).map(i =>
           min(seededFromBase(i, col("h"))).as(s"s$i"))
         val sigs = hashed.groupBy("doc_id")
-          .agg(sort_array(collect_list(col("sh"))).as("toks"), sigCols: _*)
+          .agg(sigCols.head, sigCols.tail: _*)
           .withColumn("sig", array((0 until k).map(i => col(s"s$i")): _*))
-          .select("doc_id", "toks", "sig")
+          .select("doc_id", "sig")
           .persist() // consumed by banding and twice by pair re-attachment
-        // Band join and pair dedup run over bare (id, band) rows; the toks
-        // and signature arrays re-attach per side AFTER dedup — shuffling
-        // ~50-string arrays through the candidate join is the kind of wide-
-        // row shuffle that dominates at scale.
         val banded = sigs.select(col("doc_id"),
           explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
         val pairIds = banded.as("a").join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
           .dropDuplicates("id_a", "id_b")
-        val cand = pairIds
-          .join(sigs.select(col("doc_id").as("id_a"), col("toks").as("ta"), col("sig").as("sa")), "id_a")
-          .join(sigs.select(col("doc_id").as("id_b"), col("toks").as("tb"), col("sig").as("sb")), "id_b")
-        val result = cand
-          .withColumn("est", round(signatureMatchFraction(col("sa"), col("sb"), k), 6))
-          .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+        // |A ∩ B| for candidate pairs only: re-join each side to the index on
+        // (doc_id, sh) and count shared shingles. A candidate sharing zero
+        // shingles drops out of the inner join — it cannot pass the Jaccard
+        // gate anyway.
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val inter = pairIds
+          .join(sh.select(col("doc_id").as("id_a"), col("sh")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        val result = inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("sa_n")), "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("sb_n")), "id_b")
           .withColumn("jaccard", round(
-            col("inter") / (size(col("ta")) + size(col("tb")) - col("inter")), 6))
+            col("inter") / (col("sa_n") + col("sb_n") - col("inter")), 6))
           .filter(col("jaccard") >= 0.6)
+          .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sa")), "id_a")
+          .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sb")), "id_b")
+          .withColumn("est", round(signatureMatchFraction(col("sa"), col("sb"), k), 6))
           .select("id_a", "id_b", "est", "jaccard")
           .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
         graft.QueryDef.materialized(result, sigs)

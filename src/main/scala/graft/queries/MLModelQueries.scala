@@ -98,9 +98,16 @@ object MLModelQueries extends QueryCatalog {
         def sortedMean(c: org.apache.spark.sql.Column) =
           graft.functions.VectorExpr.vecSeqSumD(
             sort_array(collect_list(c))) / count(lit(1))
-        var centers = pts
-          .withColumn("cid", row_number().over(Window.orderBy("id")).cast("long"))
-          .filter(col("cid") <= k)
+        // Seeds = the k lowest-id points via orderBy.limit (TakeOrderedAndProject,
+        // fully distributed). The global row_number window this replaces moved the
+        // ENTIRE point table through one task just to take k rows. cid = rank
+        // within the k-row seed frame, computed by a broadcast self-count — no
+        // window at all, so nothing single-partition survives in the plan.
+        val seed = pts.orderBy("id").limit(k)
+        var centers = seed
+          .join(broadcast(seed.select(col("id").as("bid"))), col("bid") <= col("id"))
+          .groupBy(col("id"), col("x"), col("y"))
+          .agg(count(lit(1)).as("cid"))
           .select(col("cid"), col("x").as("cx"), col("y").as("cy"))
         var assigned = pts
         for (_ <- 1 to iters) {

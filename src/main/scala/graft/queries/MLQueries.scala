@@ -28,12 +28,17 @@ object MLQueries extends QueryCatalog {
         val kdist = graft.ml.Knn.neighbors(pts, k = 4, cellSize = 0.02)
           .filter(col("rn") === 4)
           .select(col("aid").as("id"), round(sqrt(col("d2")), 10).as("kdist"))
-        val curve = kdist
-          .withColumn("idx", row_number().over(Window.orderBy(desc("kdist"), col("id"))))
+        // Curve position via the distributed prefix helper (per-point rows are
+        // data-proportional — a global row_number window would single-task the
+        // whole curve), then lag/lead reconstructed as equi-joins on adjacent
+        // positions: shuffles on idx, never a global sort.
+        val curve = graft.ops.Cumulative.runningSum(
+            kdist, Seq(col("kdist").desc, col("id")), lit(1L), "idx", "__c")
+          .select("idx", "kdist")
         curve
-          .withColumn("grad",
-            (lag("kdist", 1).over(Window.orderBy("idx")) - lead("kdist", 1).over(Window.orderBy("idx"))) / 2.0)
-          .filter(col("grad").isNotNull)
+          .join(curve.select((col("idx") + 1).as("idx"), col("kdist").as("pv")), "idx")
+          .join(curve.select((col("idx") - 1).as("idx"), col("kdist").as("nv")), "idx")
+          .withColumn("grad", (col("pv") - col("nv")) / 2.0)
           .select(col("idx"), round(col("kdist"), 8).as("kdist"), round(col("grad"), 8).as("grad"))
           .orderBy(desc("grad"), col("idx")).limit(5)
       },
@@ -235,9 +240,13 @@ object MLQueries extends QueryCatalog {
     // 49 reps ⇒ p ∈ {0.02,…,1}; p = (1 + #{I_r at least as extreme})/50.
     // Neighbor sums fold over SORTED value lists (bit-identical cross-engine
     // — group-order avg would flip >= comparisons on ulp differences).
-    // The rank windows are global over n points; at 100 TB the permutation
-    // would be block-local (permute within partitions), which preserves the
-    // null; documented trade-off.
+    // Permutations are BLOCK-LOCAL: ids are bucketed by id mod 64 and each
+    // rep permutes z values within its bucket only, so every rank window is
+    // PARTITIONED (bounded by block size) — no global sort per rep. Since ids
+    // are arbitrary labels, the blocks are exchangeable subsets and the
+    // restricted permutation preserves the spatial-randomness null (standard
+    // restricted-permutation inference); blocks stay deterministic and
+    // SQL-expressible, so the oracle reproduces every permuted draw exactly.
     "m10b_lisa_pvalues" -> QueryDef(
       (s, dir) => {
         val R = 49
@@ -261,21 +270,25 @@ object MLQueries extends QueryCatalog {
           .agg(sortedAvg(col("bz")).as("lag_obs"))
           .join(z.select("id", "z"), "id")
           .withColumn("i_obs", col("z") * col("lag_obs"))
+        val B = 64L
         val posById = z.select("id", "z")
-          .withColumn("pos", row_number().over(Window.orderBy("id")))
+          .withColumn("blk", pmod(col("id"), lit(B)))
+          .withColumn("pos", row_number().over(Window.partitionBy("blk").orderBy("id")))
         val reps = s.range(0, R).toDF("r")
         // Permutation key from the arithmetic universal-hash family (an
         // affine bijection mod the Mersenne prime per rep) — one md5 per
         // (id, rep) measured as this stage's dominant cost, and the digest
         // buys nothing over a bijective scramble here.
         val hp = lit(graft.functions.TextFunctions.HashP)
-        val hashed = z.select("id").crossJoin(reps)
+        val hashed = z.select("id")
+          .withColumn("blk", pmod(col("id"), lit(B)))
+          .crossJoin(reps)
           .withColumn("hk", pmod(
             pmod(col("id"), hp) * (col("r") * 2 + 3) + (col("r") * 12345L + 67891L), hp))
-          .withColumn("pos",
-            row_number().over(Window.partitionBy("r").orderBy(col("hk"), col("id"))))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("r", "blk").orderBy(col("hk"), col("id"))))
         val permz = hashed
-          .join(posById.select(col("pos"), col("z").as("pz")), "pos")
+          .join(posById.select(col("blk"), col("pos"), col("z").as("pz")), Seq("blk", "pos"))
           .select(col("r"), col("id").as("bid"), col("pz"))
         val permLag = nbrs.join(permz, "bid")
           .groupBy(col("aid").as("id"), col("r"))
@@ -312,14 +325,15 @@ object MLQueries extends QueryCatalog {
            |  FROM nn GROUP BY 1),
            |obsz AS (SELECT o.id, z.z, o.lag_obs, z.z * o.lag_obs AS i_obs
            |  FROM obs o JOIN z USING (id)),
-           |pos_by_id AS (SELECT id, z, row_number() OVER (ORDER BY id) AS pos FROM z),
-           |hashed AS (SELECT z.id, t.r,
-           |    row_number() OVER (PARTITION BY t.r ORDER BY
+           |pos_by_id AS (SELECT id, z, id % 64 AS blk,
+           |    row_number() OVER (PARTITION BY id % 64 ORDER BY id) AS pos FROM z),
+           |hashed AS (SELECT z.id, t.r, z.id % 64 AS blk,
+           |    row_number() OVER (PARTITION BY t.r, z.id % 64 ORDER BY
            |      ((z.id % 2147483647) * (t.r * 2 + 3) + (t.r * 12345 + 67891))
            |        % 2147483647, z.id) AS pos
            |  FROM z, generate_series(0, 48) t(r)),
            |permz AS (SELECT h.r, h.id AS bid, p.z AS pz
-           |  FROM hashed h JOIN pos_by_id p USING (pos)),
+           |  FROM hashed h JOIN pos_by_id p USING (blk, pos)),
            |permlag AS (SELECT nn.aid AS id, pz.r,
            |    list_sum(list_sort(list(pz.pz))) / count(*) AS lag_r
            |  FROM nn JOIN permz pz USING (bid) GROUP BY 1, 2),
@@ -414,10 +428,13 @@ object MLQueries extends QueryCatalog {
       (s, dir) => {
         val ev = Tables.events(s, dir)
         val conc = {
+          // Rank via the distributed prefix helper — per-user rows are
+          // data-proportional, so a global row_number window here would be
+          // the same single-task scale-killer fixed in a11/a12.
           val totals = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
-          val w = Window.orderBy(desc("cnt"), col("user_id"))
-          totals.withColumn("rnk", row_number().over(w))
-            .crossJoin(totals.agg(sum("cnt").as("total_ev"), count(lit(1)).as("n_users")))
+          val ranked = graft.ops.Cumulative.runningSum(
+            totals, Seq(col("cnt").desc, col("user_id")), lit(1L), "rnk", "__c")
+          ranked.crossJoin(totals.agg(sum("cnt").as("total_ev"), count(lit(1)).as("n_users")))
             .filter(col("rnk") <= col("n_users") / 5)
             .agg((sum("cnt") / first("total_ev")).as("top20_share"))
         }

@@ -109,8 +109,18 @@ object WindowQueries extends QueryCatalog {
         val byUser = Tables.events(s, dir)
           .filter(col("event_type") === "purchase")
           .groupBy("user_id").agg(round(sum("value"), 4).as("total_value"))
-        byUser
-          .withColumn("rnk", rank().over(Window.orderBy(desc("total_value"), col("user_id"))))
+        // Top-50 first via TakeOrderedAndProject (distributed), THEN rank within
+        // the bounded frame: the global rank window this replaces sorted every
+        // user through a single task only to discard rows 51…n. (user_id breaks
+        // all ties, so rank ≡ row_number ≡ 1 + count of strict predecessors; a
+        // broadcast self-count over 50 rows computes it without any window.)
+        val top = byUser.orderBy(desc("total_value"), col("user_id")).limit(50)
+        top
+          .join(broadcast(top.select(col("total_value").as("btv"), col("user_id").as("bid"))),
+            col("btv") > col("total_value") ||
+              (col("btv") === col("total_value") && col("bid") <= col("user_id")))
+          .groupBy(col("user_id"), col("total_value"))
+          .agg(count(lit(1)).as("rnk"))
           .orderBy("rnk").limit(50)
       },
       Some("""WITH u AS (SELECT user_id, round(sum(value), 4) AS total_value
