@@ -158,6 +158,43 @@ object JoinQueries extends QueryCatalog {
            |GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
+    // J6b — the J6 lookup fed by REAL GeoTIFF ingestion (reference rasterio
+    // open/mask, 实习二/实习二代码/clicp_image.py:8-40): the committed LZW
+    // fixture (tools/make_tiff_fixture.py — 50×60 uint16, value
+    // (3r+5c+7)%97, origin (−74.3, 41.0), 0.01° cells) is parsed by the
+    // pure-JVM strip reader, and the affine transform COMES FROM THE FILE's
+    // GeoTIFF tags, not from constants in the query. The oracle regenerates
+    // the raster from the generator formula.
+    "j6b_geotiff_lookup" -> QueryDef(
+      (s, dir) => {
+        val (raster, aff) = graft.sources.GeoTiff.read(
+          s, new java.io.File("fixtures/dem50x60.tif").getAbsolutePath)
+        val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+          .withColumn("row",
+            floor((lit(aff.originY) - col("lat")) / lit(aff.scaleY)).cast("int"))
+          .withColumn("col",
+            floor((col("lon") - lit(aff.originX)) / lit(aff.scaleX)).cast("int"))
+        pts.join(broadcast(raster), Seq("row", "col"), "left")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            round(avg(coalesce(col("value"), lit(50.0))), 4).as("avg_cell"))
+          .orderBy("c_mktsegment")
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        s"""WITH raster AS (SELECT r.range AS row, c.range AS col,
+           |    CAST((r.range * 3 + c.range * 5 + 7) % 97 AS DOUBLE) AS value
+           |  FROM range(0, 50) r, range(0, 60) c),
+           |pts AS (SELECT c_mktsegment,
+           |    floor((41.0 - ($latSql)) / 0.01) AS row,
+           |    floor((($lonSql) + 74.3) / 0.01) AS col
+           |  FROM customer)
+           |SELECT c_mktsegment, count(*) AS n,
+           |  round(avg(coalesce(value, 50.0)), 4) AS avg_cell
+           |FROM pts LEFT JOIN raster USING (row, col)
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // J7 — nearest-neighbor join / node snap (reference ox.nearest_nodes,
     // 实习三/…network_analysis.ipynb:314-316): few probes × all points,
     // argmin by (distance, key) for deterministic ties.

@@ -90,11 +90,12 @@ object StreamQueries extends QueryCatalog {
              |  CAST(sum(cnt) AS BIGINT) AS n_events, max(cnt) AS max_hourly
              |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // Streaming exact dedup through the replay harness: dropDuplicates
-    // state across micro-batches (watermark-expired), then a per-type
-    // rollup. The events fixture has unique ids, so the oracle is the plain
-    // distinct count — what matters is that the STREAMING path (stateful
-    // dedup operator, not batch distinct) reproduces it.
+    // Streaming exact dedup through the replay harness:
+    // dropDuplicatesWithinWatermark state across micro-batches (keyed on
+    // event_id ALONE — same-id-different-ts duplicates drop too, matching
+    // the count(DISTINCT event_id) oracle on any corpus), then a per-type
+    // rollup. What matters is that the STREAMING path (stateful dedup
+    // operator, not batch distinct) reproduces the batch answer.
     "w14_stream_dedup" -> QueryDef(
       (s, dir) => {
         val deduped = EventsAnomaly.replayBounded(s, s"$dir/events.parquet",

@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object IO {
 
+  /** Columnar XML/HTML escape: a value containing markup must not produce a
+    * malformed (or script-injecting) document. `&` first, then the brackets
+    * and the quote (covers attribute contexts). Runs as codegen'd
+    * regexp_replace — still a per-row projection, no UDF. */
+  private def xmlEscape(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c.cast("string"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\"", "&quot;")
+
+  /** Driver-side twin of [[xmlEscape]] for titles/headers. */
+  private def xmlEscapeStr(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
   /** CSV scan with header + schema inference, optional row limit pushdown
     * (S1) and timestamp parsing format (S2). */
   def readCsv(spark: SparkSession, path: String, limit: Option[Int] = None,
@@ -96,14 +109,14 @@ object IO {
     * `nodes`: (id, lon, lat); `edges`: (src, dst, w). */
   def writeGraphMl(nodes: DataFrame, edges: DataFrame, path: String): Unit = {
     val nodeXml = nodes.select(concat(
-      lit("""    <node id="n"""), col("id"), lit("""">"""),
-      lit("""<data key="lon">"""), col("lon").cast("string"), lit("</data>"),
-      lit("""<data key="lat">"""), col("lat").cast("string"), lit("</data>"),
+      lit("""    <node id="n"""), xmlEscape(col("id")), lit("""">"""),
+      lit("""<data key="lon">"""), xmlEscape(col("lon")), lit("</data>"),
+      lit("""<data key="lat">"""), xmlEscape(col("lat")), lit("</data>"),
       lit("</node>")).as("xml"))
     val edgeXml = edges.select(concat(
-      lit("""    <edge source="n"""), col("src"),
-      lit("""" target="n"""), col("dst"), lit("""">"""),
-      lit("""<data key="w">"""), col("w").cast("string"), lit("</data>"),
+      lit("""    <edge source="n"""), xmlEscape(col("src")),
+      lit("""" target="n"""), xmlEscape(col("dst")), lit("""">"""),
+      lit("""<data key="w">"""), xmlEscape(col("w")), lit("</data>"),
       lit("</edge>")).as("xml"))
     nodeXml.unionByName(edgeXml).write.mode(SaveMode.Overwrite).text(s"$path/fragments")
     val head =
@@ -126,12 +139,13 @@ object IO {
     val cols = df.columns
     val rowXml = df.select(concat(
       lit("<tr>") +:
-        cols.flatMap(c => Seq(lit("<td>"), coalesce(col(c).cast("string"), lit("")), lit("</td>"))) :+
+        cols.flatMap(c => Seq(lit("<td>"), coalesce(xmlEscape(col(c)), lit("")), lit("</td>"))) :+
         lit("</tr>"): _*).as("html"))
     rowXml.coalesce(1).write.mode(SaveMode.Overwrite).text(s"$path/rows")
-    val header = cols.map(c => s"<th>$c</th>").mkString
-    val head = s"<!DOCTYPE html><html><head><title>$title</title></head>" +
-      s"<body><h1>$title</h1><table><thead><tr>$header</tr></thead><tbody>\n"
+    val header = cols.map(c => s"<th>${xmlEscapeStr(c)}</th>").mkString
+    val safeTitle = xmlEscapeStr(title)
+    val head = s"<!DOCTYPE html><html><head><title>$safeTitle</title></head>" +
+      s"<body><h1>$safeTitle</h1><table><thead><tr>$header</tr></thead><tbody>\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/wrapper.head"), head)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/wrapper.tail"),
       "</tbody></table></body></html>\n")

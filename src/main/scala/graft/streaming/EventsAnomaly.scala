@@ -57,11 +57,15 @@ object EventsAnomaly {
   /** Streaming exact dedup: drop repeated ids across micro-batches, with
     * dedup state expiring once the watermark passes an id's event time —
     * the streaming half of the exact-dedup operator (batch form:
-    * d1_exact_dedup). */
+    * d1_exact_dedup). dropDuplicatesWithinWatermark dedups on the id columns
+    * ALONE (a duplicate of the same id at a different timestamp still drops,
+    * as long as it arrives within the watermark delay) — plain
+    * dropDuplicates(id :+ ts) would silently keep same-id-different-ts
+    * duplicates. */
   def dedupStream(events: DataFrame, idCols: Seq[String],
       watermarkDelay: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermarkDelay)
-      .dropDuplicates(idCols :+ "ts")
+      .dropDuplicatesWithinWatermark(idCols)
 
   /** Run a streaming transformation over a bounded parquet source with
     * Trigger.AvailableNow and a memory sink, returning the final result —

@@ -54,37 +54,19 @@ def type_name(t: pa.DataType) -> str:
     return str(t)
 
 
-def canon_value(v, t: pa.DataType):
-    """Exact, hashable, sortable token for a value. Floats by bit pattern."""
-    if v is None:
-        return "\x00null"
-    if pa.types.is_floating(t):
-        f = v.as_py() if hasattr(v, "as_py") else float(v)
-        # bit-exact: -0.0, NaN payloads, everything distinguishes
-        return "f" + struct.pack(">d", f).hex()
-    if pa.types.is_integer(t) or pa.types.is_decimal(t):
-        x = v.as_py() if hasattr(v, "as_py") else v
-        return "i%032d" % int(x) if int(x) >= 0 else "i-%031d" % (-int(x))
-    if pa.types.is_boolean(t):
-        return "b1" if (v.as_py() if hasattr(v, "as_py") else v) else "b0"
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        inner = t.value_type
-        items = v.as_py() if hasattr(v, "as_py") else v
-        # recurse via python values against inner type
-        return "[" + ",".join(canon_py(x, inner) for x in items) + "]"
-    if pa.types.is_timestamp(t):
-        x = v.as_py() if hasattr(v, "as_py") else v
-        return "t" + repr(x)
-    x = v.as_py() if hasattr(v, "as_py") else v
-    return "s" + str(x)
-
-
 def canon_py(x, t: pa.DataType):
+    """Exact, hashable, sortable token for a value. Floats by bit pattern;
+    decimals losslessly via str (int(x) would truncate the fraction and make
+    1.25 == 1.75 — decimal.Decimal str round-trips exactly)."""
     if x is None:
         return "\x00null"
     if pa.types.is_floating(t):
         return "f" + struct.pack(">d", float(x)).hex()
-    if pa.types.is_integer(t) or pa.types.is_decimal(t):
+    if pa.types.is_decimal(t):
+        # normalize() then 'f' format: scale-insensitive ("1.50" == "1.5",
+        # no E-notation) but fraction-exact ("1.25" != "1.75").
+        return "d" + format(x.normalize(), "f")
+    if pa.types.is_integer(t):
         return "i%032d" % int(x) if int(x) >= 0 else "i-%031d" % (-int(x))
     if pa.types.is_boolean(t):
         return "b1" if x else "b0"
