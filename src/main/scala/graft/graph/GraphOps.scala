@@ -29,9 +29,9 @@ object GraphOps {
     * CRITICAL iterative-DataFrame detail: each round references the previous
     * state twice (relaxation + union), so composing rounds lazily doubles the
     * logical plan per round — 2^iters leaves and exponential Catalyst
-    * analysis time. `localCheckpoint(eager = true)` truncates lineage every
-    * round, keeping each round's plan flat (on a fault-tolerant cluster job,
-    * prefer `checkpoint` with a checkpoint dir — same shape). The fixpoint
+    * analysis time. Every round truncates lineage via core.Materialize.cut —
+    * reliable `checkpoint` when the context has a checkpoint dir (cluster
+    * mode, survives executor loss), `localCheckpoint` otherwise. The fixpoint
     * test rides the same materialization: distances only decrease under
     * min-relaxation, so an unchanged (count, Σdist) signature means no edge
     * relaxed. */
@@ -41,16 +41,15 @@ object GraphOps {
     // join stays unambiguous across iterations.
     val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"), col("w").as("e_w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var dist = spark.range(1).select(lit(source).as("id"), lit(0L).as("dist"))
-      .localCheckpoint(true)
+    var dist = graft.core.Materialize.cut(
+      spark.range(1).select(lit(source).as("id"), lit(0L).as("dist")))
     var sig = (1L, 0L)
     var converged = false
     for (_ <- 1 to iters if !converged) {
       val relaxed = dist.join(e, col("id") === col("e_src"))
         .select(col("e_dst").as("id"), (col("dist") + col("e_w")).as("dist"))
-      val next = dist.unionByName(relaxed)
-        .groupBy("id").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+      val next = graft.core.Materialize.cut(dist.unionByName(relaxed)
+        .groupBy("id").agg(min("dist").as("dist")))
       val row = next.agg(count(lit(1)).as("c"), sum("dist").as("s")).head()
       val nextSig = (row.getLong(0), row.getLong(1))
       converged = nextSig == sig
@@ -88,8 +87,8 @@ object GraphOps {
   def connectedComponents(edges: DataFrame, maxIters: Int = 30): DataFrame = {
     val nodes = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id"))).distinct()
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
-    var active = edges.select(col("src").as("aid"), col("dst").as("bid")).localCheckpoint(true)
+    var labels = graft.core.Materialize.cut(nodes.select(col("id"), col("id").as("label")))
+    var active = graft.core.Materialize.cut(edges.select(col("src").as("aid"), col("dst").as("bid")))
     // The frame whose checkpoint blocks back `active` — released one round
     // later, once the next contraction has materialized off it (dropping
     // per-round checkpoints otherwise leaks blocks suite-wide, see sssp).
@@ -97,13 +96,12 @@ object GraphOps {
     var sig = -1L
     var converged = false
     for (_ <- 1 to maxIters if !converged) {
-      val contracted = active
+      val contracted = graft.core.Materialize.cut(active
         .join(labels.select(col("id").as("aid"), col("label").as("la")), "aid")
         .join(labels.select(col("id").as("bid"), col("label").as("lb")), "bid")
         .filter(col("la") =!= col("lb"))
         .select(col("la"), col("lb"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       org.apache.spark.sql.graft.CheckpointBlocks.release(activeSource)
       activeSource = contracted
       val viaNbr = contracted.select(col("la").as("id"), col("lb").as("label"))
@@ -114,9 +112,8 @@ object GraphOps {
         .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")).as("l2"),
           col("l1.label") === col("l2.jid"))
         .select(col("l1.id").as("id"), col("jlabel").as("label"))
-      val next = stepped.unionByName(jumped)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+      val next = graft.core.Materialize.cut(stepped.unionByName(jumped)
+        .groupBy("id").agg(min("label").as("label")))
       active = contracted.select(col("la").as("aid"), col("lb").as("bid"))
       val row = next.agg(sum("label")).head()
       val s = if (row.isNullAt(0)) Long.MinValue else row.getLong(0)

@@ -77,7 +77,8 @@ object Dbscan {
       // unpersisting first would silently re-run the grid pair join when the
       // caller evaluates the result (measured as the round-1 m1 bench
       // whale). localCheckpoint also cuts the lineage to a flat scan.
-      .localCheckpoint(true)
+        // lineage cut (reliable-checkpoint mode aware)
+      .transform(graft.core.Materialize.cut)
 
     pts.unpersist(); pairs.unpersist(); cores.unpersist(); coreEdges.unpersist()
     labels.unpersist()

@@ -70,7 +70,7 @@ object Knn {
     // Materialize before releasing the caches (candA feeds both phases and
     // the verdict; a lazy return over unpersisted caches re-runs the pair
     // join, and a still-persisted candA leaks blocks into later queries).
-    val out = exactPart.unionByName(fbPart).localCheckpoint(true)
+    val out = graft.core.Materialize.cut(exactPart.unionByName(fbPart))
     pts.unpersist(); candA.unpersist()
     out
   }

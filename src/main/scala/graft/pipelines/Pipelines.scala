@@ -91,12 +91,7 @@ object Pipelines {
     * ranking → coverage/bias signals. Documents stand in for reviews,
     * sources for businesses. */
   def reviewSentiment(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val lexicon = Seq(
-      ("fast", 0.8), ("slow", -0.8), ("big", 0.2), ("small", -0.2),
-      ("dup", -0.5), ("merge", 0.3), ("join", 0.4), ("filter", 0.2),
-      ("sort", -0.3), ("stream", 0.5), ("batch", -0.4), ("hash", 0.1))
-      .toDF("tok", "score")
+    val lexicon = graft.sources.Lexicon.scoring(spark)
     val perDoc = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tok"))
       .join(broadcast(lexicon), Seq("tok"), "left")

@@ -65,6 +65,36 @@ object CoreQueries extends QueryCatalog {
            |GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
+    // S6 — real GeoPackage scan (reference gpd.read_file on GPKG,
+    // 实习三/…urban_road_struct_analysis.ipynb:198-202): the committed
+    // fixture (tools/make_gpkg_fixture.py — 200 formulaic POIs over 1 KiB
+    // SQLite pages) decodes through the from-scratch SQLite b-tree + GPB
+    // reader; the oracle regenerates the rows from the generator formula.
+    // Only order-free aggregates (counts, exact-quarter score sums, min/max)
+    // so cross-engine FP accumulation order cannot matter.
+    "s6_gpkg_scan" -> QueryDef(
+      (s, dir) => graft.sources.Gpkg.readFeatures(
+          s, new java.io.File("fixtures/poi.gpkg").getAbsolutePath, "poi")
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"),
+          round(avg("score"), 4).as("avg_score"),
+          round(min("lon"), 6).as("min_lon"),
+          round(max("lat"), 6).as("max_lat"),
+          min("name").as("first_name"))
+        .orderBy("category"),
+      Some("""WITH poi AS (SELECT i AS fid, printf('poi_%03d', i) AS name,
+             |    ['hospital','school','park','cafe'][(i % 4) + 1] AS category,
+             |    round(i * CAST(0.25 AS DOUBLE), 2) AS score,
+             |    CAST(-74.3 AS DOUBLE) + (i % 60) * CAST(0.01 AS DOUBLE) AS lon,
+             |    CAST(40.5 AS DOUBLE) + (i % 50) * CAST(0.01 AS DOUBLE) AS lat
+             |  FROM generate_series(1, 200) t(i))
+             |SELECT category, count(*) AS n,
+             |  round(avg(score), 4) AS avg_score,
+             |  round(min(lon), 6) AS min_lon,
+             |  round(max(lat), 6) AS max_lat,
+             |  min(name) AS first_name
+             |FROM poi GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S2 — scan with date parsing (reference parse_dates at
     // 实习二/…taxi_travel_time_prediction.ipynb:106): group by parsed year/month.
     "s2_scan_dates" -> QueryDef(

@@ -96,6 +96,71 @@ object GraphQueries extends QueryCatalog {
            |FROM reach JOIN pts USING (id)""".stripMargin
       }),
 
+    // M15 (complete) — the isochrone POLYGON itself (reference returns the
+    // convex hull of the reachable set, …network_analysis.ipynb:543-569):
+    // reachable nodes ≤ cost 30 → ConvexHull aggregator → vertex count,
+    // shoelace area, perimeter. Oracle: gift-wrapping (Jarvis march) as a
+    // recursive CTE — from the lowest point, repeatedly take the vertex all
+    // remaining points lie left of, stopping when the walk would re-enter
+    // the start; identical strict-hull vertex set as the monotone chain in
+    // generic position. Doubles round to 6dp (engine sums sequentially,
+    // SQL per-group — ulp-level difference only).
+    "g3b_isochrone_hull" -> QueryDef(
+      (s, dir) => {
+        val reach = GraphOps.reachable(edges(s, dir), 0L, 30L, 8)
+        val nodes = Tables.withSyntheticPoint(
+          Tables.supplier(s, dir).select(col("s_suppkey").as("id")), "id")
+        reach.join(nodes, "id")
+          .agg(count(lit(1)).as("n_reach"),
+            graft.spatial.ConvexHull.convexHullStats(col("lon"), col("lat")).as("h"))
+          .select(col("n_reach"),
+            col("h.n_vertices").as("n_vertices"),
+            round(col("h.area"), 8).as("hull_area"),
+            round(col("h.perimeter"), 6).as("hull_perimeter"))
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("id")
+        s"""WITH RECURSIVE $edgesSql,
+           |walk(id, dist, depth) AS (
+           |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+           |  UNION ALL
+           |  SELECT e.dst, walk.dist + e.w, walk.depth + 1
+           |  FROM walk JOIN edges e ON e.src = walk.id WHERE walk.depth < 8),
+           |reach AS (SELECT id, min(dist) AS dist FROM walk GROUP BY 1
+           |          HAVING min(dist) <= 30),
+           |ptsrc AS (SELECT s_suppkey AS id, $lonSql AS lon, $latSql AS lat FROM supplier),
+           |rp AS (SELECT id, lon, lat FROM reach JOIN ptsrc USING (id)),
+           |pts AS (SELECT DISTINCT lon AS x, lat AS y FROM rp),
+           |start AS (SELECT x, y FROM pts ORDER BY y, x LIMIT 1),
+           |hw(step, cx, cy) AS (
+           |  SELECT 0, x, y FROM start
+           |  UNION ALL
+           |  SELECT h.step + 1, q.x, q.y
+           |  FROM hw h JOIN pts q
+           |    ON NOT (q.x = h.cx AND q.y = h.cy)
+           |  WHERE h.step < 200
+           |    AND NOT (h.step > 0 AND q.x = (SELECT x FROM start)
+           |                        AND q.y = (SELECT y FROM start))
+           |    AND NOT EXISTS (SELECT 1 FROM pts r
+           |      WHERE NOT (r.x = h.cx AND r.y = h.cy)
+           |        AND NOT (r.x = q.x AND r.y = q.y)
+           |        AND ((q.x - h.cx) * (r.y - h.cy) - (q.y - h.cy) * (r.x - h.cx) < 0
+           |          OR ((q.x - h.cx) * (r.y - h.cy) - (q.y - h.cy) * (r.x - h.cx) = 0
+           |            AND (r.x-h.cx)*(r.x-h.cx) + (r.y-h.cy)*(r.y-h.cy)
+           |              > (q.x-h.cx)*(q.x-h.cx) + (q.y-h.cy)*(q.y-h.cy))))),
+           |seq AS (SELECT step, cx, cy,
+           |    coalesce(lead(cx) OVER (ORDER BY step), (SELECT x FROM start)) AS nx,
+           |    coalesce(lead(cy) OVER (ORDER BY step), (SELECT y FROM start)) AS ny
+           |  FROM hw),
+           |hull AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+           |    round(abs(sum(cx * ny - nx * cy)) / 2, 8) AS hull_area,
+           |    round(sum(sqrt((nx-cx)*(nx-cx) + (ny-cy)*(ny-cy))), 6) AS hull_perimeter
+           |  FROM seq)
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM rp) AS n_reach,
+           |  n_vertices, hull_area, hull_perimeter
+           |FROM hull""".stripMargin
+      }),
+
     // M18 — gridded road density with exact segment-to-cell clipping
     // (reference O(cells×edges) shapely loop, …struct_analysis.ipynb:124-220,
     // which its own markdown calls prohibitively slow): Liang-Barsky

@@ -110,15 +110,13 @@ object MLQueries extends QueryCatalog {
 
     // M7 — lexicon sentiment scoring (reference TextBlob polarity + ±0.1
     // categorize, 实习四/…ipynb:789-856): token ⋈ broadcast lexicon → mean
-    // polarity per doc → 3-way category → per-lang profile.
+    // polarity per doc → 3-way category → per-lang profile. The lexicon is
+    // the REAL shipped wordlist (sources.Lexicon — ~1,100 AFINN-scale
+    // English words normalized to [-1,1]) plus the 12-token engine-domain
+    // overlay that covers the synthetic corpus vocabulary.
     "m7_sentiment" -> QueryDef(
       (s, dir) => {
-        import s.implicits._
-        val lexicon = Seq(
-          ("fast", 0.8), ("slow", -0.8), ("big", 0.2), ("small", -0.2),
-          ("dup", -0.5), ("merge", 0.3), ("join", 0.4), ("filter", 0.2),
-          ("sort", -0.3), ("stream", 0.5), ("batch", -0.4), ("hash", 0.1))
-          .toDF("tok", "score")
+        val lexicon = graft.sources.Lexicon.scoring(s)
         val docTok = Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
         docTok.join(broadcast(lexicon), Seq("tok"), "left")
@@ -136,10 +134,7 @@ object MLQueries extends QueryCatalog {
             .orderBy("lang", "cat")
         }
       },
-      Some("""WITH lex(tok, score) AS (VALUES
-             |  ('fast', 0.8), ('slow', -0.8), ('big', 0.2), ('small', -0.2),
-             |  ('dup', -0.5), ('merge', 0.3), ('join', 0.4), ('filter', 0.2),
-             |  ('sort', -0.3), ('stream', 0.5), ('batch', -0.4), ('hash', 0.1)),
+      Some(s"""WITH ${graft.sources.Lexicon.scoringSql},
              |dt AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
              |       FROM documents),
              |perdoc AS (SELECT doc_id, lang, round(avg(score), 6) AS polarity

@@ -98,10 +98,7 @@ object PipelineQueries extends QueryCatalog {
 
     "lab4_review_sentiment" -> QueryDef(
       (s, dir) => Pipelines.reviewSentiment(s, dir),
-      Some("""WITH lex(tok, score) AS (VALUES
-             |  ('fast', 0.8), ('slow', -0.8), ('big', 0.2), ('small', -0.2),
-             |  ('dup', -0.5), ('merge', 0.3), ('join', 0.4), ('filter', 0.2),
-             |  ('sort', -0.3), ('stream', 0.5), ('batch', -0.4), ('hash', 0.1)),
+      Some(s"""WITH ${graft.sources.Lexicon.scoringSql},
              |dt AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
              |       FROM documents),
              |perdoc AS (SELECT doc_id, source, avg(score) AS polarity

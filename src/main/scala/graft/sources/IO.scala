@@ -151,14 +151,15 @@ object IO {
       "</tbody></table></body></html>\n")
   }
 
-  /** Geo-table sink (S6 write side) — the TEXT-BASED GeoPackage substitute.
+  /** Geo-table sink (S6 write side) — the cluster-native layer format.
     *
-    * Real GPKG is a SQLite container (and SHP a fixed-width binary family);
-    * neither belongs in a distributed engine's write path, and no SQLite
-    * driver is in this engine's dependency budget. The layer instead ships
-    * as CSV parts with a `wkt` geometry column plus a `<layer>.meta.json`
-    * sidecar carrying what the GPKG `gpkg_contents`/`gpkg_geometry_columns`
-    * rows would: layer name, geometry type, srs id. One
+    * READING real GPKG is covered by [[Gpkg]] (from-scratch SQLite b-tree +
+    * GPB parser). The WRITE side stays text-based: a GPKG is a single-file
+    * SQLite container, which is not a shape a distributed job can produce in
+    * parallel (one writer, one file). The layer instead ships as CSV parts
+    * with a `wkt` geometry column plus a `<layer>.meta.json` sidecar
+    * carrying what the GPKG `gpkg_contents`/`gpkg_geometry_columns` rows
+    * would: layer name, geometry type, srs id. One
     * `ogr2ogr -f GPKG out.gpkg <layer dir>` (or `-f 'ESRI Shapefile'`)
     * converts losslessly outside the cluster. Reference round-trips GPKG at
     * 实习三/实习三代码/urban_road_struct_analysis.ipynb:198-202 and writes it

@@ -1,0 +1,52 @@
+package graft
+
+import graft.sources.{Gpkg, IO}
+import org.apache.spark.sql.functions._
+
+/** Real GeoPackage read path (S6): the committed fixture
+  * (fixtures/poi.gpkg, written by tools/make_gpkg_fixture.py via stock
+  * sqlite3 — 200 features over 1 KiB pages, so the table b-tree has an
+  * interior level) must decode layers, attributes, rowid-aliased fid, and
+  * GPB point geometry; and the frame must round-trip through the cluster-
+  * native WKT layer format unchanged. */
+class GpkgSpec extends SparkSpec {
+
+  test("gpkg_contents lists the feature layer") {
+    assert(Gpkg.layers("fixtures/poi.gpkg") === Seq("poi"))
+  }
+
+  test("feature table decodes fid/attrs/geometry for all rows") {
+    val df = Gpkg.readFeatures(spark, "fixtures/poi.gpkg", "poi")
+    assert(df.columns.toSeq === Seq("fid", "name", "category", "score", "lon", "lat"))
+    assert(df.count() === 200L)
+    // fid is the rowid alias: stored NULL, must surface as the rowid
+    val r42 = df.filter(col("fid") === 42).head()
+    assert(r42.getString(1) === "poi_042")
+    assert(r42.getString(2) === "park")      // cats[42 % 4] = cats[2]
+    assert(r42.getDouble(3) === 10.5)
+    assert(math.abs(r42.getDouble(4) - (-74.3 + (42 % 60) * 0.01)) < 1e-9)
+    assert(math.abs(r42.getDouble(5) - (40.5 + (42 % 50) * 0.01)) < 1e-9)
+    // every geometry decodes inside the declared bounds
+    assert(df.filter(col("lon") < -74.31 || col("lon") > -73.7 ||
+      col("lat") < 40.49 || col("lat") > 41.0).count() === 0L)
+  }
+
+  test("gpkg frame round-trips through the WKT geo-table layer format") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-rt").toString
+    val df = Gpkg.readFeatures(spark, "fixtures/poi.gpkg", "poi")
+    IO.writeGeoTable(df, dir, "poi")
+    // CSV re-read infers int for fid; cast to the gpkg frame's long
+    val back = IO.readGeoTable(spark, dir, "poi")
+      .select(col("fid").cast("long"), col("name"), col("category"),
+        col("score"), col("lon"), col("lat"))
+    val a = df.orderBy("fid").collect().toSeq
+    val b = back.orderBy("fid").collect().toSeq
+    assert(a.size === b.size)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getLong(0) === y.getLong(0))
+      assert(x.getString(1) === y.getString(1))
+      assert(math.abs(x.getDouble(4) - y.getDouble(4)) < 1e-12)
+      assert(math.abs(x.getDouble(5) - y.getDouble(5)) < 1e-12)
+    }
+  }
+}
