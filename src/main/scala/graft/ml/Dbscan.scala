@@ -76,8 +76,8 @@ object Dbscan {
       // Materialize BEFORE releasing the intermediates: `out` is lazy, so
       // unpersisting first would silently re-run the grid pair join when the
       // caller evaluates the result (measured as the round-1 m1 bench
-      // whale). localCheckpoint also cuts the lineage to a flat scan.
-        // lineage cut (reliable-checkpoint mode aware)
+      // whale). Materialize.cut also truncates the lineage to a flat scan
+      // (reliable checkpoint when a checkpoint dir is configured).
       .transform(graft.core.Materialize.cut)
 
     pts.unpersist(); pairs.unpersist(); cores.unpersist(); coreEdges.unpersist()

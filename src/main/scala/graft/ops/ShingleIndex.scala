@@ -30,27 +30,17 @@ object ShingleIndex {
   /** Max document frequency a shingle may have and still generate pairs. */
   val DfCap = 100
 
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
-  /** (doc_id, sh) rows over distinct word-3-grams with df ≤ [[DfCap]]. */
-  def capped(s: SparkSession, dir: String): DataFrame = {
-    // Keyed on applicationId (stable for the SparkContext's lifetime, unlike
-    // identityHashCode) + source dir; the path is application-scoped so
-    // concurrent suite JVMs never race, and a restarted context gets a fresh
-    // path. The returned frame is re-created per call from the CURRENT
-    // session, so no cached plan can outlive its session.
-    val key = s.sparkContext.applicationId + ":" + dir
-    val path = cache.getOrElseUpdate(key, {
-      val p = s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}" +
-        s"/shidx-${Integer.toHexString(dir.hashCode)}"
-      val built = cappedOf(graft.core.Tables.documents(s, dir))
-      built.write.mode("overwrite").parquet(p)
-      built.unpersist(blocking = true)
-      p
-    })
-    s.read.parquet(path)
-  }
+  /** (doc_id, sh) rows over distinct word-3-grams with df ≤ [[DfCap]],
+    * parquet-staged once per (application, dir) via [[Staged]] — the
+    * returned frame is re-created per call from the CURRENT session, so no
+    * cached plan can outlive its session. */
+  def capped(s: SparkSession, dir: String): DataFrame =
+    Staged(s, s"shidx:$dir") {
+      // cappedOf's eager localCheckpoint blocks are dead the moment Staged's
+      // parquet write completes; the suite runners' between-queries sweep
+      // (GraftSession.releaseTransientBlocks) reclaims them.
+      cappedOf(graft.core.Tables.documents(s, dir))
+    }
 
   /** The capped index over an arbitrary documents frame (doc_id, text),
     * eagerly materialized (localCheckpoint) with its build-side cache

@@ -100,4 +100,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("no unpartitioned window over data-proportional rows (a11/a12/w4/m2/m21/m10b)") {
+    // The round-2 verdict's scale-killers: a global Window.orderBy drags the
+    // whole frame through ONE task. These queries now use the distributed
+    // prefix-sum / limit-then-rank / block-local-permutation forms; pin that
+    // no WindowExec with an empty partitionSpec survives in their plans.
+    // (w3/w6/w13 keep documented global windows over BOUNDED post-aggregation
+    // rows and are deliberately not listed.)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def unpartitioned(p: SparkPlan): Seq[WindowExec] = {
+      val here = p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+        case a: AdaptiveSparkPlanExec => unpartitioned(a.executedPlan)
+        case q: QueryStageExec => unpartitioned(q.plan)
+      }.flatten
+      here
+    }
+    for (name <- Seq("a11_pareto", "a12_cdf", "w4_rank", "m2_knn_elbow",
+        "m21_bias_audit", "m10b_lisa_pvalues")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val bad = unpartitioned(df.queryExecution.executedPlan)
+      assert(bad.isEmpty, s"$name has unpartitioned windows: $bad")
+    }
+  }
 }

@@ -10,6 +10,40 @@ never produces duplicate lexicon rows.
 """
 import os
 
+REVIEW_DOMAIN = {  # everyday review vocabulary (restaurants, products, service)
+    3: """yummy scrumptious delectable mouthwatering heavenly divine
+         flavorful savory succulent tender crispy juicy aromatic zesty
+         artisanal gourmet authentic homemade generous-portion bargain
+         five-star top-notch world-class standout gem favorite must-try
+         spotless welcoming attentive knowledgeable prompt speedy courteous
+         accommodating family-friendly cozy charming picturesque scenic
+         vibrant lively bustling immersive unforgettable""",
+    2: """tasty filling fresh-baked crunchy creamy buttery fluffy hearty
+         wholesome seasonal organic local affordable reasonable spacious
+         airy tidy quaint rustic homey intimate relaxing chill mellow
+         family-run dog-friendly kid-friendly walkable convenient central
+         reliable consistent punctual responsive professional thoughtful
+         flexible transparent fair-priced well-made well-designed durable
+         lightweight compact ergonomic intuitive user-friendly seamless
+         speedy snappy responsive painless hassle-free straightforward
+         well-stocked well-kept well-run well-lit smooth-running
+         good-value solid-build long-lasting energy-efficient""",
+    -2: """bland soggy greasy stale rubbery mushy watery overcooked
+         undercooked burnt lukewarm cold-food salty oversalted oily
+         tasteless flavorless cramped dingy dim grimy sticky smelly stuffy
+         drafty noisy chaotic crowded overbooked understaffed inattentive
+         forgetful dismissive curt brusque pushy overbearing slow-service
+         long-wait overpriced pricey hidden-fees misleading flimsy fragile
+         scratched dented defective malfunctioning buggy laggy glitchy
+         clunky outdated obsolete incompatible unresponsive inconvenient
+         confusing fiddly finicky temperamental unreliable short-lived
+         cheaply-made poorly-made poorly-run mismanaged disorganized""",
+    -3: """inedible rancid spoiled rotten moldy contaminated unsanitary
+         filthy infested roach-infested hazardous unsafe hostile abusive
+         scam ripoff fraudulent bait-and-switch false-advertising
+         unusable broken-on-arrival dead-on-arrival dangerous""",
+}
+
 BUCKETS = {
     5: """outstanding superb breathtaking magnificent phenomenal exquisite
          flawless masterful miraculous sublime perfection ecstatic exhilarated
@@ -162,6 +196,84 @@ BUCKETS = {
          hellish damnation torture massacre atrocity""",
 }
 
+# Inflected families: verb/adjective stems scored once, listed with their
+# real English inflections (explicitly curated — no mechanical suffixing,
+# which would mint non-words).
+FAMILIES = {
+    3: ["love loves loved loving", "enjoy enjoys enjoyed enjoying",
+        "admire admires admired admiring", "delight delights delighted",
+        "impress impresses impressed impressive",
+        "succeed succeeds succeeded succeeding",
+        "flourish flourishes flourished flourishing",
+        "celebrate celebrates celebrated celebrating",
+        "praise praises praised praising", "excel excels excelled excelling",
+        "amaze amazes amazed amazing", "charm charms charmed charming",
+        "inspire inspires inspired inspiring",
+        "thrill thrills thrilling", "win winning",
+        "recommend recommends recommended recommending",
+        "satisfy satisfies satisfied satisfying"],
+    2: ["help helps helped helping", "improve improves improved improving",
+        "like likes liked liking", "thank thanks thanked thanking",
+        "agree agrees agreed agreeing", "benefit benefits benefited",
+        "achieve achieves achieved achieving",
+        "appreciate appreciates appreciated appreciating",
+        "approve approves approved approving",
+        "encourage encourages encouraged encouraging",
+        "support supports supported supporting",
+        "protect protects protected protecting",
+        "repair repairs repaired repairing",
+        "resolve resolves resolved resolving",
+        "restore restores restored restoring",
+        "reward rewards rewarded rewarding",
+        "share shares shared sharing", "smile smiles smiled smiling",
+        "laugh laughs laughed laughing", "heal heals healed healing",
+        "grow grows growing grew", "gain gains gained gaining",
+        "care cares cared caring", "trust trusts trusted trusting",
+        "respect respects respected respecting",
+        "refresh refreshes refreshed refreshing",
+        "strengthen strengthens strengthened strengthening"],
+    -2: ["fail fails failing", "break breaks breaking broke",
+         "lose loses losing", "worry worries worried worrying",
+         "annoy annoys annoyed", "complain complains complained complaining",
+         "disappoint disappoints disappointing",
+         "confuse confuses confusing", "doubt doubts doubted doubting",
+         "struggle struggles struggled struggling",
+         "decline declines declined declining",
+         "neglect neglects neglected neglecting",
+         "ignore ignores ignored ignoring", "blame blames blamed blaming",
+         "regret regrets regretted regretting",
+         "reject rejects rejected rejecting",
+         "refuse refuses refused refusing", "delay delays delayed delaying",
+         "damage damages damaged damaging", "hurt hurts hurting",
+         "weaken weakens weakened weakening", "spoil spoils spoiled spoiling",
+         "leak leaks leaked leaking", "crack cracks cracked cracking",
+         "stumble stumbles stumbled stumbling",
+         "misbehave misbehaves misbehaved misbehaving"],
+    -3: ["hate hates hated hating", "destroy destroys destroyed destroying",
+         "betray betrays betrayed betraying",
+         "deceive deceives deceived deceiving",
+         "abuse abuses abused abusing", "attack attacks attacked attacking",
+         "threaten threatens threatened threatening",
+         "terrify terrifies terrified terrifying",
+         "suffer suffers suffered suffering",
+         "ruin ruins ruined ruining", "despise despises despised despising",
+         "humiliate humiliates humiliated humiliating",
+         "infuriate infuriates infuriated infuriating",
+         "collapse collapses collapsed collapsing",
+         "crash crashes crashed crashing",
+         "torment torments tormented tormenting",
+         "exploit exploits exploited exploiting",
+         "poison poisons poisoned poisoning",
+         "corrupt corrupts corrupted corrupting",
+         "shatter shatters shattered shattering"],
+    -4: ["devastate devastates devastated devastating",
+         "traumatize traumatizes traumatized traumatizing",
+         "terrorize terrorizes terrorized terrorizing",
+         "torture tortures tortured torturing",
+         "massacre massacres massacred",
+         "annihilate annihilates annihilated annihilating"],
+}
+
 # overlay tokens owned by the m7 query's domain stand-in — keep them OUT
 EXCLUDE = {"fast", "slow", "big", "small", "dup", "merge", "join", "filter",
            "sort", "stream", "batch", "hash"}
@@ -178,6 +290,21 @@ def main():
             # first (strongest-listed) bucket wins on accidental repeats
             if w not in entries or abs(score) > abs(entries[w]):
                 entries[w] = score
+    for score, words in REVIEW_DOMAIN.items():
+        for w in words.split():
+            w = w.strip().lower()
+            if not w or w in EXCLUDE:
+                continue
+            if w not in entries or abs(score) > abs(entries[w]):
+                entries[w] = score
+    for score, fams in FAMILIES.items():
+        for fam in fams:
+            for w in fam.split():
+                w = w.strip().lower()
+                if not w or w in EXCLUDE:
+                    continue
+                if w not in entries or abs(score) > abs(entries[w]):
+                    entries[w] = score
     with open("fixtures/sentiment_lexicon.tsv", "w") as f:
         f.write("word\tscore\n")
         for w in sorted(entries):
