@@ -20,6 +20,27 @@ object DedupQueries extends QueryCatalog {
   /** DuckDB fragment: the same 60-bit md5 hash as TextFunctions.hash64. */
   private def h64(e: String) = s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Near-dup pairs with Jaccard ≥ 0.5 over the capped shingle index,
+    * parquet-staged per (application, dir): d2 orders/reports them and d5
+    * resolves them to survivor groups — the pair join runs once, not once
+    * per consumer. Filter on the RAW ratio (matching both oracles), report
+    * the 6-dp rounded value. */
+  private def jaccardPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.ops.Staged(s, s"jacpairs:$dir") {
+      val sh = graft.ops.ShingleIndex.capped(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      sh.as("a").join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("sa")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("sb")), "id_b")
+        .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= 0.5)
+        .withColumn("jaccard",
+          round(col("inter") / (col("sa") + col("sb") - col("inter")), 6))
+        .select("id_a", "id_b", "jaccard")
+    }
+
   def defs: Map[String, QueryDef] = Map(
 
     // D1 — exact dedup by content hash: the corpus unioned with itself must
@@ -53,24 +74,8 @@ object DedupQueries extends QueryCatalog {
     // and discriminate nothing, so they are dropped before the self-join;
     // sizes are post-cap so inter ≤ size always holds).
     "d2_ngram_jaccard" -> QueryDef(
-      (s, dir) => {
-        // Shared memoized index: d2 and d5 tokenize + df-filter the corpus
-        // once between them (sizes + both join sides re-read the cache).
-        val sh = graft.ops.ShingleIndex.capped(s, dir)
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val inter = sh.as("a").join(sh.as("b"),
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "sa"), "id_a")
-          .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "sb"), "id_b")
-          .withColumn("jaccard",
-            round(col("inter") / (col("sa") + col("sb") - col("inter")), 6))
-          .filter(col("jaccard") >= 0.5)
-          .select("id_a", "id_b", "jaccard")
-          .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
-      },
+      (s, dir) => jaccardPairs(s, dir)
+        .orderBy(desc("jaccard"), col("id_a"), col("id_b")),
       Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
              |${graft.ops.ShingleIndex.cappedSql},
              |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
@@ -146,15 +151,7 @@ object DedupQueries extends QueryCatalog {
     // Oracle: transitive closure by recursive CTE over the (small) pair set.
     "d5_dedup_groups" -> QueryDef(
       (s, dir) => {
-        val sh = graft.ops.ShingleIndex.capped(s, dir)
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        val pairs = sh.as("a").join(sh.as("b"),
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("sa")), "id_a")
-          .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("sb")), "id_b")
-          .filter(col("inter") / (col("sa") + col("sb") - col("inter")) >= 0.5)
+        val pairs = jaccardPairs(s, dir)
         graft.graph.GraphOps.connectedComponents(
             pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
           .groupBy("component")

@@ -1,0 +1,60 @@
+package graft
+
+import graft.sources.Multimodal
+import graft.sources.Multimodal.{MediaRecord, UncompressedCodec}
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** The REAL uncompressed-container decoders (PCM WAV / BMP / P6 PPM) through
+  * the actual partition-batched Spark decode path. */
+class MultimodalCodecSpec extends SparkSpec {
+
+  private def wav(rate: Int, channels: Int, bits: Int, frames: Int): Array[Byte] = {
+    val dataLen = frames * channels * (bits / 8)
+    val b = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes); b.putInt(36 + dataLen); b.put("WAVE".getBytes)
+    b.put("fmt ".getBytes); b.putInt(16)
+    b.putShort(1); b.putShort(channels.toShort); b.putInt(rate)
+    b.putInt(rate * channels * bits / 8); b.putShort((channels * bits / 8).toShort)
+    b.putShort(bits.toShort)
+    b.put("data".getBytes); b.putInt(dataLen)
+    (0 until dataLen).foreach(i => b.put((i % 251).toByte))
+    b.array()
+  }
+
+  private def bmp(w: Int, h: Int): Array[Byte] = {
+    val b = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte); b.put('M'.toByte); b.putInt(54); b.putShort(0); b.putShort(0)
+    b.putInt(54); b.putInt(40); b.putInt(w); b.putInt(h)
+    b.array()
+  }
+
+  private def ppm(w: Int, h: Int): Array[Byte] =
+    s"P6\n$w $h\n255\n".getBytes ++ Array.fill(w * h * 3)(7.toByte)
+
+  test("WAV/BMP/PPM metadata decodes through the partition-batched path") {
+    val spark0 = spark
+    import spark0.implicits._
+    val media = Seq(
+      MediaRecord(1L, "audio", wav(rate = 16000, channels = 2, bits = 16, frames = 480)),
+      MediaRecord(2L, "image", bmp(640, 360)),
+      MediaRecord(3L, "image", ppm(32, 24))).toDS()
+    val out = Multimodal.decode(media, UncompressedCodec)
+      .collect().map(d => d.media_id -> d).toMap
+    assert(out(1L).n_frames === 480)
+    assert(out(1L).width === 16000) // sample rate
+    assert(out(1L).height === 2)    // channels
+    assert(out(2L).width === 640 && out(2L).height === 360)
+    assert(out(3L).width === 32 && out(3L).height === 24)
+    assert(out(3L).n_bytes === ppm(32, 24).length)
+  }
+
+  test("unsupported container fails loudly with the media id") {
+    val spark0 = spark
+    import spark0.implicits._
+    val media = Seq(MediaRecord(9L, "video", Array[Byte](1, 2, 3, 4))).toDS()
+    val e = intercept[Exception] {
+      Multimodal.decode(media, UncompressedCodec).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}
