@@ -31,8 +31,13 @@ object UtmMath {
   private val n = f / (2 - f)
   private val n2 = n * n; private val n3 = n2 * n; private val n4 = n3 * n
   // Rectifying radius and Krüger alpha/beta series (4th order).
-  private val A = a / (1 + n) * (1 + n2 / 4 + n4 / 64)
-  private val alpha = Array(
+  // A/alpha/e/k0/E0 are exposed (read-only) so the f8 oracle can interpolate
+  // the IDENTICAL double constants into its SQL-expanded series.
+  val A = a / (1 + n) * (1 + n2 / 4 + n4 / 64)
+  val eccentricity: Double = math.sqrt(f * (2 - f))
+  val scaleK0: Double = k0
+  val falseEasting: Double = E0
+  val alpha = Array(
     n / 2 - 2.0 / 3 * n2 + 5.0 / 16 * n3 + 41.0 / 180 * n4,
     13.0 / 48 * n2 - 3.0 / 5 * n3 + 557.0 / 1440 * n4,
     61.0 / 240 * n3 - 103.0 / 140 * n4,

@@ -104,9 +104,12 @@ object FuncQueries extends QueryCatalog {
 
     // F4b — CRS projection via the custom codegen'd Catalyst expression
     // (reference pyproj EPSG:32618, 实习二/…ipynb:476-492): project every
-    // point to UTM meters, band by 10 km easting. No SQL oracle — the
-    // Krüger series isn't reasonably SQL-expressible; UtmProjectSpec pins
-    // round-trip, known-coordinate, and haversine-agreement behavior.
+    // point to UTM meters, band by 10 km easting. The oracle expands the
+    // SAME 4th-order Krüger series in SQL — series constants interpolated
+    // as the identical doubles (%.17g round-trips exactly), hyperbolics as
+    // exp-expansions; libm ulp differences are 9 orders of magnitude under
+    // the 2dp rounding. UtmProjectSpec additionally pins round-trip and
+    // EPSG:32618 known-coordinate behavior.
     "f8_utm_projection" -> QueryDef(
       (s, dir) => Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
         .withColumn("en", graft.functions.UtmProject.utm(col("lon"), col("lat"), 18))
@@ -115,7 +118,43 @@ object FuncQueries extends QueryCatalog {
         .groupBy(floor(col("easting") / 10000).as("band_10km"))
         .agg(count(lit(1)).as("n"),
           round(avg("northing"), 2).as("avg_northing"))
-        .orderBy("band_10km")),
+        .orderBy("band_10km"),
+      Some {
+        import graft.functions.UtmMath
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        def d(x: Double) = "%.17g".format(x)
+        val e = d(UtmMath.eccentricity)
+        val kA = d(UtmMath.scaleK0 * UtmMath.A)
+        val a1 = d(UtmMath.alpha(0)); val a2 = d(UtmMath.alpha(1))
+        val a3 = d(UtmMath.alpha(2)); val a4 = d(UtmMath.alpha(3))
+        def atanh(x: String) = s"0.5 * ln((1 + ($x)) / (1 - ($x)))"
+        def sinh(x: String) = s"(exp($x) - exp(-($x))) / 2"
+        def cosh(x: String) = s"(exp($x) + exp(-($x))) / 2"
+        // zone 18 central meridian = -75°
+        s"""WITH pts AS (SELECT $lonSql AS lon, $latSql AS lat FROM customer),
+           |p1 AS (SELECT radians(lat) AS phi, radians(lon + 75.0) AS lam FROM pts),
+           |p2 AS (SELECT lam,
+           |    ${atanh("sin(phi)")} - $e * ${atanh(s"$e * sin(phi)")} AS q
+           |  FROM p1),
+           |p3 AS (SELECT lam, ${sinh("q")} AS t FROM p2),
+           |p4 AS (SELECT atan2(t, cos(lam)) AS xip,
+           |    ${atanh("sin(lam) / sqrt(1 + t * t)")} AS etap
+           |  FROM p3),
+           |p5 AS (SELECT
+           |    xip + $a1 * sin(2 * xip) * ${cosh("2 * etap")}
+           |        + $a2 * sin(4 * xip) * ${cosh("4 * etap")}
+           |        + $a3 * sin(6 * xip) * ${cosh("6 * etap")}
+           |        + $a4 * sin(8 * xip) * ${cosh("8 * etap")} AS xi,
+           |    etap + $a1 * cos(2 * xip) * ${sinh("2 * etap")}
+           |         + $a2 * cos(4 * xip) * ${sinh("4 * etap")}
+           |         + $a3 * cos(6 * xip) * ${sinh("6 * etap")}
+           |         + $a4 * cos(8 * xip) * ${sinh("8 * etap")} AS eta
+           |  FROM p4),
+           |en AS (SELECT 500000.0 + $kA * eta AS easting, $kA * xi AS northing FROM p5)
+           |SELECT CAST(floor(easting / 10000) AS BIGINT) AS band_10km,
+           |  count(*) AS n, round(avg(northing), 2) AS avg_northing
+           |FROM en GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
 
     // F5 — JSON: parse the events.props JSON payload, extract + aggregate
     // (reference per-line json.loads with .get defaulting, 实习四/…ipynb:286).

@@ -189,13 +189,46 @@ object MLModelQueries extends QueryCatalog {
           .withColumn("best_step", lit(bestStep))
       }),
 
-    // M15 — convex hull aggregate of the bbox-filtered point cloud
-    // (reference MultiPoint.convex_hull): vertex count, area, perimeter.
+    // M15 — convex hull aggregate of the point cloud (reference
+    // MultiPoint.convex_hull): vertex count, area, perimeter. Oracle:
+    // gift-wrapping recursive CTE (same technique as g3b) over the full
+    // customer point set — vertex sets agree with the monotone chain in
+    // generic position; rounding absorbs hypot-vs-sqrt ulps.
     "m15_convex_hull" -> QueryDef(
       (s, dir) => Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
         .select(ConvexHull.convexHullStats(col("lon"), col("lat")).as("h"))
         .select(col("h.n_vertices").as("n_vertices"),
           round(col("h.area"), 8).as("area"),
-          round(col("h.perimeter"), 8).as("perimeter")))
+          round(col("h.perimeter"), 6).as("perimeter")),
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        s"""WITH RECURSIVE
+           |pts AS (SELECT DISTINCT $lonSql AS x, $latSql AS y FROM customer),
+           |start AS (SELECT x, y FROM pts ORDER BY y, x LIMIT 1),
+           |hw(step, cx, cy) AS (
+           |  SELECT 0, x, y FROM start
+           |  UNION ALL
+           |  SELECT h.step + 1, q.x, q.y
+           |  FROM hw h JOIN pts q
+           |    ON NOT (q.x = h.cx AND q.y = h.cy)
+           |  WHERE h.step < 300
+           |    AND NOT (h.step > 0 AND q.x = (SELECT x FROM start)
+           |                        AND q.y = (SELECT y FROM start))
+           |    AND NOT EXISTS (SELECT 1 FROM pts r
+           |      WHERE NOT (r.x = h.cx AND r.y = h.cy)
+           |        AND NOT (r.x = q.x AND r.y = q.y)
+           |        AND ((q.x - h.cx) * (r.y - h.cy) - (q.y - h.cy) * (r.x - h.cx) < 0
+           |          OR ((q.x - h.cx) * (r.y - h.cy) - (q.y - h.cy) * (r.x - h.cx) = 0
+           |            AND (r.x-h.cx)*(r.x-h.cx) + (r.y-h.cy)*(r.y-h.cy)
+           |              > (q.x-h.cx)*(q.x-h.cx) + (q.y-h.cy)*(q.y-h.cy))))),
+           |seq AS (SELECT step, cx, cy,
+           |    coalesce(lead(cx) OVER (ORDER BY step), (SELECT x FROM start)) AS nx,
+           |    coalesce(lead(cy) OVER (ORDER BY step), (SELECT y FROM start)) AS ny
+           |  FROM hw)
+           |SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+           |  round(abs(sum(cx * ny - nx * cy)) / 2, 8) AS area,
+           |  round(sum(sqrt((nx-cx)*(nx-cx) + (ny-cy)*(ny-cy))), 6) AS perimeter
+           |FROM seq""".stripMargin
+      })
   )
 }
