@@ -45,8 +45,12 @@ object Bench {
       if (i % 8 == 7) System.gc()
       name -> dt
     }.toMap
+    // Locale.ROOT: a comma-decimal default locale would break the driver's
+    // JSON parse of this line.
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver tail-captures stdout: one giant line risks losing its head
     // (round-1 BENCH parsed:null). Keep the parseable line SMALL — total +
@@ -54,9 +58,9 @@ object Bench {
     // emit the line both before and after spark.stop so either capture wins.
     val headlineTimes = fmt(results.view.filterKeys(SparkEntry.headline.toSet).toMap)
     val compact =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir"}"""
     val detail =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()

@@ -44,10 +44,14 @@ object Lab2Eval {
       .head()
     trips.unpersist()
 
-    println(f"""{"n": $n, "n_valid": ${m.getLong(0)}, """ +
-      f""""mae_s": ${m.getDouble(1)}%.2f, "rmse_s": ${m.getDouble(2)}%.2f, """ +
-      f""""mean_rel_err": ${m.getDouble(3)}%.4f, """ +
-      f""""rmse_log": ${m.getDouble(4)}%.4f, "r2_log": ${m.getDouble(5)}%.4f, """ +
+    // Locale.ROOT formatting: the f-interpolator uses the default locale,
+    // which could emit comma decimals and break the JSON line.
+    def d(x: Double, dp: Int) =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(x))
+    println(s"""{"n": $n, "n_valid": ${m.getLong(0)}, """ +
+      s""""mae_s": ${d(m.getDouble(1), 2)}, "rmse_s": ${d(m.getDouble(2), 2)}, """ +
+      s""""mean_rel_err": ${d(m.getDouble(3), 4)}, """ +
+      s""""rmse_log": ${d(m.getDouble(4), 4)}, "r2_log": ${d(m.getDouble(5), 4)}, """ +
       """"reference": {"mae_s": 216.66, "rmse_s": 377.02, "mean_rel_err": 0.3447, "rmse_log": 0.4025, "r2_log": 0.7301}}""")
     spark.stop()
   }

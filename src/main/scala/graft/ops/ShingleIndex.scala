@@ -33,14 +33,25 @@ object ShingleIndex {
   /** (doc_id, sh) rows over distinct word-3-grams with df ≤ [[DfCap]],
     * parquet-staged once per (application, dir) via [[Staged]] — the
     * returned frame is re-created per call from the CURRENT session, so no
-    * cached plan can outlive its session. */
-  def capped(s: SparkSession, dir: String): DataFrame =
-    Staged(s, s"shidx:$dir") {
-      // cappedOf's eager localCheckpoint blocks are dead the moment Staged's
-      // parquet write completes; the suite runners' between-queries sweep
-      // (GraftSession.releaseTransientBlocks) reclaims them.
-      cappedOf(graft.core.Tables.documents(s, dir))
+    * cached plan can outlive its session. The build skips cappedOf's eager
+    * localCheckpoint (the parquet write IS the materialization); only the
+    * exploded build-side cache persists through the write and is released
+    * right after it. */
+  def capped(s: SparkSession, dir: String): DataFrame = {
+    var shAll: org.apache.spark.sql.DataFrame = null
+    Staged(s, s"shidx:$dir",
+        afterWrite = () => if (shAll != null) shAll.unpersist(blocking = true)) {
+      shAll = graft.core.Tables.fanout(graft.core.Tables.documents(s, dir))
+        .select(col("doc_id"),
+          explode(array_distinct(
+            graft.functions.ShingleExpr.shinglesNative(tokens(col("text")), 3))).as("sh"))
+        .persist()
+      val rare = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DfCap)
+        .select("sh")
+      shAll.join(rare, "sh").select("doc_id", "sh")
     }
+  }
 
   /** The capped index over an arbitrary documents frame (doc_id, text),
     * eagerly materialized (localCheckpoint) with its build-side cache

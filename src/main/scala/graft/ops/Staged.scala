@@ -18,12 +18,20 @@ object Staged {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  def apply(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+  /** `afterWrite` runs once, after the stage's parquet write completes —
+    * the hook for releasing build-side caches the write consumed. */
+  def apply(s: SparkSession, key: String, afterWrite: () => Unit = () => ())
+           (build: => DataFrame): DataFrame = {
     val k = s.sparkContext.applicationId + ":" + key
     val path = cache.getOrElseUpdate(k, {
+      // md5 of the full key: a 32-bit hashCode collision would silently
+      // alias two different stages onto one directory.
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val p = s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}" +
-        s"/stage-${Integer.toHexString(key.hashCode)}"
+        s"/stage-$digest"
       build.write.mode("overwrite").parquet(p)
+      afterWrite()
       p
     })
     s.read.parquet(path)

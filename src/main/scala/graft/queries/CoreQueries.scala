@@ -74,7 +74,7 @@ object CoreQueries extends QueryCatalog {
     // so cross-engine FP accumulation order cannot matter.
     "s6_gpkg_scan" -> QueryDef(
       (s, dir) => graft.sources.Gpkg.readFeatures(
-          s, new java.io.File("fixtures/poi.gpkg").getAbsolutePath, "poi")
+          s, graft.sources.Fixtures.path("fixtures/poi.gpkg"), "poi")
         .groupBy("category")
         .agg(count(lit(1)).as("n"),
           round(avg("score"), 4).as("avg_score"),

@@ -122,7 +122,9 @@ object FuncQueries extends QueryCatalog {
       Some {
         import graft.functions.UtmMath
         val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
-        def d(x: Double) = "%.17g".format(x)
+        // Locale.ROOT: the default locale could render a comma decimal
+        // separator, silently corrupting the SQL literal.
+        def d(x: Double) = String.format(java.util.Locale.ROOT, "%.17g", Double.box(x))
         val e = d(UtmMath.eccentricity)
         val kA = d(UtmMath.scaleK0 * UtmMath.A)
         val a1 = d(UtmMath.alpha(0)); val a2 = d(UtmMath.alpha(1))

@@ -168,7 +168,7 @@ object JoinQueries extends QueryCatalog {
     "j6b_geotiff_lookup" -> QueryDef(
       (s, dir) => {
         val (raster, aff) = graft.sources.GeoTiff.read(
-          s, new java.io.File("fixtures/dem50x60.tif").getAbsolutePath)
+          s, graft.sources.Fixtures.path("fixtures/dem50x60.tif"))
         val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
           .withColumn("row",
             floor((lit(aff.originY) - col("lat")) / lit(aff.scaleY)).cast("int"))

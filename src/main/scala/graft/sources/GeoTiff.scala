@@ -216,10 +216,18 @@ object GeoTiff {
         spark.sparkContext.defaultParallelism))
       .mapPartitions { it =>
         val m = bMeta.value
+        // Read this partition's strip payloads eagerly so the handle closes
+        // deterministically (leaking it to GC finalization accumulates fds
+        // across repeated ingests); decode stays lazy per strip.
         val raf = new java.io.RandomAccessFile(path, "r")
-        it.flatMap { case (_, off, len, row0) =>
-          val raw = new Array[Byte](len.toInt)
-          raf.seek(off); raf.readFully(raw)
+        val strips = try {
+          it.map { case (_, off, len, row0) =>
+            val raw = new Array[Byte](len.toInt)
+            raf.seek(off); raf.readFully(raw)
+            (raw, row0)
+          }.toVector
+        } finally raf.close()
+        strips.iterator.flatMap { case (raw, row0) =>
           val vals = decodeSamples(raw, m)
           vals.indices.iterator
             .map(k => Row(row0 + k / w, k % w, vals(k)))

@@ -35,20 +35,19 @@ object Gpkg {
       ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
         ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
 
-    /** (value, bytesConsumed) big-endian varint. */
+    /** (value, bytesConsumed) big-endian varint: up to eight 7-bit
+      * continuation bytes; the NINTH byte, when reached, contributes all
+      * 8 bits (that is how SQLite encodes negatives and values ≥ 2^56). */
     def varint(off: Int): (Long, Int) = {
       var v = 0L
       var i = 0
       while (i < 8) {
         val b = bytes(off + i) & 0xff
-        if ((b & 0x80) == 0 || i == 7) {
-          v = if (i == 7 && (b & 0x80) != 0) (v << 8) | b else (v << 7) | (b & 0x7f)
-          return (v, i + 1)
-        }
+        if ((b & 0x80) == 0) return ((v << 7) | b, i + 1)
         v = (v << 7) | (b & 0x7f)
         i += 1
       }
-      (v, 8)
+      ((v << 8) | (bytes(off + 8) & 0xff), 9)
     }
 
     /** Walk a table b-tree rooted at `page` (1-based), yielding

@@ -18,15 +18,15 @@ import org.apache.spark.sql.types._
   */
 object Lexicon {
 
-  val DefaultPath = "fixtures/sentiment_lexicon.tsv"
+  def defaultPath: String = Fixtures.path("fixtures/sentiment_lexicon.tsv")
 
   /** (tok, score) rows on the [-1, 1] polarity scale. */
-  def sentiment(spark: SparkSession, path: String = DefaultPath): DataFrame =
+  def sentiment(spark: SparkSession, path: String = null): DataFrame =
     spark.read
       .option("header", "true").option("sep", "\t")
       .schema(StructType(Seq(
         StructField("word", StringType), StructField("score", IntegerType))))
-      .csv(new java.io.File(path).getAbsolutePath)
+      .csv(Option(path).getOrElse(defaultPath))
       .select(col("word").as("tok"), (col("score") / lit(5.0)).as("score"))
 
   /** Engine-domain overlay for the synthetic `documents` corpus, whose
@@ -50,7 +50,7 @@ object Lexicon {
   def scoringSql: String =
     s"""lex AS (
        |  SELECT word AS tok, CAST(score AS DOUBLE) / 5 AS score
-       |  FROM read_csv('${new java.io.File(DefaultPath).getAbsolutePath}',
+       |  FROM read_csv('$defaultPath',
        |    header=true, delim='\t')
        |  UNION ALL
        |  SELECT * FROM (VALUES

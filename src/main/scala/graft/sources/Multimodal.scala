@@ -68,6 +68,9 @@ object Multimodal {
           while (off + 8 <= b.length) {
             val id = new String(b, off, 4)
             val len = le32(b, off + 4)
+            // a malformed length must fail loudly, not spin the chunk walk
+            require(len >= 0 && off + 8 + len <= b.length + 1,
+              s"media ${r.media_id}: bad RIFF chunk length $len at offset $off")
             if (id == "fmt ") {
               channels = le16(b, off + 10); rate = le32(b, off + 12)
               bits = le16(b, off + 22)
@@ -78,10 +81,14 @@ object Multimodal {
           val frames = dataLen / (channels * (bits / 8))
           DecodedMedia(r.media_id, r.kind, b.length, frames, rate, channels)
         } else if (b.length >= 26 && b(0) == 'B'.toByte && b(1) == 'M'.toByte) {
-          DecodedMedia(r.media_id, r.kind, b.length, 1, le32(b, 18), le32(b, 22))
+          // biHeight < 0 marks a top-down BMP; the dimension is its magnitude
+          DecodedMedia(r.media_id, r.kind, b.length, 1,
+            le32(b, 18), math.abs(le32(b, 22)))
         } else if (b.length >= 2 && b(0) == 'P'.toByte && b(1) == '6'.toByte) {
-          // P6 <ws> width <ws> height <ws> maxval <single ws> pixels
-          val header = new String(b, 0, math.min(64, b.length), "US-ASCII")
+          // P6 <ws> width <ws> height <ws> maxval <single ws> pixels;
+          // '#...' comment lines are legal anywhere in the header
+          val header = new String(b, 0, math.min(256, b.length), "US-ASCII")
+            .replaceAll("#[^\n]*", " ")
           val nums = "\\d+".r.findAllIn(header.drop(2)).take(2).map(_.toInt).toSeq
           require(nums.size == 2, s"media ${r.media_id}: bad PPM header")
           DecodedMedia(r.media_id, r.kind, b.length, 1, nums(0), nums(1))

@@ -97,10 +97,14 @@ object Shp {
         val s = (f.typ, v) match {
           case (_, null) => ""
           case ('N', x) if f.dec == 0 => x.toString
-          case ('N', x) => ("%." + f.dec + "f").format(x.asInstanceOf[Number].doubleValue())
+          case ('N', x) => String.format(java.util.Locale.ROOT,
+            "%." + f.dec + "f", Double.box(x.asInstanceOf[Number].doubleValue()))
           case (_, x) => x.toString
         }
-        val padded = if (f.typ == 'N') (" " * (f.len - s.length.min(f.len))) + s.take(f.len)
+        // Truncating a NUMERIC silently changes its value — reject instead.
+        require(f.typ != 'N' || s.length <= f.len,
+          s"dbf field ${f.name}: value '$s' exceeds width ${f.len}")
+        val padded = if (f.typ == 'N') (" " * (f.len - s.length)) + s
                      else s.take(f.len).padTo(f.len, ' ')
         padded.getBytes("ASCII").zipWithIndex.foreach { case (c, j2) => dbf.put(fOff + j2, c) }
         fOff += f.len

@@ -31,6 +31,13 @@ class GpkgSpec extends SparkSpec {
       col("lat") < 40.49 || col("lat") > 41.0).count() === 0L)
   }
 
+  test("9-byte varints (negative and >= 2^56 rowids) decode exactly") {
+    val df = Gpkg.readFeatures(spark, "fixtures/edge.gpkg", "pts")
+    val fids = df.orderBy("fid").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(fids.toSeq === Seq(-1L -> "neg", 7L -> "plain",
+      144115188075855872L -> "huge"))
+  }
+
   test("gpkg frame round-trips through the WKT geo-table layer format") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-rt").toString
     val df = Gpkg.readFeatures(spark, "fixtures/poi.gpkg", "poi")

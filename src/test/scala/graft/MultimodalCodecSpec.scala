@@ -31,6 +31,10 @@ class MultimodalCodecSpec extends SparkSpec {
   private def ppm(w: Int, h: Int): Array[Byte] =
     s"P6\n$w $h\n255\n".getBytes ++ Array.fill(w * h * 3)(7.toByte)
 
+  private def ppmWithComment(w: Int, h: Int): Array[Byte] =
+    s"P6\n# Created by GIMP version 2.10\n$w $h\n255\n".getBytes ++
+      Array.fill(w * h * 3)(7.toByte)
+
   test("WAV/BMP/PPM metadata decodes through the partition-batched path") {
     val spark0 = spark
     import spark0.implicits._
@@ -46,6 +50,24 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(out(2L).width === 640 && out(2L).height === 360)
     assert(out(3L).width === 32 && out(3L).height === 24)
     assert(out(3L).n_bytes === ppm(32, 24).length)
+  }
+
+  test("PPM header comments and top-down BMPs decode correctly") {
+    val spark0 = spark
+    import spark0.implicits._
+    val negHeightBmp = {
+      val b = bmp(640, 360)
+      val bb = java.nio.ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(22, -360) // top-down marker
+      b
+    }
+    val media = Seq(
+      MediaRecord(4L, "image", ppmWithComment(640, 480)),
+      MediaRecord(5L, "image", negHeightBmp)).toDS()
+    val out = Multimodal.decode(media, UncompressedCodec)
+      .collect().map(d => d.media_id -> d).toMap
+    assert(out(4L).width === 640 && out(4L).height === 480) // not (2, 10)
+    assert(out(5L).height === 360)
   }
 
   test("unsupported container fails loudly with the media id") {

@@ -63,6 +63,33 @@ def main():
     con.close()
     print(f"wrote {path} ({os.path.getsize(path)} bytes, {n} features)")
 
+    # Edge fixture: negative and >= 2^56 rowids force 9-byte SQLite varints
+    # (the 9th byte carries all 8 bits) — the encoding a naive 8-byte varint
+    # reader silently corrupts.
+    epath = "fixtures/edge.gpkg"
+    if os.path.exists(epath):
+        os.remove(epath)
+    con = sqlite3.connect(epath)
+    cur = con.cursor()
+    cur.execute("""CREATE TABLE gpkg_contents (
+        table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL,
+        identifier TEXT UNIQUE, description TEXT DEFAULT '',
+        last_change DATETIME, min_x DOUBLE, min_y DOUBLE,
+        max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)""")
+    cur.execute("CREATE TABLE pts (fid INTEGER PRIMARY KEY, name TEXT, geom POINT)")
+    for fid, name, lon, lat in [(-1, "neg", -74.0, 40.7),
+                                (2 ** 57, "huge", -73.9, 40.8),
+                                (7, "plain", -74.1, 40.6)]:
+        cur.execute("INSERT INTO pts VALUES (?, ?, ?)",
+                    (fid, name, gpb_point(lon, lat)))
+    cur.execute("INSERT INTO gpkg_contents VALUES "
+                "('pts', 'features', 'pts', '', NULL, -74.1, 40.6, -73.9, 40.8, 4326)")
+    con.commit()
+    cur.execute("PRAGMA journal_mode = DELETE")
+    con.commit()
+    con.close()
+    print(f"wrote {epath} ({os.path.getsize(epath)} bytes)")
+
 
 if __name__ == "__main__":
     main()
