@@ -80,6 +80,30 @@ object IO {
       struct(props.map(col): _*).as("properties"))).as("feature"))
   }
 
+  /** Standard single-document GeoJSON file import (S6 read side; reference
+    * gpd.read_file on a .geojson FeatureCollection): the whole document
+    * parses as ONE multiline JSON record, features explode to rows. A
+    * single .geojson file is one parse task by format nature (like GPKG);
+    * bulk vector data lives in parquet once inside the engine. */
+  def readGeoJson(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("type", StringType),
+      StructField("features", ArrayType(StructType(Seq(
+        StructField("type", StringType),
+        StructField("geometry", StructType(Seq(
+          StructField("type", StringType),
+          StructField("coordinates", ArrayType(DoubleType))))),
+        StructField("properties", MapType(StringType, StringType))))))))
+    spark.read.option("multiLine", "true").schema(schema).json(path)
+      .select(explode(col("features")).as("f"))
+      .filter(col("f.geometry.type") === "Point")
+      .select(
+        col("f.geometry.coordinates").getItem(0).as("lon"),
+        col("f.geometry.coordinates").getItem(1).as("lat"),
+        col("f.properties").as("properties"))
+  }
+
   /** GeoJSON FeatureCollection import for point features (S6 read side). */
   def geoJsonFeaturesToPoints(features: DataFrame): DataFrame = {
     val parsed = features.select(from_json(col("feature"),

@@ -38,6 +38,29 @@ class GpkgSpec extends SparkSpec {
       144115188075855872L -> "huge"))
   }
 
+  test("standard single-document GeoJSON FeatureCollection reads to points") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-geojson").toString
+    val doc =
+      """{"type": "FeatureCollection", "features": [
+        |  {"type": "Feature",
+        |   "geometry": {"type": "Point", "coordinates": [-74.01, 40.71]},
+        |   "properties": {"name": "alpha", "kind": "poi"}},
+        |  {"type": "Feature",
+        |   "geometry": {"type": "LineString", "coordinates": [1.0, 2.0]},
+        |   "properties": {"name": "skipme"}},
+        |  {"type": "Feature",
+        |   "geometry": {"type": "Point", "coordinates": [-73.95, 40.78]},
+        |   "properties": {"name": "beta", "kind": "stop"}}
+        |]}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/pts.geojson"), doc)
+    val df = IO.readGeoJson(spark, s"$dir/pts.geojson")
+    val rows = df.orderBy("lon").collect()
+    assert(rows.length === 2) // the LineString is filtered
+    assert(rows(0).getDouble(0) === -74.01)
+    assert(rows(0).getMap[String, String](2)("name") === "alpha")
+    assert(rows(1).getMap[String, String](2)("kind") === "stop")
+  }
+
   test("gpkg frame round-trips through the WKT geo-table layer format") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-rt").toString
     val df = Gpkg.readFeatures(spark, "fixtures/poi.gpkg", "poi")
