@@ -119,7 +119,7 @@ object GeoTiff {
 
   /** TIFF-flavor LZW decode (MSB-first bit packing, clear=256, EOI=257,
     * "early change" code-width bump — the variant every TIFF writer emits). */
-  private[sources] def lzwDecode(in: Array[Byte], expected: Int): Array[Byte] = {
+  private[graft] def lzwDecode(in: Array[Byte], expected: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(expected)
     val dict = new Array[Array[Byte]](4096)
     var dictSize = 258

@@ -104,6 +104,71 @@ class GeoTiffSpec extends SparkSpec {
     assert(v === px(8, 59).toDouble)
   }
 
+  /** Test-side TIFF-LZW encoder (mirrors tools/make_tiff_fixture.py): the
+    * decoder's width-bump schedule is simulated from the DECODER's
+    * one-behind dictionary growth, so encode∘decode must round-trip. */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val bits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var width = 9
+    var decFree = 258
+    var first = true
+    def emit(code: Int): Unit = bits += ((code, width))
+    def emitData(code: Int): Unit = {
+      emit(code)
+      if (first) first = false
+      else {
+        decFree += 1
+        if (decFree == (1 << width) - 1 && width < 12) width += 1
+      }
+    }
+    var table = scala.collection.mutable.HashMap.empty[Seq[Byte], Int] ++
+      (0 until 256).map(i => Seq(i.toByte) -> i)
+    var nxt = 258
+    emit(256)
+    var w = Vector.empty[Byte]
+    for (ch <- data) {
+      val wc = w :+ ch
+      if (table.contains(wc)) w = wc
+      else {
+        emitData(table(w))
+        table(wc) = nxt; nxt += 1
+        w = Vector(ch)
+        if (nxt == 4094) {
+          emit(256)
+          table = scala.collection.mutable.HashMap.empty[Seq[Byte], Int] ++
+            (0 until 256).map(i => Seq(i.toByte) -> i)
+          nxt = 258; width = 9; decFree = 258; first = true
+        }
+      }
+    }
+    if (w.nonEmpty) emitData(table(w))
+    emit(257)
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nacc = 0
+    for ((code, cw) <- bits) {
+      acc = (acc << cw) | code; nacc += cw
+      while (nacc >= 8) { nacc -= 8; out.write(((acc >> nacc) & 0xff).toInt) }
+    }
+    if (nacc > 0) out.write(((acc << (8 - nacc)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  test("LZW decode round-trips encode across width bumps and dictionary reset") {
+    val rnd = new scala.util.Random(42)
+    // Low-entropy repeating data grows the dictionary to the 10/11/12-bit
+    // widths and past the 4094-entry reset; high-entropy data stays at 9.
+    val cases = Seq(
+      Array.tabulate(40000)(i => ((i / 7) % 5).toByte),          // deep dict + reset
+      Array.tabulate(5000)(i => (i % 3).toByte),                 // width 10-11
+      Array.fill(3000)(rnd.nextInt(256).toByte),                 // near-incompressible
+      Array.tabulate(1000)(_ => 0.toByte),                       // degenerate run
+      Array.empty[Byte])
+    for (data <- cases) {
+      val decoded = GeoTiff.lzwDecode(lzwEncode(data), data.length)
+      assert(decoded.toSeq === data.toSeq, s"round-trip failed for n=${data.length}")
+    }
+  }
+
   test("unsupported layouts are rejected loudly") {
     val dir = Files.createTempDirectory("graft-tif").toString
     val p = s"$dir/bad.bin"
