@@ -197,6 +197,90 @@ object GeoTiff {
     out
   }
 
+  /** Window clip (reference rasterio.mask(crop=True),
+    * 实习二/实习二代码/clicp_image.py:8-40): keep the cells whose WORLD
+    * coordinates fall in the lon/lat bbox, re-origin (row, col) to the
+    * clipped window, and return the adjusted affine. A pure projection +
+    * filter — pushes down to the raster scan. */
+  def clip(raster: DataFrame, affine: Affine,
+           lonMin: Double, lonMax: Double, latMin: Double, latMax: Double)
+      : (DataFrame, Affine) = {
+    import org.apache.spark.sql.functions._
+    val colMin = math.max(0, math.ceil((lonMin - affine.originX) / affine.scaleX - 1e-9).toInt)
+    val colMax = math.floor((lonMax - affine.originX) / affine.scaleX - 1e-9).toInt
+    val rowMin = math.max(0, math.ceil((affine.originY - latMax) / affine.scaleY - 1e-9).toInt)
+    val rowMax = math.floor((affine.originY - latMin) / affine.scaleY - 1e-9).toInt
+    val clipped = raster
+      .filter(col("row").between(rowMin, rowMax) && col("col").between(colMin, colMax))
+      .select((col("row") - rowMin).as("row"), (col("col") - colMin).as("col"), col("value"))
+    (clipped, Affine(affine.originX + colMin * affine.scaleX,
+      affine.originY - rowMin * affine.scaleY, affine.scaleX, affine.scaleY))
+  }
+
+  /** Write a raster table back to a single-band GeoTIFF (uncompressed
+    * uint16 little-endian, ModelPixelScale + ModelTiepoint carrying the
+    * affine). A .tif is a single-file exchange artifact (like GPKG), so the
+    * pixels are collected driver-side — bounded by the raster's own size;
+    * cluster-resident rasters stay in the (row, col, value) parquet model. */
+  def write(raster: DataFrame, affine: Affine, path: String,
+            rowsPerStrip: Int = 64): Unit = {
+    import org.apache.spark.sql.functions._
+    val rows = raster.select(col("row").cast("int"), col("col").cast("int"),
+      col("value").cast("double")).collect()
+    require(rows.nonEmpty, "empty raster")
+    val h = rows.iterator.map(_.getInt(0)).max + 1
+    val w = rows.iterator.map(_.getInt(1)).max + 1
+    val px = new Array[Int](h * w)
+    rows.foreach { r =>
+      val v = r.getDouble(2)
+      require(v >= 0 && v <= 65535 && v == math.floor(v),
+        s"value $v not representable as uint16")
+      px(r.getInt(0) * w + r.getInt(1)) = v.toInt
+    }
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val strips = (0 until nStrips).map { s =>
+      val r0 = s * rowsPerStrip
+      val rEnd = math.min(r0 + rowsPerStrip, h)
+      val b = java.nio.ByteBuffer.allocate((rEnd - r0) * w * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (r0 until rEnd).foreach(r => (0 until w).foreach(c => b.putShort(px(r * w + c).toShort)))
+      b.array()
+    }
+    val nTags = 13
+    val ifdSize = 2 + nTags * 12 + 4
+    val offScale = 8 + ifdSize
+    val offTie = offScale + 24
+    val offSoff = offTie + 48
+    val offSbc = offSoff + 4 * nStrips
+    var pos = offSbc + 4 * nStrips
+    val offsets = strips.map { s => val p = pos; pos += s.length; p }
+    val out = java.nio.ByteBuffer.allocate(pos).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+    out.putShort(nTags.toShort)
+    def tag(t: Int, tp: Int, cnt: Int, v: Int): Unit = {
+      out.putShort(t.toShort).putShort(tp.toShort).putInt(cnt)
+      if (tp == 3 && cnt == 1) { out.putShort(v.toShort); out.putShort(0) }
+      else out.putInt(v)
+    }
+    tag(256, 3, 1, w); tag(257, 3, 1, h); tag(258, 3, 1, 16)
+    tag(259, 3, 1, 1); tag(262, 3, 1, 1)
+    // TIFF inlines values that fit 4 bytes: a single-strip offset/count
+    // array lives IN the tag field, not behind a pointer
+    tag(273, 4, nStrips, if (nStrips == 1) offsets(0) else offSoff)
+    tag(277, 3, 1, 1)
+    tag(278, 3, 1, rowsPerStrip)
+    tag(279, 4, nStrips, if (nStrips == 1) strips(0).length else offSbc)
+    tag(284, 3, 1, 1); tag(339, 3, 1, 1)
+    tag(33550, 12, 3, offScale); tag(33922, 12, 6, offTie)
+    out.putInt(0) // next-IFD terminator
+    out.putDouble(affine.scaleX).putDouble(affine.scaleY).putDouble(0.0)
+    Seq(0.0, 0.0, 0.0, affine.originX, affine.originY, 0.0).foreach(out.putDouble)
+    offsets.foreach(out.putInt)
+    strips.foreach(s => out.putInt(s.length))
+    strips.foreach(out.put)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), out.array())
+  }
+
   /** Ingest a GeoTIFF into the raster-as-table model: (row, col, value)
     * rows decoded DISTRIBUTED per strip, plus the affine transform.
     *

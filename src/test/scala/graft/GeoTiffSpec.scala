@@ -169,6 +169,29 @@ class GeoTiffSpec extends SparkSpec {
     }
   }
 
+  test("clip + write + re-read round-trips (reference open->mask->write)") {
+    val (full, aff) = GeoTiff.read(spark, "fixtures/dem50x60.tif")
+    // window: lon [-74.25, -74.05), lat [40.7, 40.9) -> cols 5..24, rows 10..29
+    val (clipped, caff) = GeoTiff.clip(full, aff, -74.25, -74.05, 40.7, 40.9)
+    assert(caff === GeoTiff.Affine(-74.25, 40.9, 0.01, 0.01))
+    assert(clipped.count() === 20L * 20L)
+    val dir = Files.createTempDirectory("graft-tifw").toString
+    // rowsPerStrip 8 -> multi-strip; default 64 -> single strip (inline tags)
+    for ((rps, name) <- Seq(8 -> "multi.tif", 64 -> "single.tif")) {
+      GeoTiff.write(clipped, caff, s"$dir/$name", rowsPerStrip = rps)
+      val (back, baff) = GeoTiff.read(spark, s"$dir/$name")
+      assert(baff === caff, name)
+      assert(back.count() === 400L, name)
+      val diff = back.as("b").join(clipped.as("c"), Seq("row", "col"))
+        .filter(col("b.value") =!= col("c.value")).count()
+      assert(diff === 0L, name)
+      // spot value against the generator formula in ORIGINAL grid coords
+      val v = back.filter(col("row") === 0 && col("col") === 0)
+        .head().getDouble(2)
+      assert(v === ((3 * 10 + 5 * 5 + 7) % 97).toDouble, name)
+    }
+  }
+
   test("unsupported layouts are rejected loudly") {
     val dir = Files.createTempDirectory("graft-tif").toString
     val p = s"$dir/bad.bin"
