@@ -161,6 +161,54 @@ object MLQueries extends QueryCatalog {
              |FROM cats GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       headline = true),
 
+    // M7b — the reference's FIVE-way categorize (±0.1/±0.5 thresholds,
+    // 实习四/…ipynb:835-856) plus a lexicon-based subjectivity measure
+    // (TextBlob emits polarity AND subjectivity; the standard lexicon proxy
+    // is the scored-token fraction per doc). Same broadcast lexicon join as
+    // m7; per-category counts + mean subjectivity.
+    "m7b_sentiment_5way" -> QueryDef(
+      (s, dir) => {
+        val lexicon = graft.sources.Lexicon.scoring(s)
+        val docTok = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val perDoc = docTok.join(broadcast(lexicon), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(round(avg("score"), 6).as("polarity"),
+            round(sum(when(col("score").isNotNull, 1.0).otherwise(0.0)) /
+              count(lit(1)), 6).as("subjectivity"))
+        perDoc
+          .withColumn("cat",
+            when(col("polarity").isNull, "no_signal")
+              .when(col("polarity") > 0.5, "very_positive")
+              .when(col("polarity") > 0.1, "positive")
+              .when(col("polarity") >= -0.1, "neutral")
+              .when(col("polarity") >= -0.5, "negative")
+              .otherwise("very_negative"))
+          .groupBy("cat")
+          .agg(count(lit(1)).as("n"),
+            round(avg("polarity"), 6).as("avg_pol"),
+            round(avg("subjectivity"), 6).as("avg_subj"))
+          .orderBy("cat")
+      },
+      Some(s"""WITH ${graft.sources.Lexicon.scoringSql},
+             |dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |       FROM documents),
+             |perdoc AS (SELECT doc_id, round(avg(score), 6) AS polarity,
+             |    round(sum(CASE WHEN score IS NOT NULL THEN 1.0 ELSE 0.0 END)
+             |      / count(*), 6) AS subjectivity
+             |  FROM dt LEFT JOIN lex USING (tok) GROUP BY 1),
+             |cats AS (SELECT polarity, subjectivity,
+             |    CASE WHEN polarity IS NULL THEN 'no_signal'
+             |      WHEN polarity > 0.5 THEN 'very_positive'
+             |      WHEN polarity > 0.1 THEN 'positive'
+             |      WHEN polarity >= -0.1 THEN 'neutral'
+             |      WHEN polarity >= -0.5 THEN 'negative'
+             |      ELSE 'very_negative' END AS cat
+             |  FROM perdoc)
+             |SELECT cat, count(*) AS n, round(avg(polarity), 6) AS avg_pol,
+             |  round(avg(subjectivity), 6) AS avg_subj
+             |FROM cats GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // M9 — 2-D Gaussian KDE on a fixed evaluation grid (reference
     // gaussian_kde over 100×100, 实习四/…ipynb:1580-1599; bandwidth h=0.05):
     // grid ⨯ points kernel sum. Grid side is tiny and broadcast; the sum
