@@ -46,6 +46,16 @@ object GeoFunctions {
   def gridCell(v: Column, origin: Double, size: Double): Column =
     floor((v - lit(origin)) / lit(size))
 
+  /** WGS84 semi-major axis used by Web Mercator (EPSG:3857). */
+  val WebMercatorR = 6378137.0
+
+  /** Web-Mercator (EPSG:3857) easting in meters: R·λ. */
+  def webMercatorX(lon: Column): Column = lit(WebMercatorR) * radians(lon)
+
+  /** Web-Mercator (EPSG:3857) northing in meters: R·ln(tan(π/4 + φ/2)). */
+  def webMercatorY(lat: Column): Column =
+    lit(WebMercatorR) * log(tan(lit(math.Pi / 4) + radians(lat) / 2))
+
   /** The same haversine as SQL text for DuckDB oracles (engines must evaluate
     * the identical arithmetic so rounded outputs hash-match). */
   def haversineSql(lat1: String, lon1: String, lat2: String, lon2: String): String =

@@ -59,11 +59,13 @@ object MlPipelines {
     * sample exposes at a fraction of full-fit cost — then ONE full-data fit
     * at the winning point. The assembled feature frame is cached across the
     * grid and the final fit (re-assembling per candidate was most of the
-    * round-1 bench whale). Returns (valid predictions, bestDepth, bestStep).
+    * round-1 bench whale). Returns (valid predictions, bestDepth, bestStep,
+    * per-feature importances aligned with `features` — the reference ranks
+    * LightGBM importances at …ipynb:8105-8121).
     */
   def gbtFitHpo(train: DataFrame, valid: DataFrame, features: Seq[String],
       labelCol: String, maxIter: Int = 10, seed: Long = 42L)
-      : (DataFrame, Int, Double) = {
+      : (DataFrame, Int, Double, Array[Double]) = {
     val asm = new VectorAssembler().setInputCols(features.toArray).setOutputCol("features")
     val trainF = asm.transform(train).select(col("features"), col(labelCol)).persist()
     // Materialize the cache before the grid: TrainValidationSplit launches
@@ -89,6 +91,6 @@ object MlPipelines {
       .fit(trainF)
     trainF.unpersist()
     (model.transform(asm.transform(valid)).drop("features"),
-      best.getMaxDepth, best.getStepSize)
+      best.getMaxDepth, best.getStepSize, model.featureImportances.toArray)
   }
 }

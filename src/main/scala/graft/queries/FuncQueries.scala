@@ -102,6 +102,42 @@ object FuncQueries extends QueryCatalog {
       },
       headline = true),
 
+    // F9 — the remaining F4 geo scalars: Manhattan-approximation distance
+    // with cos-lat longitude scaling (reference lx_lightgbmTest.py:31-34)
+    // and Web-Mercator EPSG:3857 projection (reference to_crs(epsg=3857),
+    // 实习三/…network_analysis.ipynb:623) — both composed native column
+    // expressions, identical arithmetic in the oracle.
+    "f9_manhattan_mercator" -> QueryDef(
+      (s, dir) => {
+        val refLat = lit(40.758)
+        val refLon = lit(-73.9857)
+        Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+          .withColumn("manh_km",
+            GeoFunctions.manhattanKm(col("lat"), col("lon"), refLat, refLon))
+          .withColumn("mx", GeoFunctions.webMercatorX(col("lon")))
+          .withColumn("my", GeoFunctions.webMercatorY(col("lat")))
+          .groupBy(floor(col("manh_km") / 10.0).as("band"))
+          .agg(count(lit(1)).as("n"),
+            round(avg("manh_km"), 6).as("avg_manh_km"),
+            round(min("mx"), 4).as("min_mx"),
+            round(max("my"), 4).as("max_my"))
+          .orderBy("band")
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        s"""WITH pts AS (SELECT $lonSql AS lon, $latSql AS lat FROM customer),
+           |d AS (SELECT
+           |    abs(40.758 - lat) * 111.0 +
+           |      abs(-73.9857 - lon) * 111.0 * cos(radians((lat + 40.758) / 2)) AS manh_km,
+           |    6378137.0 * radians(lon) AS mx,
+           |    6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)) AS my
+           |  FROM pts)
+           |SELECT CAST(floor(manh_km / 10.0) AS BIGINT) AS band, count(*) AS n,
+           |  round(avg(manh_km), 6) AS avg_manh_km,
+           |  round(min(mx), 4) AS min_mx, round(max(my), 4) AS max_my
+           |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // F4b — CRS projection via the custom codegen'd Catalyst expression
     // (reference pyproj EPSG:32618, 实习二/…ipynb:476-492): project every
     // point to UTM meters, band by 10 km easting. The oracle expands the

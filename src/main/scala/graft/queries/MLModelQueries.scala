@@ -177,8 +177,11 @@ object MLModelQueries extends QueryCatalog {
             * (lit(1.0) + col("l_tax")))
           .withColumn("is_train", pmod(col("l_orderkey") * lit(2654435761L), lit(100L)) < 70)
         val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        val (pred, bestDepth, bestStep) = MlPipelines.gbtFitHpo(
+        val (pred, bestDepth, bestStep, importances) = MlPipelines.gbtFitHpo(
           li.filter(col("is_train")), li.filter(!col("is_train")), feats, "y")
+        // Feature-importance ranking (reference …ipynb:8105-8121): the
+        // top-weighted feature and its share.
+        val (topFeat, topImp) = feats.zip(importances).maxBy(_._2)
         pred.withColumn("err", col("prediction") - col("y"))
           .agg(count(lit(1)).as("n_valid"),
             round(avg(abs(col("err"))), 2).as("mae"),
@@ -187,6 +190,8 @@ object MLModelQueries extends QueryCatalog {
               (var_samp(col("y")) * (count(lit(1)) - 1)), 4).as("r2"))
           .withColumn("best_depth", lit(bestDepth))
           .withColumn("best_step", lit(bestStep))
+          .withColumn("top_feature", lit(topFeat))
+          .withColumn("top_importance", round(lit(topImp), 4))
       }),
 
     // M15 — convex hull aggregate of the point cloud (reference
