@@ -497,17 +497,22 @@ object MLQueries extends QueryCatalog {
           .select((lit(1.0) - col("n_uncovered") / col("n_cust")).as("coverage"))
         val balance = ev.agg(
           (sum(when(col("value") > 100, 1.0).otherwise(0.0)) / count(lit(1))).as("high_share"))
-        conc.crossJoin(cover).crossJoin(balance)
+        // Geo dispersion σ (reference analyze_data_bias.py:377-385): spread
+        // of the point cloud as √(var lon + var lat).
+        val disp = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+          .agg(sqrt(var_samp(col("lon")) + var_samp(col("lat"))).as("geo_sigma"))
+        conc.crossJoin(cover).crossJoin(balance).crossJoin(disp)
           .select(
             round(col("top20_share"), 6).as("top20_share"),
             round(col("coverage"), 6).as("coverage"),
             round(col("high_share"), 6).as("high_share"),
+            round(col("geo_sigma"), 6).as("geo_sigma"),
             round(lit(10.0) * (lit(1.0)
               - (col("top20_share") - lit(0.2)) * lit(0.5)
               - (lit(1.0) - col("coverage")) * lit(2.0)
               - abs(col("high_share") - lit(0.5))), 4).as("bias_score"))
       },
-      Some("""WITH t AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+      Some(s"""WITH t AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
              |g AS (SELECT sum(cnt) AS total_ev, count(*) AS n_users FROM t),
              |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, user_id) AS rnk FROM t),
              |conc AS (SELECT sum(cnt) * 1.0 / max(g.total_ev) AS top20_share
@@ -516,12 +521,16 @@ object MLQueries extends QueryCatalog {
              |    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) * 1.0
              |    / (SELECT count(*) FROM customer) AS coverage),
              |bal AS (SELECT sum(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END) / count(*) AS high_share
-             |  FROM events)
+             |  FROM events),
+             |disp AS (SELECT sqrt(var_samp(lon) + var_samp(lat)) AS geo_sigma FROM
+             |  (SELECT ${Tables.syntheticPointSql("c_custkey")._1} AS lon,
+             |          ${Tables.syntheticPointSql("c_custkey")._2} AS lat FROM customer))
              |SELECT round(top20_share, 6) AS top20_share,
              |  round(coverage, 6) AS coverage,
              |  round(high_share, 6) AS high_share,
+             |  round(geo_sigma, 6) AS geo_sigma,
              |  round(10.0 * (1.0 - (top20_share - 0.2) * 0.5
              |    - (1.0 - coverage) * 2.0 - abs(high_share - 0.5)), 4) AS bias_score
-             |FROM conc, cover, bal""".stripMargin))
+             |FROM conc, cover, bal, disp""".stripMargin))
   )
 }
