@@ -101,6 +101,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("j6b: ingested raster broadcasts into the lookup join") {
+    val p = plan("j6b_geotiff_lookup")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("m7b: lexicon side of the sentiment join broadcasts") {
+    val p = plan("m7b_sentiment_5way")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("f9: geo scalar pipeline stays inside whole-stage codegen") {
+    val p = plan("f9_manhattan_mercator")
+    assert(p.contains("*(1)"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("Invoke"), p)
+  }
+
   test("no unpartitioned window over data-proportional rows (a11/a12/w4/m2/m21/m10b)") {
     // The round-2 verdict's scale-killers: a global Window.orderBy drags the
     // whole frame through ONE task. These queries now use the distributed
