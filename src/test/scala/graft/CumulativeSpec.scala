@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.Cumulative
+import org.apache.spark.sql.functions._
+
+/** ops.Cumulative — the distributed prefix sum behind a11/a12/m2/m21 — must
+  * reproduce the sequential running totals exactly, across many partitions,
+  * for asc and desc orders, with heavy value ties (unique tie-breaker). */
+class CumulativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("running sum and rank match the sequential computation (asc, ties)") {
+    val n = 5000
+    val rows = (1 to n).map(i => (i.toLong, (i % 37).toLong)) // 37-way ties
+    val df = rows.toDF("id", "v").repartition(16)
+    val got = Cumulative.runningSum(df, Seq(col("v"), col("id")), col("v"), "rnk", "cum")
+      .select("id", "v", "rnk", "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val expected = rows.sortBy { case (id, v) => (v, id) }
+      .scanLeft((0L, 0L, 0L)) { case ((_, rnk, cum), (id, v)) => (id, rnk + 1, cum + v) }
+      .drop(1)
+      .map { case (id, rnk, cum) => (id, rnk, cum) }
+      .sortBy(_._1)
+    assert(got.toSeq === expected)
+  }
+
+  test("desc order with a unique key") {
+    val df = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 30L)).toDF("id", "v")
+      .repartition(4)
+    val got = Cumulative.runningSum(df, Seq(col("v").desc, col("id")), col("v"), "rnk", "cum")
+      .orderBy("rnk").collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    // order: (30,id2) (30,id4) (20,id3) (10,id1)
+    assert(got === Seq((2L, 1L, 30L), (4L, 2L, 60L), (3L, 3L, 80L), (1L, 4L, 90L)))
+  }
+
+  test("single row and empty frames") {
+    val one = Seq((7L, 5L)).toDF("id", "v")
+    val g1 = Cumulative.runningSum(one, Seq(col("v"), col("id")), col("v"), "rnk", "cum")
+      .head()
+    assert(g1.getAs[Long]("rnk") === 1L && g1.getAs[Long]("cum") === 5L)
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(Cumulative.runningSum(empty, Seq(col("v"), col("id")), col("v"), "rnk", "cum")
+      .count() === 0L)
+  }
+}
