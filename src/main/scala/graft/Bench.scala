@@ -32,7 +32,11 @@ object Bench {
     val results = names.zipWithIndex.map { case (name, i) =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      catch { case e: Throwable =>
+        // A silently-swallowed failure records as a FAST query — shout.
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        -1L
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // The finished query's checkpointed result/state blocks are dead —
       // sweep them now. (The shared shingle index lives as a parquet
