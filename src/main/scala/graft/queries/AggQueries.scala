@@ -273,6 +273,25 @@ object AggQueries extends QueryCatalog {
         s"SELECT\n  $cols\nFROM orders"
       }),
 
+    // A18 — hierarchical subtotals via ROLLUP (beyond the reference — its
+    // pandas aggregates one level at a time; SURVEY §2.4 notes Spark gives
+    // grouping sets for free): per-(returnflag, linestatus) revenue with
+    // per-flag subtotals and a grand total in ONE pass — at 100 TB this
+    // replaces three separate scans with one partial-aggregated shuffle.
+    "a18_rollup" -> QueryDef(
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("revenue"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("revenue"))
+        .orderBy("flag", "status"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             |  coalesce(l_linestatus, 'ALL') AS status,
+             |  count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY flag, status""".stripMargin)),
+
     // A11 — Pareto concentration (reference top-20%-users share,
     // analyze_data_bias.py:155-178): running share over the desc-ordered
     // per-user totals. Totals are EXACT INTEGER ten-thousandths and the
