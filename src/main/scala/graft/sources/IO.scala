@@ -80,6 +80,26 @@ object IO {
       struct(props.map(col): _*).as("properties"))).as("feature"))
   }
 
+  /** Standard single-document GeoJSON FeatureCollection EXPORT: feature
+    * lines render distributed ([[pointsToGeoJsonFeatures]], comma-joined),
+    * the collection wrapper lands in sidecar head/tail parts — same
+    * parts+wrapper shape as the GraphML/HTML sinks; `cat` assembles the
+    * single-file form outside the cluster. */
+  def writeGeoJson(df: DataFrame, path: String,
+                   lonCol: String = "lon", latCol: String = "lat"): Unit = {
+    val features = pointsToGeoJsonFeatures(df, lonCol, latCol)
+    // Every feature line carries a trailing comma; the tail's `{}` sentinel
+    // absorbs the final one (readers skip it — no geometry). This keeps the
+    // render fully distributed: no task needs to know which line is last.
+    features.select(concat(col("feature"), lit(",")).as("line"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).text(s"$path/features")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/wrapper.head"),
+      """{"type": "FeatureCollection", "features": [""" + "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/wrapper.tail"), "{}]}\n")
+  }
+
   /** Standard single-document GeoJSON file import (S6 read side; reference
     * gpd.read_file on a .geojson FeatureCollection): the whole document
     * parses as ONE multiline JSON record, features explode to rows. A

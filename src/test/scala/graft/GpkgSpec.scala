@@ -61,6 +61,28 @@ class GpkgSpec extends SparkSpec {
     assert(rows(1).getMap[String, String](2)("kind") === "stop")
   }
 
+  test("GeoJSON write -> assemble -> read round-trips") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gj-rt").toString
+    val df = Seq((-74.01, 40.71, "alpha"), (-73.95, 40.78, "beta"))
+      .toDF("lon", "lat", "name")
+    IO.writeGeoJson(df, s"$dir/out")
+    // assemble single-file form the documented way: head + parts + tail
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/out/features"))
+      .toArray.map(_.toString)
+      .filter(p => p.contains("part-") && !p.endsWith(".crc")).sorted
+    val doc = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/out/wrapper.head")) +
+      parts.map(p => java.nio.file.Files.readString(java.nio.file.Paths.get(p))).mkString +
+      java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/out/wrapper.tail"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/all.geojson"), doc)
+    val back = IO.readGeoJson(spark, s"$dir/all.geojson").orderBy("lon").collect()
+    assert(back.length === 2)
+    assert(back(0).getDouble(0) === -74.01)
+    assert(back(0).getMap[String, String](2)("name") === "alpha")
+    assert(back(1).getDouble(1) === 40.78)
+  }
+
   test("gpkg frame round-trips through the WKT geo-table layer format") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-rt").toString
     val df = Gpkg.readFeatures(spark, "fixtures/poi.gpkg", "poi")

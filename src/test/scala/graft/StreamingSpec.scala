@@ -33,9 +33,11 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val stream = MemoryStream[(Long, Long)]
-    // (id, epoch): id 7 repeats within AND across batches.
+    // (id, epoch): id 7 repeats within AND across batches — including at a
+    // DIFFERENT timestamp (the case plain dropDuplicates(id, ts) would keep;
+    // dropDuplicatesWithinWatermark must drop it too).
     stream.addData(Seq((7L, 100L), (7L, 100L), (8L, 200L)))
-    stream.addData(Seq((7L, 100L), (9L, 300L)))
+    stream.addData(Seq((7L, 350L), (9L, 300L)))
     val events = stream.toDF()
       .select(col("_1").as("event_id"), timestamp_seconds(col("_2")).as("ts"))
     runToMemory(EventsAnomaly.dedupStream(events, Seq("event_id")), "dedup_test", "append")
