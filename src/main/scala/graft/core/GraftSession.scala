@@ -30,6 +30,11 @@ object GraftSession {
       // distance math, one task under any size target (m10 4.6→19.2 s,
       // lab3 3.4→16.2 s). The tiny-state iterative rounds it would have
       // helped are stage-count-bound, not task-count-bound (also measured).
+      // Reliable-checkpoint mode (cluster jobs with a checkpoint dir set):
+      // sweep superseded rounds' checkpoint FILES when their RDDs go out of
+      // scope — otherwise every Materialize.cut leaks a directory for the
+      // app's lifetime.
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

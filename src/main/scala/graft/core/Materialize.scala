@@ -14,7 +14,16 @@ import org.apache.spark.sql.DataFrame
   * eager, so callers may release the previous round's state immediately. */
 object Materialize {
   def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // RDD checkpoint re-runs lineage in a second job unless the plan is
+      // persisted first; persist → checkpoint → unpersist halves each
+      // iteration's cost. Checkpoint FILES of superseded rounds are swept by
+      // the ContextCleaner when the session sets
+      // spark.cleaner.referenceTracking.cleanCheckpoints=true (GraftSession
+      // does) — without it they accumulate for the app's lifetime.
+      val persisted = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cut = persisted.checkpoint(eager = true)
+      persisted.unpersist(blocking = false)
+      cut
+    } else df.localCheckpoint(eager = true)
 }

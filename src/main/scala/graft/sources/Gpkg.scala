@@ -147,11 +147,12 @@ object Gpkg {
       case c => cur += c
     }
     parts += cur.toString
+    // Table-level constraint clauses start with one of these KEYWORDS followed by
+    // whitespace or '(' — a bare startsWith would also swallow columns whose NAME
+    // merely begins with the keyword (e.g. "checkin", "uniqueness").
     parts.toSeq.map(_.trim).filterNot(p =>
-        p.toUpperCase.startsWith("PRIMARY KEY") ||
-        p.toUpperCase.startsWith("FOREIGN KEY") ||
-        p.toUpperCase.startsWith("UNIQUE") || p.toUpperCase.startsWith("CHECK") ||
-        p.toUpperCase.startsWith("CONSTRAINT"))
+        p.toUpperCase.matches(
+          "(?s)(PRIMARY\\s+KEY|FOREIGN\\s+KEY)\\b.*|(UNIQUE|CHECK)\\s*\\(.*|CONSTRAINT\\s.*"))
       .map { p =>
         val toks = p.split("\\s+")
         val name = toks(0).stripPrefix("\"").stripSuffix("\"")

@@ -88,16 +88,22 @@ object IO {
   def writeGeoJson(df: DataFrame, path: String,
                    lonCol: String = "lon", latCol: String = "lat"): Unit = {
     val features = pointsToGeoJsonFeatures(df, lonCol, latCol)
-    // Every feature line carries a trailing comma; the tail's `{}` sentinel
-    // absorbs the final one (readers skip it — no geometry). This keeps the
-    // render fully distributed: no task needs to know which line is last.
-    features.select(concat(col("feature"), lit(",")).as("line"))
-      .coalesce(1).write.mode(SaveMode.Overwrite).text(s"$path/features")
+    // Feature JSON renders distributed (projection above); the single-part
+    // text join separates elements with a LEADING comma on every line but the
+    // first, so the assembled document is strict RFC 7946 — no sentinel
+    // element for external readers (geopandas/fiona) to trip on.
+    features.select(col("feature")).as(org.apache.spark.sql.Encoders.STRING)
+      .coalesce(1)
+      .mapPartitions { it =>
+        var first = true
+        it.map { f => if (first) { first = false; f } else "," + f }
+      }(org.apache.spark.sql.Encoders.STRING)
+      .write.mode(SaveMode.Overwrite).text(s"$path/features")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$path/wrapper.head"),
       """{"type": "FeatureCollection", "features": [""" + "\n")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$path/wrapper.tail"), "{}]}\n")
+      java.nio.file.Paths.get(s"$path/wrapper.tail"), "]}\n")
   }
 
   /** Standard single-document GeoJSON file import (S6 read side; reference

@@ -69,9 +69,13 @@ object Multimodal {
             val id = new String(b, off, 4)
             val len = le32(b, off + 4)
             // a malformed length must fail loudly, not spin the chunk walk
-            require(len >= 0 && off + 8 + len <= b.length + 1,
+            // (the odd-length pad byte is accounted for separately below, so
+            // the declared payload itself must fit exactly)
+            require(len >= 0 && off + 8 + len <= b.length,
               s"media ${r.media_id}: bad RIFF chunk length $len at offset $off")
             if (id == "fmt ") {
+              require(len >= 16,
+                s"media ${r.media_id}: fmt chunk too short ($len bytes)")
               channels = le16(b, off + 10); rate = le32(b, off + 12)
               bits = le16(b, off + 22)
             } else if (id == "data") dataLen = len

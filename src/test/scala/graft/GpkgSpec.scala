@@ -38,6 +38,19 @@ class GpkgSpec extends SparkSpec {
       144115188075855872L -> "huge"))
   }
 
+  test("keyword-prefixed column names survive constraint-clause filtering") {
+    // kw table declares columns 'checkin'/'uniqueness'/'checksum' alongside
+    // real UNIQUE(...) and CHECK(...) table constraints: the columns must
+    // surface with their values un-shifted, the constraints must not.
+    val df = Gpkg.readFeatures(spark, "fixtures/edge.gpkg", "kw")
+    assert(df.columns.toSeq === Seq("fid", "checkin", "uniqueness", "checksum", "lon", "lat"))
+    val rows = df.orderBy("fid").collect()
+    assert(rows.map(_.getLong(1)).toSeq === Seq(11L, 22L))
+    assert(rows.map(_.getString(2)).toSeq === Seq("u1", "u2"))
+    assert(rows.map(_.getDouble(3)).toSeq === Seq(0.5, 1.5))
+    assert(math.abs(rows(0).getDouble(4) - (-74.0)) < 1e-9)
+  }
+
   test("standard single-document GeoJSON FeatureCollection reads to points") {
     val dir = java.nio.file.Files.createTempDirectory("graft-geojson").toString
     val doc =
@@ -76,6 +89,10 @@ class GpkgSpec extends SparkSpec {
       parts.map(p => java.nio.file.Files.readString(java.nio.file.Paths.get(p))).mkString +
       java.nio.file.Files.readString(java.nio.file.Paths.get(s"$dir/out/wrapper.tail"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/all.geojson"), doc)
+    // strict RFC 7946: every "features" member is a Feature object — no
+    // sentinel element, no trailing comma in the assembled document
+    assert(!doc.contains("{}"))
+    assert(!doc.replaceAll("\\s", "").contains(",]"))
     val back = IO.readGeoJson(spark, s"$dir/all.geojson").orderBy("lon").collect()
     assert(back.length === 2)
     assert(back(0).getDouble(0) === -74.01)

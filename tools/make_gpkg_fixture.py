@@ -84,6 +84,19 @@ def main():
                     (fid, name, gpb_point(lon, lat)))
     cur.execute("INSERT INTO gpkg_contents VALUES "
                 "('pts', 'features', 'pts', '', NULL, -74.1, 40.6, -73.9, 40.8, 4326)")
+    # Keyword-prefixed COLUMN names ('checkin', 'uniqueness', 'checksum')
+    # plus real table-level UNIQUE/CHECK constraints: the reader's
+    # constraint-clause filter must drop the clauses and keep the columns.
+    cur.execute("""CREATE TABLE kw (
+        fid INTEGER PRIMARY KEY, checkin INTEGER, uniqueness TEXT,
+        checksum REAL, geom POINT,
+        UNIQUE (checkin), CHECK (checksum >= 0))""")
+    for fid, ci, u, cs, lon, lat in [(1, 11, "u1", 0.5, -74.0, 40.7),
+                                     (2, 22, "u2", 1.5, -73.9, 40.8)]:
+        cur.execute("INSERT INTO kw VALUES (?, ?, ?, ?, ?)",
+                    (fid, ci, u, cs, gpb_point(lon, lat)))
+    cur.execute("INSERT INTO gpkg_contents VALUES "
+                "('kw', 'features', 'kw', '', NULL, -74.0, 40.7, -73.9, 40.8, 4326)")
     con.commit()
     cur.execute("PRAGMA journal_mode = DELETE")
     con.commit()
