@@ -4,6 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Minima protocol: same-commit totals vary ~1.6x with VM-host noise
+    // (BASELINE.md, rounds 1-3), so a single sample can't distinguish a
+    // regression from a noisy neighbor. Each query runs REPS times — as
+    // OUTER suite passes, so a minutes-long noise burst can't hit all reps
+    // of one query — and the report carries the per-query MINIMUM, the
+    // noise-floor estimate BASELINE.md's protocol compares.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = graft.core.GraftSession.local(cpus)
 
     // Warm-up pass at the smallest scale factor (fallback: target dir): JIT +
@@ -29,26 +36,35 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val results = names.zipWithIndex.map { case (name, i) =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case e: Throwable =>
-        // A silently-swallowed failure records as a FAST query — shout.
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        -1L
+    val minima = scala.collection.mutable.Map.empty[String, Double]
+    for (rep <- 1 to reps) {
+      names.zipWithIndex.foreach { case (name, i) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            // A silently-swallowed failure records as a FAST query — shout.
+            System.err.println(s"[bench] $name FAILED (rep $rep): ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // A failed run must never lower the min; if a query fails in every
+        // rep it reports -1 so the driver sees the failure, not a fast time.
+        val sample = if (ok) dt else Double.MaxValue
+        minima(name) = math.min(minima.getOrElse(name, Double.MaxValue), sample)
+        // The finished query's checkpointed result/state blocks are dead —
+        // sweep them now. (The shared shingle index lives as a parquet
+        // intermediate, not executor blocks, so nothing needs pinning.) Left
+        // to GC + ContextCleaner they evict execution memory at unpredictable
+        // suite positions (measured: same query 12 s or 60 s by position).
+        graft.core.GraftSession.releaseTransientBlocks(spark)
+        // Periodic GC still reaps broadcast blocks (not in getPersistentRDDs);
+        // every 8 queries bounds the ~0.3 s/GC overhead across the suite.
+        if (i % 8 == 7) System.gc()
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // The finished query's checkpointed result/state blocks are dead —
-      // sweep them now. (The shared shingle index lives as a parquet
-      // intermediate, not executor blocks, so nothing needs pinning.) Left
-      // to GC + ContextCleaner they evict execution memory at unpredictable
-      // suite positions (measured: same query 12 s or 60 s by position).
-      graft.core.GraftSession.releaseTransientBlocks(spark)
-      // Periodic GC still reaps broadcast blocks (not in getPersistentRDDs);
-      // every 8 queries bounds the ~0.3 s/GC overhead across the suite.
-      if (i % 8 == 7) System.gc()
-      name -> dt
-    }.toMap
+    }
+    val results = minima.view
+      .mapValues(v => if (v == Double.MaxValue) -1.0 else v).toMap
     // Locale.ROOT: a comma-decimal default locale would break the driver's
     // JSON parse of this line.
     def sec(v: Double): String =
@@ -62,9 +78,9 @@ object Bench {
     // emit the line both before and after spark.stop so either capture wins.
     val headlineTimes = fmt(results.view.filterKeys(SparkEntry.headline.toSet).toMap)
     val compact =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir","reps":$reps}"""
     val detail =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","reps":$reps}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()
