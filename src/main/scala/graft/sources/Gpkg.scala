@@ -10,13 +10,15 @@ import org.apache.spark.sql.types._
   * A GeoPackage is a SQLite database with registered metadata tables
   * (gpkg_contents, gpkg_geometry_columns) and one table per feature layer
   * whose geometry column holds GPB blobs (GeoPackage binary header + WKB).
-  * This is a from-scratch reader for the subset an exchange fixture uses:
-  * table b-trees (interior + leaf), the SQLite record serial-type format,
-  * rowid-aliased INTEGER PRIMARY KEY, and GPB/WKB XY points. No overflow
-  * pages, WAL, or write path — a GPKG is a single-machine EXCHANGE artifact,
-  * so ingestion parses driver-side and parallelizes the resulting rows;
-  * bulk vector data lives in parquet once inside the engine (writeGeoTable/
-  * readGeoTable is the cluster-native layer format).
+  * This is a from-scratch reader AND writer for the subset an exchange
+  * artifact uses: table b-trees (interior + leaf), the SQLite record
+  * serial-type format, rowid-aliased INTEGER PRIMARY KEY, and GPB/WKB XY
+  * points ([[writeFeatures]] emits a container stock SQLite verifies with
+  * `PRAGMA integrity_check` = ok). No overflow pages or WAL — a GPKG is a
+  * single-machine EXCHANGE artifact, so ingestion parses driver-side and
+  * parallelizes the resulting rows; bulk vector data lives in parquet once
+  * inside the engine (writeGeoTable/readGeoTable is the cluster-native
+  * layer format).
   */
 object Gpkg {
 
@@ -246,5 +248,301 @@ object Gpkg {
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       StructType(fields))
+  }
+
+  // ---- SQLite write path (real GPKG container) -----------------------------
+  //
+  // From-scratch single-file SQLite writer covering the same subset the
+  // reader parses: table b-trees (leaf + interior levels), the record
+  // serial-type format, rowid-aliased INTEGER PRIMARY KEY (stored NULL),
+  // and GPB XY-point geometry, plus the gpkg_spatial_ref_sys/gpkg_contents/
+  // gpkg_geometry_columns registry a conforming consumer expects
+  // (reference writes GPKG via to_file(driver='GPKG'),
+  // 实习三/实习三代码/bounds_analysis.ipynb:367-371). A GPKG is a
+  // single-machine EXCHANGE artifact: rendering is driver-side by format
+  // nature (like Shp/GeoTiff export), guarded by `maxRows` so the boundary
+  // fails loudly instead of OOMing the driver on bulk data — bulk vector
+  // data lives in parquet inside the engine.
+
+  private val PageSize = 4096
+
+  private def varintBytes(v: Long): Array[Byte] =
+    if (v >= 0 && v < 128) Array(v.toByte)
+    else if (v < 0 || v >= (1L << 56)) {
+      // 9-byte form: eight continuation bytes then a full-8-bit ninth
+      val out = new Array[Byte](9)
+      out(8) = (v & 0xff).toByte
+      var x = v >>> 8
+      var i = 7
+      while (i >= 0) { out(i) = ((x & 0x7f) | 0x80).toByte; x >>>= 7; i -= 1 }
+      out
+    } else {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var x = v
+      while (x != 0) { buf += (x & 0x7f).toByte; x >>>= 7 }
+      val arr = buf.reverse.toArray
+      for (i <- 0 until arr.length - 1) arr(i) = (arr(i) | 0x80).toByte
+      arr
+    }
+
+  private def be(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+
+  /** (serialType, bodyBytes) minimal integer encoding. */
+  private def intSerial(v: Long): (Long, Array[Byte]) = v match {
+    case 0 => (8L, Array.empty[Byte])
+    case 1 => (9L, Array.empty[Byte])
+    case _ =>
+      val n =
+        if (v >= -(1L << 7) && v < (1L << 7)) 1
+        else if (v >= -(1L << 15) && v < (1L << 15)) 2
+        else if (v >= -(1L << 23) && v < (1L << 23)) 3
+        else if (v >= -(1L << 31) && v < (1L << 31)) 4
+        else if (v >= -(1L << 47) && v < (1L << 47)) 6
+        else 8
+      val serial = n match { case 1 => 1L; case 2 => 2L; case 3 => 3L
+                            case 4 => 4L; case 6 => 5L; case 8 => 6L }
+      (serial, be(v, n))
+  }
+
+  /** One record in SQLite serial-type format. */
+  private def sqliteRecord(values: Seq[Any]): Array[Byte] = {
+    val typed = values.map {
+      case null => (0L, Array.empty[Byte])
+      case l: Long => intSerial(l)
+      case i: Int => intSerial(i.toLong)
+      case d: Double => (7L, be(java.lang.Double.doubleToLongBits(d), 8))
+      case s: String =>
+        val b = s.getBytes("UTF-8"); (13L + 2L * b.length, b)
+      case b: Array[Byte] => (12L + 2L * b.length, b)
+      case other => throw new IllegalArgumentException(
+        s"unsupported SQLite value type ${other.getClass}")
+    }
+    val typeBytes = typed.flatMap(t => varintBytes(t._1)).toArray
+    // header length includes its own varint — fixpoint (stable in 2 steps)
+    var hdrLen = typeBytes.length + 1
+    hdrLen = typeBytes.length + varintBytes(hdrLen.toLong).length
+    hdrLen = typeBytes.length + varintBytes(hdrLen.toLong).length
+    varintBytes(hdrLen.toLong) ++ typeBytes ++ typed.flatMap(_._2)
+  }
+
+  /** Pack (rowid, record) cells into a table b-tree; returns the root page
+    * number. Pages append to `pages` (index i = page number i+1). */
+  private def buildTableBtree(cells: Seq[(Long, Array[Byte])],
+      pages: scala.collection.mutable.ArrayBuffer[Array[Byte]]): Int = {
+    val maxLocal = PageSize - 35
+    def leafPage(grp: Seq[(Long, Array[Byte])]): Array[Byte] = {
+      val page = new Array[Byte](PageSize)
+      page(0) = 13
+      System.arraycopy(be(grp.size.toLong, 2), 0, page, 3, 2)
+      var content = PageSize
+      grp.zipWithIndex.foreach { case ((rowid, rec), i) =>
+        val cell = varintBytes(rec.length.toLong) ++ varintBytes(rowid) ++ rec
+        content -= cell.length
+        System.arraycopy(cell, 0, page, content, cell.length)
+        System.arraycopy(be(content.toLong, 2), 0, page, 8 + 2 * i, 2)
+      }
+      System.arraycopy(be(content.toLong, 2), 0, page, 5, 2)
+      page
+    }
+    // greedy fill in rowid order: 8-byte header + 2-byte ptr + cell per row
+    val sorted = cells.sortBy(_._1)
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Array[Byte])]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+    var used = 8
+    sorted.foreach { case (rowid, rec) =>
+      val cellLen = (varintBytes(rec.length.toLong) ++ varintBytes(rowid)).length + rec.length
+      require(cellLen <= maxLocal,
+        s"row $rowid record ($cellLen bytes) would need overflow pages — unsupported")
+      if (used + 2 + cellLen > PageSize && cur.nonEmpty) {
+        leaves += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty; used = 8
+      }
+      cur += (rowid -> rec); used += 2 + cellLen
+    }
+    leaves += cur.toSeq // empty table -> one empty leaf
+    var level: Seq[(Int, Long)] = leaves.map { grp =>
+      pages += leafPage(grp)
+      pages.length -> (if (grp.isEmpty) 0L else grp.last._1)
+    }.toSeq
+    while (level.size > 1) {
+      // interior pages: cells (childPtr u32, maxRowid varint), last child as
+      // the right-most pointer
+      val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[(Int, Long)]]
+      var g = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      var u = 12
+      level.foreach { case (pageNo, key) =>
+        val cellLen = 4 + varintBytes(key).length
+        if (u + 2 + cellLen > PageSize && g.size >= 2) {
+          groups += g.toSeq; g = scala.collection.mutable.ArrayBuffer.empty; u = 12
+        }
+        g += (pageNo -> key); u += 2 + cellLen
+      }
+      groups += g.toSeq
+      level = groups.map { grp =>
+        val page = new Array[Byte](PageSize)
+        page(0) = 5
+        val body = grp.init
+        System.arraycopy(be(body.size.toLong, 2), 0, page, 3, 2)
+        System.arraycopy(be(grp.last._1.toLong, 4), 0, page, 8, 4)
+        var content = PageSize
+        body.zipWithIndex.foreach { case ((child, key), i) =>
+          val cell = be(child.toLong, 4) ++ varintBytes(key)
+          content -= cell.length
+          System.arraycopy(cell, 0, page, content, cell.length)
+          System.arraycopy(be(content.toLong, 2), 0, page, 12 + 2 * i, 2)
+        }
+        System.arraycopy(be(content.toLong, 2), 0, page, 5, 2)
+        pages += page
+        pages.length -> grp.last._2
+      }.toSeq
+    }
+    level.head._1
+  }
+
+  /** GPB blob for an XY point (header + envelope + WKB, little-endian). */
+  private[sources] def gpbPointBlob(lon: Double, lat: Double, srsId: Int = 4326): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 32 + 21)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('G'.toByte).put('P'.toByte).put(0.toByte)
+    bb.put((((1 << 1) | 1)).toByte) // envelope indicator 1 (XY), little-endian
+    bb.putInt(srsId)
+    bb.putDouble(lon).putDouble(lon).putDouble(lat).putDouble(lat)
+    bb.put(1.toByte).putInt(1).putDouble(lon).putDouble(lat)
+    bb.array()
+  }
+
+  /** Write `df` as a real single-file GeoPackage: a SQLite container with
+    * gpkg_spatial_ref_sys/gpkg_contents/gpkg_geometry_columns and one
+    * feature layer of GPB XY points. Columns: `lonCol`/`latCol` become the
+    * geometry; a `fid` integer column (if present) becomes the rowid alias;
+    * INTEGER/REAL/TEXT attributes keep their declared affinity.
+    * Round-trips through [[readFeatures]] and opens in stock sqlite3. */
+  def writeFeatures(df: DataFrame, path: String, layer: String,
+                    lonCol: String = "lon", latCol: String = "lat",
+                    maxRows: Int = 1000000): Unit = {
+    val schema = df.schema
+    require(Seq(lonCol, latCol).forall(schema.fieldNames.contains),
+      s"writeFeatures needs $lonCol/$latCol columns")
+    val attrs = schema.fields.filterNot(f => f.name == lonCol || f.name == latCol)
+    val fidIdx = attrs.indexWhere(f => f.name == "fid" &&
+      Seq(LongType, IntegerType).contains(f.dataType))
+    val collected = df.limit(maxRows + 1).collect()
+    require(collected.length <= maxRows,
+      s"writeFeatures is a single-file exchange export capped at $maxRows rows; " +
+        "use writeGeoTable (parquet/WKT layer) for bulk data")
+
+    def sqlType(dt: DataType): String = dt match {
+      case LongType | IntegerType | ShortType | ByteType => "INTEGER"
+      case DoubleType | FloatType => "REAL"
+      case _ => "TEXT"
+    }
+    val colDefs = attrs.zipWithIndex.map { case (f, i) =>
+      if (i == fidIdx) "\"fid\" INTEGER PRIMARY KEY"
+      else s""""${f.name}" ${sqlType(f.dataType)}"""
+    } :+ "\"geom\" POINT"
+    val layerSql = s"""CREATE TABLE "$layer" (${colDefs.mkString(", ")})"""
+
+    val lonAt = schema.fieldIndex(lonCol); val latAt = schema.fieldIndex(latCol)
+    var minX = Double.MaxValue; var minY = Double.MaxValue
+    var maxX = -Double.MaxValue; var maxY = -Double.MaxValue
+    val layerCells = collected.zipWithIndex.map { case (row, i) =>
+      val lon = row.getAs[Any](lonAt).asInstanceOf[Number].doubleValue()
+      val lat = row.getAs[Any](latAt).asInstanceOf[Number].doubleValue()
+      minX = math.min(minX, lon); maxX = math.max(maxX, lon)
+      minY = math.min(minY, lat); maxY = math.max(maxY, lat)
+      val rowid =
+        if (fidIdx >= 0) row.getAs[Any](attrs(fidIdx).name).asInstanceOf[Number].longValue()
+        else i + 1L
+      val vals: Seq[Any] = attrs.zipWithIndex.map { case (f, ai) =>
+        if (ai == fidIdx) null // rowid alias stores NULL; the key carries it
+        else row.getAs[Any](f.name) match {
+          case null => null
+          case n: java.lang.Integer => n.longValue()
+          case n: java.lang.Short => n.longValue()
+          case n: java.lang.Byte => n.longValue()
+          case n: java.lang.Float => n.doubleValue()
+          case v @ (_: java.lang.Long | _: java.lang.Double | _: String) => v
+          case other => other.toString
+        }
+      }.toSeq :+ gpbPointBlob(lon, lat)
+      rowid -> sqliteRecord(vals)
+    }.toSeq
+    if (collected.isEmpty) { minX = 0; minY = 0; maxX = 0; maxY = 0 }
+
+    // Registry DDL deliberately avoids non-rowid PRIMARY KEY / UNIQUE
+    // constraints: each would imply a sqlite_autoindex b-tree this writer
+    // does not emit, and stock SQLite treats the missing index as
+    // corruption. INTEGER PRIMARY KEY (a rowid alias) needs no index.
+    val srsSql = """CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, description TEXT)"""
+    val contentsSql = """CREATE TABLE gpkg_contents (table_name TEXT NOT NULL, data_type TEXT NOT NULL, identifier TEXT, description TEXT DEFAULT '', last_change DATETIME, min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"""
+    val geomColsSql = """CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)"""
+
+    val wgs84 = "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]],PRIMEM[\"Greenwich\",0],UNIT[\"degree\",0.0174532925199433]]"
+    val srsCells = Seq(
+      1L -> sqliteRecord(Seq("WGS 84", 4326L, "EPSG", 4326L, wgs84, null)))
+    val contentsCells = Seq(
+      1L -> sqliteRecord(Seq(layer, "features", layer, "", null,
+        minX, minY, maxX, maxY, 4326L)))
+    val geomColsCells = Seq(
+      1L -> sqliteRecord(Seq(layer, "geom", "POINT", 4326L, 0L, 0L)))
+
+    // page 1 (sqlite_master root) is reserved up front; table b-trees append
+    // behind it, then the master records point at their allocated roots
+    val pages = scala.collection.mutable.ArrayBuffer[Array[Byte]](null)
+    val srsRoot = buildTableBtree(srsCells, pages)
+    val contentsRoot = buildTableBtree(contentsCells, pages)
+    val geomColsRoot = buildTableBtree(geomColsCells, pages)
+    val layerRoot = buildTableBtree(layerCells, pages)
+
+    val masterCells = Seq(
+      ("gpkg_spatial_ref_sys", srsRoot, srsSql),
+      ("gpkg_contents", contentsRoot, contentsSql),
+      ("gpkg_geometry_columns", geomColsRoot, geomColsSql),
+      (layer, layerRoot, layerSql)).zipWithIndex.map { case ((name, root, sql), i) =>
+      (i + 1L) -> sqliteRecord(Seq("table", name, name, root.toLong, sql))
+    }
+    // master must fit page 1 (100-byte file header + 8-byte page header)
+    val masterSize = 108 + masterCells.map { case (rid, rec) =>
+      2 + (varintBytes(rec.length.toLong) ++ varintBytes(rid)).length + rec.length
+    }.sum
+    require(masterSize <= PageSize, s"sqlite_master overflows page 1 ($masterSize bytes)")
+    val master = new Array[Byte](PageSize)
+    master(100) = 13
+    System.arraycopy(be(masterCells.size.toLong, 2), 0, master, 103, 2)
+    var content = PageSize
+    masterCells.zipWithIndex.foreach { case ((rowid, rec), i) =>
+      val cell = varintBytes(rec.length.toLong) ++ varintBytes(rowid) ++ rec
+      content -= cell.length
+      System.arraycopy(cell, 0, master, content, cell.length)
+      System.arraycopy(be(content.toLong, 2), 0, master, 108 + 2 * i, 2)
+    }
+    System.arraycopy(be(content.toLong, 2), 0, master, 105, 2)
+
+    // 100-byte file header into page 1
+    val hdr = java.nio.ByteBuffer.allocate(100)
+    hdr.put("SQLite format 3".getBytes("UTF-8")).put(0.toByte)
+    hdr.putShort(PageSize.toShort)
+    hdr.put(1.toByte).put(1.toByte) // legacy write/read versions
+    hdr.put(0.toByte)               // reserved space per page
+    hdr.put(64.toByte).put(32.toByte).put(32.toByte)
+    hdr.putInt(1)                   // file change counter
+    hdr.putInt(pages.length)        // page count
+    hdr.putInt(0).putInt(0)         // freelist head/count
+    hdr.putInt(1)                   // schema cookie
+    hdr.putInt(1)                   // schema format 1
+    hdr.putInt(0)                   // default cache size
+    hdr.putInt(0)                   // largest root (non-vacuum)
+    hdr.putInt(1)                   // text encoding UTF-8
+    hdr.putInt(10300)               // user_version: GPKG 1.3
+    hdr.putInt(0)                   // incremental vacuum off
+    hdr.putInt(0x47504B47)          // application_id "GPKG"
+    hdr.position(92)
+    hdr.putInt(1)                   // version-valid-for
+    hdr.putInt(3045000)             // sqlite version stamp
+    System.arraycopy(hdr.array(), 0, master, 0, 100)
+    pages(0) = master
+
+    val out = java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path))
+    try pages.foreach(out.write) finally out.close()
   }
 }

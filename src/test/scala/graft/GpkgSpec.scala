@@ -100,6 +100,45 @@ class GpkgSpec extends SparkSpec {
     assert(back(1).getDouble(1) === 40.78)
   }
 
+  test("writeFeatures emits a real GPKG container that round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-w").toString
+    val df = Gpkg.readFeatures(spark, "fixtures/poi.gpkg", "poi")
+    Gpkg.writeFeatures(df, s"$dir/out.gpkg", "poi")
+    // the writer's output must parse with the same real-SQLite reader
+    assert(Gpkg.layers(s"$dir/out.gpkg") === Seq("poi"))
+    val back = Gpkg.readFeatures(spark, s"$dir/out.gpkg", "poi")
+    assert(back.columns.toSeq === df.columns.toSeq)
+    val a = df.orderBy("fid").collect().toSeq
+    val b = back.orderBy("fid").collect().toSeq
+    assert(a.size === b.size)
+    a.zip(b).foreach { case (x, y) => assert(x === y) } // bit-exact round-trip
+  }
+
+  test("writeFeatures b-tree spans interior pages for larger layers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-big").toString
+    // long text payloads force many 4 KiB leaves -> an interior level
+    val df = (1 to 3000).map(i =>
+        (i.toLong, "x" * 200 + i.toString, -74.0 + i * 1e-4, 40.5 + i * 1e-4))
+      .toDF("fid", "payload", "lon", "lat")
+    Gpkg.writeFeatures(df, s"$dir/big.gpkg", "big")
+    val back = Gpkg.readFeatures(spark, s"$dir/big.gpkg", "big")
+    assert(back.count() === 3000L)
+    val r = back.filter(col("fid") === 2345L).head()
+    assert(r.getString(1).endsWith("2345"))
+    assert(math.abs(r.getDouble(2) - (-74.0 + 2345 * 1e-4)) < 1e-12)
+  }
+
+  test("writeFeatures row cap fails loudly instead of collecting bulk data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-cap").toString
+    val df = (1 to 10).map(i => (i.toLong, -74.0, 40.5)).toDF("fid", "lon", "lat")
+    val e = intercept[IllegalArgumentException] {
+      Gpkg.writeFeatures(df, s"$dir/cap.gpkg", "cap", maxRows = 5)
+    }
+    assert(e.getMessage.contains("exchange export"))
+  }
+
   test("gpkg frame round-trips through the WKT geo-table layer format") {
     val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-rt").toString
     val df = Gpkg.readFeatures(spark, "fixtures/poi.gpkg", "poi")
