@@ -73,6 +73,49 @@ object MediaQueries extends QueryCatalog {
              |  count(DISTINCT media_id) AS n_media,
              |  round(avg(brightness), 4) AS avg_brightness,
              |  CAST(max(frame_idx) AS BIGINT) AS max_frame_idx
-             |FROM feat GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM feat GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // MM3 — REAL compressed-image decode, oracle-proven: deterministic
+    // pixels render per media id, PNG-encode (DEFLATE + varying row
+    // filters), then decode through the real codec path; the aggregate sums
+    // DECODED pixel bytes, so the DuckDB oracle (pure arithmetic over the
+    // same pattern) only matches if DEFLATE + all five unfilter branches
+    // reproduce every byte. Encode/decode are per-record inside partitions —
+    // the same batched shape mm1 uses, no driver hop.
+    "mm3_png_roundtrip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.documents(s, dir).select(col("doc_id"))
+          .filter(pmod(col("doc_id"), lit(7L)) === 0).as[Long]
+        val decoded = ids.mapPartitions { it =>
+          it.map { id =>
+            val w = 8 + (id % 16).toInt; val h = 8 + (id % 12).toInt
+            val px = Array.tabulate(w * h * 3)(i => ((id * 31 + i) % 256).toByte)
+            val img = graft.sources.Png.decode(
+              graft.sources.Png.encode(graft.sources.Png.Image(w, h, 3, px)))
+            var sum = 0L
+            img.pixels.foreach(p => sum += (p & 0xff))
+            (id, img.width, img.height, sum)
+          }
+        }.toDF("media_id", "width", "height", "pix_sum")
+        decoded.agg(
+          count(lit(1)).as("n_images"),
+          sum("width").as("sum_width"),
+          sum("height").as("sum_height"),
+          sum("pix_sum").as("sum_pix"))
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |    8 + CAST(doc_id % 16 AS INT) AS w,
+             |    8 + CAST(doc_id % 12 AS INT) AS h
+             |  FROM documents WHERE doc_id % 7 = 0),
+             |px AS (SELECT media_id, w, h,
+             |    unnest(range(0, CAST(w * h * 3 AS BIGINT))) AS i FROM m),
+             |ps AS (SELECT media_id, any_value(w) AS w, any_value(h) AS h,
+             |    sum((media_id * 31 + i) % 256) AS pix_sum
+             |  FROM px GROUP BY media_id)
+             |SELECT count(*) AS n_images, CAST(sum(w) AS BIGINT) AS sum_width,
+             |  CAST(sum(h) AS BIGINT) AS sum_height,
+             |  CAST(sum(pix_sum) AS BIGINT) AS sum_pix
+             |FROM ps""".stripMargin))
   )
 }

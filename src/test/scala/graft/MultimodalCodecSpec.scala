@@ -70,6 +70,59 @@ class MultimodalCodecSpec extends SparkSpec {
     assert(out(5L).height === 360)
   }
 
+  test("PNG fixture decodes bit-exactly against the committed raw pixels") {
+    import graft.sources.{Fixtures, Png}
+    val png = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Fixtures.path("fixtures/sample.png")))
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(Fixtures.path("fixtures/sample.rgb")))
+    val img = Png.decode(png)
+    // fixture rows cycle all 5 filters and the IDAT stream is split in two
+    assert(img.width === 41 && img.height === 23 && img.channels === 3)
+    assert(java.util.Arrays.equals(img.pixels, raw))
+  }
+
+  test("PNG encode -> decode round-trips every color type and filter") {
+    import graft.sources.Png
+    for (ch <- Seq(1, 2, 3, 4); filt <- Seq(0, 1, 2, 3, 4)) {
+      val w = 13; val h = 9
+      val px = Array.tabulate(w * h * ch)(i => ((i * 11 + ch * 3 + filt) % 256).toByte)
+      val back = Png.decode(Png.encode(Png.Image(w, h, ch, px), _ => filt))
+      assert(back.width === w && back.height === h && back.channels === ch)
+      assert(java.util.Arrays.equals(back.pixels, px), s"ch=$ch filter=$filt")
+    }
+  }
+
+  test("RealCodec decodes PNG, falls through to WAV, rejects JPEG by name") {
+    import graft.sources.Png
+    val spark0 = spark
+    import spark0.implicits._
+    val png = Png.encode(Png.Image(17, 5, 3,
+      Array.tabulate(17 * 5 * 3)(i => (i % 256).toByte)))
+    val media = Seq(
+      MediaRecord(11L, "image", png),
+      MediaRecord(12L, "audio", wav(rate = 8000, channels = 1, bits = 16, frames = 100)))
+      .toDS()
+    val out = Multimodal.decode(media, Multimodal.RealCodec)
+      .collect().map(d => d.media_id -> d).toMap
+    assert(out(11L).width === 17 && out(11L).height === 5)
+    assert(out(12L).width === 8000 && out(12L).n_frames === 100)
+    val jpeg = Seq(MediaRecord(13L, "image",
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte))).toDS()
+    val e = intercept[Exception] {
+      Multimodal.decode(jpeg, Multimodal.RealCodec).collect()
+    }
+    assert(e.getMessage.contains("JPEG") || e.getCause.getMessage.contains("JPEG"))
+  }
+
+  test("truncated PNG fails loudly, not silently") {
+    import graft.sources.Png
+    val png = Png.encode(Png.Image(8, 8, 3, Array.fill(8 * 8 * 3)(5.toByte)))
+    intercept[IllegalArgumentException] {
+      Png.decode(java.util.Arrays.copyOf(png, png.length - 20))
+    }
+  }
+
   test("unsupported container fails loudly with the media id") {
     val spark0 = spark
     import spark0.implicits._
