@@ -52,8 +52,9 @@ object VectorQueries extends QueryCatalog {
     (rows, centers, assigned)
   }
 
-  /** DuckDB CTE chain mirroring [[lloyd]]: rows_, c0..c2, a1..a2. */
-  private val lloydSql: String = {
+  /** DuckDB CTE chain mirroring [[lloyd]] at cluster count `k`:
+    * rows_, c0..c2, a1..a2. */
+  private def lloydSql(k: Int): String = {
     val steps = (1 to 2).map { i =>
       s"""a$i AS (SELECT vec_id, cid FROM (
          |    SELECT r.vec_id, c.cid,
@@ -68,7 +69,7 @@ object VectorQueries extends QueryCatalog {
        |    generate_subscripts(embedding, 1) - 1 AS dim,
        |    unnest(embedding)::DOUBLE AS v
        |  FROM embeddings),
-       |c0 AS (SELECT vec_id AS cid, dim, v AS cv FROM rows_ WHERE vec_id < 4),
+       |c0 AS (SELECT vec_id AS cid, dim, v AS cv FROM rows_ WHERE vec_id < $k),
        |$steps""".stripMargin
   }
 
@@ -201,43 +202,69 @@ object VectorQueries extends QueryCatalog {
            |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin
       }),
 
-    // V5 — IVF with a TRAINED coarse quantizer: seeded K-Means (k=16) builds
-    // the centroid codebook; every vector lands in one inverted list; probes
-    // scan only their nprobe=4 nearest lists with exact cosine re-ranking.
-    // The scale path for ANN beyond LSH: list sizes are balanced by the
-    // quantizer, and the probe-side work is nprobe/k of the corpus.
-    // Rows-only (seeded model output); IvfSpec pins recall vs brute force.
+    // V5 — IVF with a TRAINED coarse quantizer at production shape: the
+    // deterministic relational Lloyd (same machinery as v6/v7, k=16, fixed
+    // iterations, init = 16 lowest vec_ids) trains the codebook; every
+    // vector lands in one inverted list; probes scan only their nprobe=4
+    // nearest lists with exact cosine re-ranking and report the candidate
+    // count. The scale path for ANN beyond LSH: list sizes are balanced by
+    // the quantizer, probe work is ~nprobe/k of the corpus. Replacing the
+    // seeded MLlib fit with the relational Lloyd made every stage
+    // bit-reproducible — so unlike round 3 this is fully oracle-checked
+    // (and IvfSpec still pins recall vs brute force).
     "v5_ivf_trained" -> QueryDef(
       (s, dir) => {
-        import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.functions.array_to_vector
+        val k = 16; val nprobe = 4; val topk = 3
+        val (rows, centers, assigned) = lloyd(s, dir, k = k)
+        val probeRows = rows.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("dim"), col("v").as("pv"))
+        val pc = probeRows.join(centers, "dim")
+          .withColumn("t", (col("pv") - col("cv")) * (col("pv") - col("cv")))
+          .groupBy("probe_id", "cid").agg(ssum(col("t")).as("d2"))
+        val wc = Window.partitionBy("probe_id").orderBy(col("d2"), col("cid"))
+        val probeLists = pc.withColumn("crn", row_number().over(wc))
+          .filter(col("crn") <= nprobe).select("probe_id", "cid")
         val e = Tables.embeddings(s, dir)
-        val feat = e.withColumn("features", array_to_vector(col("embedding")))
-        val model = new KMeans().setK(16).setSeed(42L)
-          .setFeaturesCol("features").setPredictionCol("list_id").fit(feat)
-        val lists = model.transform(feat).drop("features")
-        import s.implicits._
-        val centers = model.clusterCenters.zipWithIndex
-          .map { case (v, i) => (i, v.toArray.map(_.toFloat).toSeq) }.toSeq
-          .toDF("list_id", "center")
-        val probes = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-        val probeLists = probes.crossJoin(broadcast(centers))
-          .withColumn("c_cos", VectorExpr.vecCosine(col("pe"), col("center")))
-          .withColumn("crn", row_number().over(
-            Window.partitionBy("probe_id").orderBy(desc("c_cos"), col("list_id"))))
-          .filter(col("crn") <= 4)
-          .select("probe_id", "pe", "list_id")
-        val cand = probeLists.join(lists, "list_id")
+        val scored = probeLists.join(assigned, "cid")
           .filter(col("vec_id") =!= col("probe_id"))
+          .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+          .join(broadcast(e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))), "probe_id")
           .withColumn("cos", round(VectorExpr.vecCosine(col("embedding"), col("pe")), 6))
         val w = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
-        cand
+        val result = scored
           .withColumn("n_cand", count(lit(1)).over(Window.partitionBy("probe_id")))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= topk)
           .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor"),
             col("cos"), col("n_cand"))
           .orderBy("probe_id", "rn")
+        graft.QueryDef.materialized(result, rows)
+      },
+      Some {
+        s"""WITH ${lloydSql(16)},
+           |probes AS (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id < 5),
+           |pc AS (SELECT p.probe_id, c.cid,
+           |    list_sum(list_sort(list((r.v - c.cv) * (r.v - c.cv)))) AS d2
+           |  FROM probes p
+           |  JOIN rows_ r ON r.vec_id = p.probe_id
+           |  JOIN c2 c ON c.dim = r.dim
+           |  GROUP BY 1, 2),
+           |plist AS (SELECT probe_id, cid FROM pc
+           |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d2, cid) <= 4),
+           |cand AS (SELECT pl.probe_id, a.vec_id
+           |  FROM plist pl JOIN a2 a USING (cid)
+           |  WHERE a.vec_id <> pl.probe_id),
+           |scored AS (SELECT c.probe_id, c.vec_id,
+           |    round(${cosineSql("ec.embedding", "ep.embedding", Dim)}, 6) AS cos
+           |  FROM cand c
+           |  JOIN embeddings ec ON ec.vec_id = c.vec_id
+           |  JOIN embeddings ep ON ep.vec_id = c.probe_id),
+           |r AS (SELECT probe_id, vec_id, cos,
+           |    count(*) OVER (PARTITION BY probe_id) AS n_cand,
+           |    row_number() OVER (PARTITION BY probe_id
+           |      ORDER BY cos DESC, vec_id) AS rn FROM scored)
+           |SELECT probe_id, rn, vec_id AS neighbor, cos, n_cand
+           |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
       }),
 
     // V4 — IVF-style coarse assignment: per-label centroids (the "trained"
@@ -307,7 +334,7 @@ object VectorQueries extends QueryCatalog {
         graft.QueryDef.materialized(result, rows)
       },
       Some {
-        s"""WITH $lloydSql,
+        s"""WITH ${lloydSql(4)},
            |sizes AS (SELECT cid, count(*) AS n FROM a2 GROUP BY 1),
            |norms AS (SELECT cid, sqrt(list_sum(list_sort(list(cv * cv)))) AS nrm
            |  FROM c2 GROUP BY 1)
@@ -352,7 +379,7 @@ object VectorQueries extends QueryCatalog {
         graft.QueryDef.materialized(result, rows)
       },
       Some {
-        s"""WITH $lloydSql,
+        s"""WITH ${lloydSql(4)},
            |probes AS (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id < 5),
            |pc AS (SELECT p.probe_id, c.cid,
            |    list_sum(list_sort(list((r.v - c.cv) * (r.v - c.cv)))) AS d2
