@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object MLModelQueries extends QueryCatalog {
 
+  private val Dim64 = 64 // embeddings table dimension
+
   def defs: Map[String, QueryDef] = Map(
 
     // M1 — DBSCAN on the synthetic customer points (reference eps=500 m,
@@ -159,6 +161,117 @@ object MLModelQueries extends QueryCatalog {
             round(avg(abs(col("pc2"))), 4).as("avg_abs_pc2"),
             count(lit(1)).as("n"))
           .orderBy("label")
+      }),
+
+    // M4b — PCA relationally, exactly: covariance-free power iteration over
+    // the (id, dim, value) layout (w ← normalize(Xᵀ(Xw)), fixed 3
+    // iterations, deterministic inits: uniform for PC1, alternating-sign for
+    // PC2 with per-step deflation against PC1). Every sum is a sorted
+    // sequential fold (VecSeqSumD ≡ list_sum(list_sort(...))), so the run is
+    // bit-reproducible and DuckDB replays it exactly — the same trick that
+    // made m3b/v6 exact, applied to the spectral op the MLlib-backed m4
+    // could only pin rows-only. Scale: X stays distributed; w is a 64-row
+    // broadcast; each iteration is two broadcast joins + two hash aggs.
+    "m4b_pca_power" -> QueryDef(
+      (s, dir) => {
+        val iters = 3
+        def ssum(c: org.apache.spark.sql.Column) =
+          graft.functions.VectorExpr.vecSeqSumD(sort_array(collect_list(c)))
+        val comps = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("label"), col("pos").as("dim"),
+            col("col").cast("double").as("v"))
+        val mu = comps.groupBy("dim").agg((ssum(col("v")) / count(lit(1))).as("mu"))
+        val cx = comps.join(broadcast(mu), "dim")
+          .select(col("vec_id"), col("label"), col("dim"), (col("v") - col("mu")).as("x"))
+          .persist()
+        def iterate(w0: org.apache.spark.sql.DataFrame,
+                    deflateAgainst: Option[org.apache.spark.sql.DataFrame]) = {
+          var w = w0
+          for (_ <- 1 to iters) {
+            val t = cx.join(broadcast(w), "dim")
+              .groupBy("vec_id").agg(ssum(col("x") * col("w")).as("t"))
+            var u = cx.join(t, "vec_id")
+              .groupBy("dim").agg(ssum(col("x") * col("t")).as("u"))
+            deflateAgainst.foreach { prev =>
+              val withPrev = u.join(broadcast(prev.select(col("dim"), col("w").as("wp"))), "dim")
+              val dot = withPrev.agg(ssum(col("u") * col("wp")).as("d"))
+              u = withPrev.crossJoin(broadcast(dot))
+                .select(col("dim"), (col("u") - col("d") * col("wp")).as("u"))
+            }
+            val nrm = u.agg(sqrt(ssum(col("u") * col("u"))).as("nrm"))
+            // w is 64 rows, but its PLAN embeds the whole iteration chain
+            // (and for PC2, PC1's chain inside each deflation) — without a
+            // per-iteration lineage cut Catalyst analysis time explodes
+            // exponentially, the same failure mode sssp/DBSCAN guard against.
+            w = graft.core.Materialize.cut(
+              u.crossJoin(broadcast(nrm))
+                .select(col("dim"), (col("u") / col("nrm")).as("w")))
+          }
+          w
+        }
+        val dims = s.range(Dim64).select(col("id").cast("int").as("dim"))
+        val w1 = iterate(dims.withColumn("w", lit(1.0 / 8)), None)
+        val w2 = iterate(dims.withColumn("w",
+          when(pmod(col("dim"), lit(2)) === 0, 0.125).otherwise(-0.125)), Some(w1))
+        val pc1 = cx.join(broadcast(w1), "dim")
+          .groupBy("vec_id", "label").agg(ssum(col("x") * col("w")).as("pc1"))
+        val pc2 = cx.join(broadcast(w2), "dim")
+          .groupBy("vec_id").agg(ssum(col("x") * col("w")).as("pc2"))
+        val result = pc1.join(pc2, "vec_id")
+          .groupBy("label")
+          .agg((ssum(abs(col("pc1"))) / count(lit(1))).as("raw1"),
+            (ssum(abs(col("pc2"))) / count(lit(1))).as("raw2"),
+            count(lit(1)).as("n"))
+          .select(col("label"), round(col("raw1"), 6).as("avg_abs_pc1"),
+            round(col("raw2"), 6).as("avg_abs_pc2"), col("n"))
+          .orderBy("label")
+        graft.QueryDef.materialized(result, cx)
+      },
+      Some {
+        def iterSql(p: Int, deflate: Boolean): String =
+          (1 to 3).map { i =>
+            val defl = if (deflate)
+              s""",
+                 |d${p}_$i AS MATERIALIZED (SELECT list_sum(list_sort(list(u.u * w1.w))) AS d
+                 |  FROM ur${p}_$i u JOIN w1_3 w1 USING (dim)),
+                 |u${p}_$i AS MATERIALIZED (SELECT u.dim, u.u - (SELECT d FROM d${p}_$i) * w1.w AS u
+                 |  FROM ur${p}_$i u JOIN w1_3 w1 USING (dim))""".stripMargin
+            else ""
+            val uSrc = if (deflate) s"ur${p}_$i" else s"u${p}_$i"
+            s"""t${p}_$i AS MATERIALIZED (SELECT vec_id,
+               |    list_sum(list_sort(list(c.x * w.w))) AS t
+               |  FROM cx c JOIN w${p}_${i - 1} w USING (dim) GROUP BY 1),
+               |$uSrc AS MATERIALIZED (SELECT dim, list_sum(list_sort(list(c.x * t.t))) AS u
+               |  FROM cx c JOIN t${p}_$i t USING (vec_id) GROUP BY 1)$defl,
+               |w${p}_$i AS MATERIALIZED (SELECT dim,
+               |    u / (SELECT sqrt(list_sum(list_sort(list(u * u)))) FROM u${p}_$i) AS w
+               |  FROM u${p}_$i)""".stripMargin
+          }.mkString(",\n")
+        s"""WITH comps AS (SELECT vec_id, label,
+           |    generate_subscripts(embedding, 1) - 1 AS dim,
+           |    unnest(embedding)::DOUBLE AS v
+           |  FROM embeddings),
+           |mu AS (SELECT dim, list_sum(list_sort(list(v))) / count(*) AS mu
+           |  FROM comps GROUP BY 1),
+           |cx AS MATERIALIZED (SELECT vec_id, label, dim, v - mu AS x
+           |  FROM comps JOIN mu USING (dim)),
+           |w1_0 AS (SELECT DISTINCT dim, 0.125 AS w FROM cx),
+           |${iterSql(1, deflate = false)},
+           |w2_0 AS (SELECT DISTINCT dim,
+           |    CASE WHEN dim % 2 = 0 THEN 0.125 ELSE -0.125 END AS w FROM cx),
+           |${iterSql(2, deflate = true)},
+           |pc1 AS (SELECT vec_id, any_value(label) AS label,
+           |    list_sum(list_sort(list(c.x * w.w))) AS pc1
+           |  FROM cx c JOIN w1_3 w USING (dim) GROUP BY vec_id),
+           |pc2 AS (SELECT vec_id, list_sum(list_sort(list(c.x * w.w))) AS pc2
+           |  FROM cx c JOIN w2_3 w USING (dim) GROUP BY vec_id)
+           |SELECT label,
+           |  round(list_sum(list_sort(list(abs(pc1)))) / count(*), 6) AS avg_abs_pc1,
+           |  round(list_sum(list_sort(list(abs(pc2)))) / count(*), 6) AS avg_abs_pc2,
+           |  count(*) AS n
+           |FROM pc1 JOIN pc2 USING (vec_id)
+           |GROUP BY label ORDER BY label""".stripMargin
       }),
 
     // M12+M13 — GBT regression with the hyperparameter grid (reference's
