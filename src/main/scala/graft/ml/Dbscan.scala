@@ -26,10 +26,13 @@ object Dbscan {
 
   /** `points` must have columns (id: long, x: double, y: double).
     * Returns (id, x, y, label, is_core) with label = −1 for noise. */
-  def run(points: DataFrame, eps: Double, minPts: Int, maxIters: Int = 30): DataFrame = {
+  def run(points: DataFrame, eps: Double, minPts: Int, maxIters: Int = 30,
+          maxCellCount: Int = graft.ops.GridGuard.DefaultMaxCellCount): DataFrame = {
     val pts = points.select(col("id"), col("x"), col("y"),
         floor(col("x") / eps).as("cx"), floor(col("y") / eps).as("cy"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // One dense cell makes the pair join below quadratic — fail loudly first.
+    graft.ops.GridGuard.requireBoundedCells(pts, Seq("cx", "cy"), maxCellCount, "DBSCAN")
 
     // 3×3 neighborhood expansion on the left side, equi-join on cells.
     val left = pts.select(col("id").as("aid"), col("x").as("ax"), col("y").as("ay"),

@@ -20,10 +20,13 @@ object Knn {
 
   /** `points`: (id, x, y). Returns (id, nbr_id, d2, rn) with rn = 1..k by
     * ascending squared distance, ties broken by neighbor id. */
-  def neighbors(points: DataFrame, k: Int, cellSize: Double): DataFrame = {
+  def neighbors(points: DataFrame, k: Int, cellSize: Double,
+                maxCellCount: Int = graft.ops.GridGuard.DefaultMaxCellCount): DataFrame = {
     val pts = points.select(col("id"), col("x"), col("y"),
         floor(col("x") / cellSize).as("cx"), floor(col("y") / cellSize).as("cy"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // One dense cell makes the candidate join below quadratic — fail loudly first.
+    graft.ops.GridGuard.requireBoundedCells(pts, Seq("cx", "cy"), maxCellCount, "grid kNN")
 
     val probes = pts.select(col("id").as("aid"), col("x").as("ax"), col("y").as("ay"),
         col("cx"), col("cy"))

@@ -61,4 +61,21 @@ class DbscanSpec extends SparkSpec {
       .filter(col("label") >= 0).select(countDistinct("label")).head().getLong(0)
     assert(one === 1)
   }
+
+  test("dense-cell guard fails loudly on an all-points-one-cell pathology") {
+    // every point at the same coordinate -> one grid cell -> the pair join
+    // would be exactly n²; the guard must refuse before running it
+    val pathological = (1L to 50L).map(i => (i, 3.14, 2.71)).toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Dbscan.run(pathological, eps = 0.017, minPts = 5, maxCellCount = 40)
+    }
+    assert(e.getMessage.contains("densest grid cell"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ml.Knn.neighbors(pathological, k = 3, cellSize = 0.017, maxCellCount = 40)
+    }
+    assert(e2.getMessage.contains("densest grid cell"))
+    // at-cap density passes: same data under a cap that admits it
+    val ok = Dbscan.run(pathological, eps = 0.017, minPts = 5, maxCellCount = 50)
+    assert(ok.count() === 50L)
+  }
 }
