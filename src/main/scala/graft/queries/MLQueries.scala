@@ -26,6 +26,78 @@ object MLQueries extends QueryCatalog {
         k = 5, cellSize = 0.03)
     }
 
+  /** LISA permutation p-values at any rep count (m10b runs the oracle-checked
+    * 49; `reps = 999` reproduces the reference esda default,
+    * 实习四/…yelp_analysis.ipynb:5995 — LisaPermutationSpec pins quadrant
+    * stability between the two). The null distribution comes from
+    * DETERMINISTIC block-local permutations — rep r reorders z values within
+    * id-mod-64 blocks by an affine bijection mod a Mersenne prime — so every
+    * permuted draw is reproducible cross-engine; neighbor sums fold over
+    * SORTED lists (bit-identical FP order). Every rank window is PARTITIONED
+    * by (rep, block), so no global sort appears at any rep count; work
+    * scales linearly in `reps` (the rep axis is a crossJoin fan-out that
+    * parallelizes across the cluster). */
+  private[graft] def lisaPvalues(s: SparkSession, dir: String, reps: Int) = {
+    val R = reps
+    val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+      .select(col("c_custkey").as("id"), col("lon"), col("lat"), col("c_acctbal").as("x"))
+    val stats = pts.agg(avg("x").as("m"), stddev_samp(col("x")).as("sd"))
+    val z = pts.crossJoin(stats).withColumn("z", (col("x") - col("m")) / col("sd"))
+      .select("id", "lon", "lat", "z")
+    val nbrs = custKnn5(s, dir).select("aid", "bid")
+    // Sorted-then-sequential sum: deterministic FP order cross-engine
+    // (matches DuckDB list_sum(list_sort(...))). The sum itself is the
+    // native loop — the HOF fold ran interpreted once per (point, rep)
+    // group, which dominated this query's wall-clock.
+    def sortedAvg(c: org.apache.spark.sql.Column) =
+      graft.functions.VectorExpr.vecSeqSumD(
+        sort_array(collect_list(c))) / count(lit(1))
+    val obs = nbrs.join(z.select(col("id").as("bid"), col("z").as("bz")), "bid")
+      .groupBy(col("aid").as("id"))
+      .agg(sortedAvg(col("bz")).as("lag_obs"))
+      .join(z.select("id", "z"), "id")
+      .withColumn("i_obs", col("z") * col("lag_obs"))
+    val B = 64L
+    val posById = z.select("id", "z")
+      .withColumn("blk", pmod(col("id"), lit(B)))
+      .withColumn("pos", row_number().over(Window.partitionBy("blk").orderBy("id")))
+    val repsDf = s.range(0, R).toDF("r")
+    // Permutation key from the arithmetic universal-hash family (an
+    // affine bijection mod the Mersenne prime per rep) — one md5 per
+    // (id, rep) measured as this stage's dominant cost, and the digest
+    // buys nothing over a bijective scramble here.
+    val hp = lit(graft.functions.TextFunctions.HashP)
+    val hashed = z.select("id")
+      .withColumn("blk", pmod(col("id"), lit(B)))
+      .crossJoin(repsDf)
+      .withColumn("hk", pmod(
+        pmod(col("id"), hp) * (col("r") * 2 + 3) + (col("r") * 12345L + 67891L), hp))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("r", "blk").orderBy(col("hk"), col("id"))))
+    val permz = hashed
+      .join(posById.select(col("blk"), col("pos"), col("z").as("pz")), Seq("blk", "pos"))
+      .select(col("r"), col("id").as("bid"), col("pz"))
+    val permLag = nbrs.join(permz, "bid")
+      .groupBy(col("aid").as("id"), col("r"))
+      .agg(sortedAvg(col("pz")).as("lag_r"))
+    val iR = permLag.join(obs.select("id", "z", "i_obs"), "id")
+      .withColumn("i_r", col("z") * col("lag_r"))
+    val pvals = iR.groupBy("id")
+      .agg(sum(when((col("i_obs") >= 0 && col("i_r") >= col("i_obs"))
+        || (col("i_obs") < 0 && col("i_r") <= col("i_obs")), 1L)
+        .otherwise(0L)).as("cnt"))
+      .withColumn("p", (col("cnt") + lit(1)).cast("double") / lit((R + 1).toDouble))
+    obs.join(pvals, "id")
+      .withColumn("quad", when(col("z") > 0 && col("lag_obs") > 0, "HH")
+        .when(col("z") <= 0 && col("lag_obs") <= 0, "LL")
+        .when(col("z") <= 0, "LH").otherwise("HL"))
+      .groupBy("quad")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p") <= 0.05, 1L).otherwise(0L)).as("n_sig"),
+        round(avg("p"), 6).as("avg_p"))
+      .orderBy("quad")
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // M2 — kNN-distance elbow for eps selection (reference test.py:69-146):
@@ -302,67 +374,7 @@ object MLQueries extends QueryCatalog {
     // restricted-permutation inference); blocks stay deterministic and
     // SQL-expressible, so the oracle reproduces every permuted draw exactly.
     "m10b_lisa_pvalues" -> QueryDef(
-      (s, dir) => {
-        val R = 49
-        val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
-          .select(col("c_custkey").as("id"), col("lon"), col("lat"), col("c_acctbal").as("x"))
-        val stats = pts.agg(avg("x").as("m"), stddev_samp(col("x")).as("sd"))
-        val z = pts.crossJoin(stats).withColumn("z", (col("x") - col("m")) / col("sd"))
-          .select("id", "lon", "lat", "z")
-        val nbrs = custKnn5(s, dir).select("aid", "bid")
-        // Sorted-then-sequential sum: deterministic FP order cross-engine
-        // (matches DuckDB list_sum(list_sort(...))). The sum itself is the
-        // native loop — the HOF fold ran interpreted once per (point, rep)
-        // group, which dominated this query's wall-clock.
-        def sortedAvg(c: org.apache.spark.sql.Column) =
-          graft.functions.VectorExpr.vecSeqSumD(
-            sort_array(collect_list(c))) / count(lit(1))
-        val obs = nbrs.join(z.select(col("id").as("bid"), col("z").as("bz")), "bid")
-          .groupBy(col("aid").as("id"))
-          .agg(sortedAvg(col("bz")).as("lag_obs"))
-          .join(z.select("id", "z"), "id")
-          .withColumn("i_obs", col("z") * col("lag_obs"))
-        val B = 64L
-        val posById = z.select("id", "z")
-          .withColumn("blk", pmod(col("id"), lit(B)))
-          .withColumn("pos", row_number().over(Window.partitionBy("blk").orderBy("id")))
-        val reps = s.range(0, R).toDF("r")
-        // Permutation key from the arithmetic universal-hash family (an
-        // affine bijection mod the Mersenne prime per rep) — one md5 per
-        // (id, rep) measured as this stage's dominant cost, and the digest
-        // buys nothing over a bijective scramble here.
-        val hp = lit(graft.functions.TextFunctions.HashP)
-        val hashed = z.select("id")
-          .withColumn("blk", pmod(col("id"), lit(B)))
-          .crossJoin(reps)
-          .withColumn("hk", pmod(
-            pmod(col("id"), hp) * (col("r") * 2 + 3) + (col("r") * 12345L + 67891L), hp))
-          .withColumn("pos", row_number().over(
-            Window.partitionBy("r", "blk").orderBy(col("hk"), col("id"))))
-        val permz = hashed
-          .join(posById.select(col("blk"), col("pos"), col("z").as("pz")), Seq("blk", "pos"))
-          .select(col("r"), col("id").as("bid"), col("pz"))
-        val permLag = nbrs.join(permz, "bid")
-          .groupBy(col("aid").as("id"), col("r"))
-          .agg(sortedAvg(col("pz")).as("lag_r"))
-        val iR = permLag.join(obs.select("id", "z", "i_obs"), "id")
-          .withColumn("i_r", col("z") * col("lag_r"))
-        val pvals = iR.groupBy("id")
-          .agg(sum(when((col("i_obs") >= 0 && col("i_r") >= col("i_obs"))
-            || (col("i_obs") < 0 && col("i_r") <= col("i_obs")), 1L)
-            .otherwise(0L)).as("cnt"))
-          .withColumn("p", (col("cnt") + lit(1)).cast("double") / lit((R + 1).toDouble))
-        val result = obs.join(pvals, "id")
-          .withColumn("quad", when(col("z") > 0 && col("lag_obs") > 0, "HH")
-            .when(col("z") <= 0 && col("lag_obs") <= 0, "LL")
-            .when(col("z") <= 0, "LH").otherwise("HL"))
-          .groupBy("quad")
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("p") <= 0.05, 1L).otherwise(0L)).as("n_sig"),
-            round(avg("p"), 6).as("avg_p"))
-          .orderBy("quad")
-        result
-      },
+      (s, dir) => lisaPvalues(s, dir, reps = 49),
       Some {
         val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
         s"""WITH pts AS (SELECT c_custkey AS id, $lonSql AS lon, $latSql AS lat,
