@@ -1,0 +1,111 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence harness for the dedup/ANN candidate-generation paths.
+  *
+  * The 100 TB argument for d2/d3/d4/d7 is that candidate pairs come from
+  * equi-joins on bounded-fanout keys (df-capped shingles, LSH bands,
+  * SimHash blocks), so pair counts — the joins' output volume, hence the
+  * work — grow ~linearly with corpus size, never n². This main MEASURES
+  * that claim across corpus scales and prints one JSON line per corpus:
+  * docs, candidate-pair counts per family, full-query wall-clock. The
+  * driver-side df-cap prediction to compare against: a df-capped shingle
+  * contributes ≤ cap·(cap−1)/2 pairs, and with token distributions held
+  * fixed the number of capped shingles grows linearly in docs.
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleEvidence <dir1> <dir2> …"
+  * (each dir needs documents.parquet; results land in BASELINE.md's scale
+  * section by hand).
+  */
+object ScaleEvidence {
+
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1", "/root/repo/tmp/scale/docs10x")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = graft.core.GraftSession.local(cpus)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val lines = dirs.map { dir =>
+      val docs = graft.core.Tables.documents(spark, dir)
+      val nDocs = docs.count()
+
+      // candidate PAIR counts — the join fanout each family's scale claim
+      // bounds (pre-threshold, post-dedup), measured on the real machinery
+      val sh = graft.ops.ShingleIndex.capped(spark, dir)
+      val (shinglePairs, tShPairs) = timed {
+        sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .dropDuplicates("id_a", "id_b").count()
+      }
+      val k = 16
+      val hashed = sh.withColumn("h", hash64(col("sh")))
+      val sigCols = (0 until k).map(i => min(seededFromBase(i, col("h"))).as(s"s$i"))
+      val banded = hashed.groupBy("doc_id")
+        .agg(sigCols.head, sigCols.tail: _*)
+        .withColumn("sig", array((0 until k).map(i => col(s"s$i")): _*))
+        .select(col("doc_id"), explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
+      val (lshPairs, tLshPairs) = timed {
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .dropDuplicates("id_a", "id_b").count()
+      }
+      val bits = 48
+      val shHashed = graft.core.Tables.fanout(docs)
+        .select(col("doc_id"),
+          explode(graft.functions.ShingleExpr.shinglesNative(
+            tokens(col("text")), 3)).as("shingle"))
+        .withColumn("h", hash64(col("shingle")))
+      val voteCols = (0 until bits).map(b =>
+        sum((shiftright(col("h"), b) % 2) * 2 - 1).as(s"v$b"))
+      val blocked = shHashed.groupBy("doc_id")
+        .agg(voteCols.head, voteCols.tail: _*)
+        .select(col("doc_id"),
+          (0 until bits).map(b =>
+            when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("sig"))
+        .select(col("doc_id"),
+          explode(array((0 until 4).map(b =>
+            concat_ws(":", lit(b.toString),
+              (shiftright(col("sig"), b * 12) % 4096).cast("string"))): _*)).as("blk"))
+      val (simhashPairs, tSimPairs) = timed {
+        blocked.as("a").join(blocked.as("b"),
+            col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .dropDuplicates("id_a", "id_b").count()
+      }
+
+      // full-query wall-clock on the same corpus (d2/d3/d4/d7 end-to-end)
+      val queryTimes = Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
+        "d7_tfidf_similarity").map { q =>
+        val (_, t) = timed(SparkEntry.queries(q)(spark, dir).count())
+        graft.core.GraftSession.releaseTransientBlocks(spark)
+        q -> t
+      }
+
+      def sec(v: Double) =
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      val qjson = queryTimes.map { case (q, t) => s""""$q":${sec(t)}""" }.mkString(",")
+      val line =
+        s"""{"dir":"$dir","docs":$nDocs,"shingle_pairs":$shinglePairs,""" +
+          s""""lsh_pairs":$lshPairs,"simhash_pairs":$simhashPairs,""" +
+          s""""pair_scan_sec":{"shingle":${sec(tShPairs)},"lsh":${sec(tLshPairs)},"simhash":${sec(tSimPairs)}},""" +
+          s""""query_sec":{$qjson}}"""
+      println(s"[scale] $line")
+      graft.core.GraftSession.releaseTransientBlocks(spark)
+      line
+    }
+    println("[scale] ALL " + lines.mkString("[", ",", "]"))
+    spark.stop()
+  }
+}

@@ -273,9 +273,13 @@ object DedupQueries extends QueryCatalog {
     // (shingles for the same vocabulary-collapse reason as D3; 48 bits so
     // the signature space exceeds corpus size with headroom at 10¹⁰ docs —
     // 32 bits saturates there); Hamming ≤ 3 pairs found by the pigeonhole
-    // block join (6 blocks of 8 bits — a pair within distance 3 agrees on
-    // ≥ 3 whole blocks, so any-block agreement is a superset), then exact
-    // popcount verification. Equi-join on (block index, value): no cross join.
+    // block join — 4 blocks of 12 bits: ≤ 3 differing bits leave ≥ 1 block
+    // untouched, so any-block agreement is a superset — then exact popcount
+    // verification. Equi-join on (block index, value): no cross join.
+    // MINIMAL block count maximizes block width: the scale-evidence run
+    // measured 6×8-bit blocks saturating at 50k docs (~n²/256 random
+    // collisions per block = 30M candidate pairs); 12-bit blocks widen the
+    // value space 16× and push saturation out equally far.
     "d4_simhash" -> QueryDef(
       (s, dir) => {
         // Bit votes computed RELATIONALLY: one md5 per (doc, shingle) row
@@ -302,9 +306,9 @@ object DedupQueries extends QueryCatalog {
               .reduce(_ + _).as("sh"))
           .persist() // consumed by both sides of the block join
         val blocked = sh.select(col("doc_id"), col("sh"),
-          explode(array((0 until 6).map(b =>
+          explode(array((0 until 4).map(b =>
             concat_ws(":", lit(b.toString),
-              (shiftright(col("sh"), b * 8) % 256).cast("string"))): _*)).as("blk"))
+              (shiftright(col("sh"), b * 12) % 4096).cast("string"))): _*)).as("blk"))
         val result = blocked.as("a").join(blocked.as("b"),
             col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -329,8 +333,8 @@ object DedupQueries extends QueryCatalog {
            |  FROM tk WHERE len(t) >= 3),
            |sh AS (SELECT doc_id, $simhashSql AS sh FROM sgl),
            |blocked AS (SELECT doc_id, sh,
-           |    unnest([ b::VARCHAR || ':' || ((sh >> (b*8)) & 255)::VARCHAR
-           |             for b in generate_series(0, 5) ]) AS blk
+           |    unnest([ b::VARCHAR || ':' || ((sh >> (b*12)) & 4095)::VARCHAR
+           |             for b in generate_series(0, 3) ]) AS blk
            |  FROM sh),
            |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            |    a.sh AS ha, b.sh AS hb
