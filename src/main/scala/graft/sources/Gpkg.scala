@@ -411,19 +411,118 @@ object Gpkg {
     bb.array()
   }
 
-  /** Write `df` as a real single-file GeoPackage: a SQLite container with
-    * gpkg_spatial_ref_sys/gpkg_contents/gpkg_geometry_columns and one
-    * feature layer of GPB XY points. Columns: `lonCol`/`latCol` become the
-    * geometry; a `fid` integer column (if present) becomes the rowid alias;
-    * INTEGER/REAL/TEXT attributes keep their declared affinity.
-    * Round-trips through [[readFeatures]] and opens in stock sqlite3. */
-  def writeFeatures(df: DataFrame, path: String, layer: String,
-                    lonCol: String = "lon", latCol: String = "lat",
-                    maxRows: Int = 1000000): Unit = {
+  /** WKT (`POINT (x y)` / `LINESTRING (x y, x y, …)`) → GPB blob. */
+  private[sources] def wktToGpb(wkt: String, srsId: Int = 4326): Array[Byte] = {
+    val t = wkt.trim
+    val open = t.indexOf('(')
+    require(open > 0 && t.endsWith(")"), s"unparseable WKT: $wkt")
+    val kind = t.substring(0, open).trim.toUpperCase
+    val coords = t.substring(open + 1, t.length - 1).split(",").map { p =>
+      val xy = p.trim.split("\\s+")
+      require(xy.length == 2, s"expected XY pair in: $wkt")
+      (xy(0).toDouble, xy(1).toDouble)
+    }
+    val minX = coords.map(_._1).min; val maxX = coords.map(_._1).max
+    val minY = coords.map(_._2).min; val maxY = coords.map(_._2).max
+    kind match {
+      case "POINT" =>
+        require(coords.length == 1, s"POINT with ${coords.length} coords")
+        gpbPointBlob(coords(0)._1, coords(0)._2, srsId)
+      case "LINESTRING" =>
+        val bb = java.nio.ByteBuffer.allocate(8 + 32 + 9 + coords.length * 16)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put('G'.toByte).put('P'.toByte).put(0.toByte)
+        bb.put((((1 << 1) | 1)).toByte)
+        bb.putInt(srsId)
+        bb.putDouble(minX).putDouble(maxX).putDouble(minY).putDouble(maxY)
+        bb.put(1.toByte).putInt(2).putInt(coords.length)
+        coords.foreach { case (x, y) => bb.putDouble(x).putDouble(y) }
+        bb.array()
+      case other => throw new IllegalArgumentException(
+        s"unsupported WKT geometry $other (POINT/LINESTRING)")
+    }
+  }
+
+  /** GPB blob → WKT (Point and LineString XY; either WKB byte order). */
+  private[sources] def gpbToWkt(b: Array[Byte]): String = {
+    require(b.length >= 8 && b(0) == 'G'.toByte && b(1) == 'P'.toByte,
+      "not a GPB geometry blob")
+    val flags = b(3) & 0xff
+    val envCount = ((flags >> 1) & 0x7) match {
+      case 0 => 0; case 1 => 4; case 2 | 3 => 6; case 4 => 8
+      case other => throw new IllegalArgumentException(s"envelope indicator $other")
+    }
+    val wkbOff = 8 + envCount * 8
+    val bb = java.nio.ByteBuffer.wrap(b, wkbOff, b.length - wkbOff)
+    bb.order(if (b(wkbOff) == 1.toByte) java.nio.ByteOrder.LITTLE_ENDIAN
+             else java.nio.ByteOrder.BIG_ENDIAN)
+    bb.get()
+    bb.getInt() & 0xffff match {
+      case 1 => s"POINT (${bb.getDouble} ${bb.getDouble})"
+      case 2 =>
+        val n = bb.getInt()
+        val pts = (1 to n).map(_ => s"${bb.getDouble} ${bb.getDouble}")
+        s"LINESTRING (${pts.mkString(", ")})"
+      case other => throw new IllegalArgumentException(
+        s"only WKB Point/LineString supported (type $other)")
+    }
+  }
+
+  /** Read one feature layer with the geometry surfaced as a `wkt` string
+    * column (Point AND LineString layers — the road-network shape the
+    * reference round-trips). Attribute handling matches [[readFeatures]]. */
+  def readFeaturesWkt(spark: SparkSession, path: String, layer: String): DataFrame = {
+    val db = new Db(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val tbl = master(db).find(_.name == layer)
+      .getOrElse(throw new IllegalArgumentException(s"no table $layer in $path"))
+    val cols = columnsOf(tbl.sql)
+    val geomIdx = cols.indexWhere { case (_, t, _) =>
+      Set("POINT", "LINESTRING", "GEOMETRY").contains(t)
+    }
+    require(geomIdx >= 0, s"$layer: no geometry column found in: ${tbl.sql}")
+    val fields = cols.zipWithIndex.map { case ((name, t, _), i) =>
+      if (i == geomIdx) StructField("wkt", StringType)
+      else t match {
+        case "INTEGER" | "INT" | "MEDIUMINT" => StructField(name, LongType)
+        case "REAL" | "DOUBLE" | "FLOAT" => StructField(name, DoubleType)
+        case _ => StructField(name, StringType)
+      }
+    }
+    val rows = db.tableRows(tbl.rootPage).map { case (rowid, vals) =>
+      val cells = cols.zipWithIndex.map { case ((_, t, rowidAlias), i) =>
+        val v = vals(i)
+        if (i == geomIdx) gpbToWkt(v.asInstanceOf[Array[Byte]]): Any
+        else if (rowidAlias && v == null) rowid: Any
+        else (t, v) match {
+          case (("REAL" | "DOUBLE" | "FLOAT"), l: java.lang.Long) => l.toDouble: Any
+          case _ => v
+        }
+      }
+      Row(cells: _*)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(fields))
+  }
+
+  /** One feature layer of a multi-layer container: geometry comes from
+    * `lonCol`/`latCol` point columns, or — when `wktCol` is set — from a
+    * WKT string column (POINT / LINESTRING). */
+  final case class LayerSpec(name: String, df: DataFrame,
+      lonCol: String = "lon", latCol: String = "lat",
+      wktCol: Option[String] = None)
+
+  private final case class BuiltLayer(name: String, sql: String, geomType: String,
+      cells: Seq[(Long, Array[Byte])],
+      minX: Double, minY: Double, maxX: Double, maxY: Double)
+
+  private def buildLayer(spec: LayerSpec, maxRows: Int): BuiltLayer = {
+    val LayerSpec(layer, df, lonCol, latCol, wktCol) = spec
     val schema = df.schema
-    require(Seq(lonCol, latCol).forall(schema.fieldNames.contains),
-      s"writeFeatures needs $lonCol/$latCol columns")
-    val attrs = schema.fields.filterNot(f => f.name == lonCol || f.name == latCol)
+    val geomCols = wktCol.map(Seq(_)).getOrElse(Seq(lonCol, latCol))
+    require(geomCols.forall(schema.fieldNames.contains),
+      s"layer $layer needs ${geomCols.mkString("/")} columns")
+    val attrs = schema.fields.filterNot(f => geomCols.contains(f.name))
     val fidIdx = attrs.indexWhere(f => f.name == "fid" &&
       Seq(LongType, IntegerType).contains(f.dataType))
     val collected = df.limit(maxRows + 1).collect()
@@ -436,20 +535,30 @@ object Gpkg {
       case DoubleType | FloatType => "REAL"
       case _ => "TEXT"
     }
-    val colDefs = attrs.zipWithIndex.map { case (f, i) =>
-      if (i == fidIdx) "\"fid\" INTEGER PRIMARY KEY"
-      else s""""${f.name}" ${sqlType(f.dataType)}"""
-    } :+ "\"geom\" POINT"
-    val layerSql = s"""CREATE TABLE "$layer" (${colDefs.mkString(", ")})"""
-
-    val lonAt = schema.fieldIndex(lonCol); val latAt = schema.fieldIndex(latCol)
     var minX = Double.MaxValue; var minY = Double.MaxValue
     var maxX = -Double.MaxValue; var maxY = -Double.MaxValue
-    val layerCells = collected.zipWithIndex.map { case (row, i) =>
-      val lon = row.getAs[Any](lonAt).asInstanceOf[Number].doubleValue()
-      val lat = row.getAs[Any](latAt).asInstanceOf[Number].doubleValue()
-      minX = math.min(minX, lon); maxX = math.max(maxX, lon)
-      minY = math.min(minY, lat); maxY = math.max(maxY, lat)
+    var geomType = if (wktCol.isEmpty) "POINT" else ""
+    val cells = collected.zipWithIndex.map { case (row, i) =>
+      val blob = wktCol match {
+        case None =>
+          val lon = row.getAs[Any](lonCol).asInstanceOf[Number].doubleValue()
+          val lat = row.getAs[Any](latCol).asInstanceOf[Number].doubleValue()
+          minX = math.min(minX, lon); maxX = math.max(maxX, lon)
+          minY = math.min(minY, lat); maxY = math.max(maxY, lat)
+          gpbPointBlob(lon, lat)
+        case Some(wc) =>
+          val wkt = row.getAs[String](wc)
+          val kind = wkt.trim.takeWhile(_ != '(').trim.toUpperCase
+          geomType = if (geomType.isEmpty || geomType == kind) kind else "GEOMETRY"
+          val b = wktToGpb(wkt)
+          // envelope is bytes 8..40 little-endian: minx maxx miny maxy
+          val env = java.nio.ByteBuffer.wrap(b, 8, 32)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val (x0, x1, y0, y1) = (env.getDouble, env.getDouble, env.getDouble, env.getDouble)
+          minX = math.min(minX, x0); maxX = math.max(maxX, x1)
+          minY = math.min(minY, y0); maxY = math.max(maxY, y1)
+          b
+      }
       val rowid =
         if (fidIdx >= 0) row.getAs[Any](attrs(fidIdx).name).asInstanceOf[Number].longValue()
         else i + 1L
@@ -464,10 +573,38 @@ object Gpkg {
           case v @ (_: java.lang.Long | _: java.lang.Double | _: String) => v
           case other => other.toString
         }
-      }.toSeq :+ gpbPointBlob(lon, lat)
+      }.toSeq :+ blob
       rowid -> sqliteRecord(vals)
     }.toSeq
     if (collected.isEmpty) { minX = 0; minY = 0; maxX = 0; maxY = 0 }
+    if (geomType.isEmpty) geomType = "GEOMETRY"
+    val colDefs = attrs.zipWithIndex.map { case (f, i) =>
+      if (i == fidIdx) "\"fid\" INTEGER PRIMARY KEY"
+      else s""""${f.name}" ${sqlType(f.dataType)}"""
+    } :+ s""""geom" $geomType"""
+    BuiltLayer(layer, s"""CREATE TABLE "$layer" (${colDefs.mkString(", ")})""",
+      geomType, cells, minX, minY, maxX, maxY)
+  }
+
+  /** Write `df` as a real single-file GeoPackage: a SQLite container with
+    * gpkg_spatial_ref_sys/gpkg_contents/gpkg_geometry_columns and one
+    * feature layer of GPB XY points. Columns: `lonCol`/`latCol` become the
+    * geometry; a `fid` integer column (if present) becomes the rowid alias;
+    * INTEGER/REAL/TEXT attributes keep their declared affinity.
+    * Round-trips through [[readFeatures]] and opens in stock sqlite3. */
+  def writeFeatures(df: DataFrame, path: String, layer: String,
+                    lonCol: String = "lon", latCol: String = "lat",
+                    maxRows: Int = 1000000): Unit =
+    writeLayers(Seq(LayerSpec(layer, df, lonCol, latCol)), path, maxRows)
+
+  /** Multi-layer container write (the reference's lab-3 shape: a `nodes`
+    * point layer + an `edges` LINESTRING layer in one .gpkg). Each layer is
+    * a [[LayerSpec]]; WKT layers may hold POINT or LINESTRING geometry. */
+  def writeLayers(specs: Seq[LayerSpec], path: String,
+                  maxRows: Int = 1000000): Unit = {
+    require(specs.nonEmpty, "writeLayers needs at least one layer")
+    require(specs.map(_.name).distinct.size == specs.size, "duplicate layer names")
+    val built = specs.map(buildLayer(_, maxRows))
 
     // Registry DDL deliberately avoids non-rowid PRIMARY KEY / UNIQUE
     // constraints: each would imply a sqlite_autoindex b-tree this writer
@@ -480,11 +617,13 @@ object Gpkg {
     val wgs84 = "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]],PRIMEM[\"Greenwich\",0],UNIT[\"degree\",0.0174532925199433]]"
     val srsCells = Seq(
       1L -> sqliteRecord(Seq("WGS 84", 4326L, "EPSG", 4326L, wgs84, null)))
-    val contentsCells = Seq(
-      1L -> sqliteRecord(Seq(layer, "features", layer, "", null,
-        minX, minY, maxX, maxY, 4326L)))
-    val geomColsCells = Seq(
-      1L -> sqliteRecord(Seq(layer, "geom", "POINT", 4326L, 0L, 0L)))
+    val contentsCells = built.zipWithIndex.map { case (b, i) =>
+      (i + 1L) -> sqliteRecord(Seq(b.name, "features", b.name, "", null,
+        b.minX, b.minY, b.maxX, b.maxY, 4326L))
+    }
+    val geomColsCells = built.zipWithIndex.map { case (b, i) =>
+      (i + 1L) -> sqliteRecord(Seq(b.name, "geom", b.geomType, 4326L, 0L, 0L))
+    }
 
     // page 1 (sqlite_master root) is reserved up front; table b-trees append
     // behind it, then the master records point at their allocated roots
@@ -492,15 +631,16 @@ object Gpkg {
     val srsRoot = buildTableBtree(srsCells, pages)
     val contentsRoot = buildTableBtree(contentsCells, pages)
     val geomColsRoot = buildTableBtree(geomColsCells, pages)
-    val layerRoot = buildTableBtree(layerCells, pages)
+    val layerRoots = built.map(b => b -> buildTableBtree(b.cells, pages))
 
-    val masterCells = Seq(
+    val masterCells = (Seq(
       ("gpkg_spatial_ref_sys", srsRoot, srsSql),
       ("gpkg_contents", contentsRoot, contentsSql),
-      ("gpkg_geometry_columns", geomColsRoot, geomColsSql),
-      (layer, layerRoot, layerSql)).zipWithIndex.map { case ((name, root, sql), i) =>
-      (i + 1L) -> sqliteRecord(Seq("table", name, name, root.toLong, sql))
-    }
+      ("gpkg_geometry_columns", geomColsRoot, geomColsSql)) ++
+      layerRoots.map { case (b, root) => (b.name, root, b.sql) })
+      .zipWithIndex.map { case ((name, root, sql), i) =>
+        (i + 1L) -> sqliteRecord(Seq("table", name, name, root.toLong, sql))
+      }
     // master must fit page 1 (100-byte file header + 8-byte page header)
     val masterSize = 108 + masterCells.map { case (rid, rec) =>
       2 + (varintBytes(rec.length.toLong) ++ varintBytes(rid)).length + rec.length

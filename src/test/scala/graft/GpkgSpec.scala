@@ -129,6 +129,31 @@ class GpkgSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - (-74.0 + 2345 * 1e-4)) < 1e-12)
   }
 
+  test("multi-layer container: point nodes + LINESTRING edges round-trip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-ml").toString
+    val nodes = Seq((1L, "a", -74.0, 40.7), (2L, "b", -73.9, 40.8))
+      .toDF("fid", "name", "lon", "lat")
+    val edges = Seq(
+      (1L, 12.5, "LINESTRING (-74.0 40.7, -73.95 40.75, -73.9 40.8)"),
+      (2L, 3.25, "LINESTRING (-73.9 40.8, -74.0 40.7)"))
+      .toDF("fid", "w", "wkt")
+    Gpkg.writeLayers(Seq(
+      Gpkg.LayerSpec("nodes", nodes),
+      Gpkg.LayerSpec("edges", edges, wktCol = Some("wkt"))), s"$dir/net.gpkg")
+    assert(Gpkg.layers(s"$dir/net.gpkg").sorted === Seq("edges", "nodes"))
+    val n = Gpkg.readFeatures(spark, s"$dir/net.gpkg", "nodes").orderBy("fid").collect()
+    assert(n.map(_.getString(1)).toSeq === Seq("a", "b"))
+    assert(n(0).getDouble(2) === -74.0 && n(1).getDouble(3) === 40.8)
+    val e = Gpkg.readFeaturesWkt(spark, s"$dir/net.gpkg", "edges").orderBy("fid").collect()
+    assert(e.map(_.getDouble(1)).toSeq === Seq(12.5, 3.25))
+    assert(e(0).getString(2) === "LINESTRING (-74.0 40.7, -73.95 40.75, -73.9 40.8)")
+    assert(e(1).getString(2) === "LINESTRING (-73.9 40.8, -74.0 40.7)")
+    // point layers read through the WKT surface too
+    val nw = Gpkg.readFeaturesWkt(spark, s"$dir/net.gpkg", "nodes").orderBy("fid").collect()
+    assert(nw(0).getString(2) === "POINT (-74.0 40.7)")
+  }
+
   test("writeFeatures row cap fails loudly instead of collecting bulk data") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-gpkg-cap").toString
