@@ -223,10 +223,16 @@ object GeoTiff {
     * pixels are collected driver-side — bounded by the raster's own size;
     * cluster-resident rasters stay in the (row, col, value) parquet model. */
   def write(raster: DataFrame, affine: Affine, path: String,
-            rowsPerStrip: Int = 64): Unit = {
+            rowsPerStrip: Int = 64, maxCells: Int = 16000000): Unit = {
     import org.apache.spark.sql.functions._
+    // Single-file exchange export: driver-side by format nature, capped so
+    // the boundary fails loudly instead of OOMing the driver on bulk
+    // rasters (16M cells = a 4k x 4k uint16 tile, ~32 MB of pixels).
     val rows = raster.select(col("row").cast("int"), col("col").cast("int"),
-      col("value").cast("double")).collect()
+      col("value").cast("double")).limit(maxCells + 1).collect()
+    require(rows.length <= maxCells,
+      s"GeoTiff.write is a single-file exchange export capped at $maxCells cells; " +
+        "tile the raster (one write per tile) for bulk export")
     require(rows.nonEmpty, "empty raster")
     val h = rows.iterator.map(_.getInt(0)).max + 1
     val w = rows.iterator.map(_.getInt(1)).max + 1

@@ -20,12 +20,19 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object Shp {
 
-  /** Write (lon, lat) + attributes as `<path>.shp` + `.shx` + `.dbf`. */
+  /** Write (lon, lat) + attributes as `<path>.shp` + `.shx` + `.dbf`.
+    * Single-file exchange export: renders driver-side by format nature,
+    * capped by `maxRows` so the boundary fails loudly instead of OOMing
+    * the driver — bulk vector data lives in parquet inside the engine. */
   def writePoints(df: DataFrame, path: String,
-                  lonCol: String = "lon", latCol: String = "lat"): Unit = {
+                  lonCol: String = "lon", latCol: String = "lat",
+                  maxRows: Int = 1000000): Unit = {
     val attrs = df.schema.fields.filterNot(f => f.name == lonCol || f.name == latCol)
     val rows = df.select((Seq(lonCol, latCol) ++ attrs.map(_.name))
-      .map(org.apache.spark.sql.functions.col): _*).collect()
+      .map(org.apache.spark.sql.functions.col): _*).limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"writePoints is a single-file exchange export capped at $maxRows rows; " +
+        "use writeGeoTable (parquet/WKT layer) for bulk data")
     val n = rows.length
 
     // --- .shp + .shx ---
