@@ -353,6 +353,54 @@ object TextQueries extends QueryCatalog {
              |  CAST(max(fill) AS BIGINT) AS max_bin_tokens
              |FROM bins GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // T10 — sliding-window chunking: every document splits into 64-token
+    // chunks at stride 48 (16-token overlap) — the context-window prep step
+    // of a RAG/pretraining pipeline. Chunk starts come from a native
+    // `sequence` explode, chunk content from a 1-based `slice` — both
+    // per-row projections, so the op is one explode + one hash-agg (the
+    // same shuffle shape as every text op here; chunk fan-out multiplies
+    // rows by ~n_tokens/stride, distributed, never driver-side). Chunk
+    // fingerprints (md5-derived 60-bit) make the content itself — not just
+    // the counts — part of the oracle check.
+    "t10_chunking" -> QueryDef(
+      (s, dir) => {
+        val win = 64; val stride = 48
+        val chunks = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")))
+          .filter(col("n") >= 1)
+          .withColumn("start",
+            explode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(stride))))
+          .withColumn("chunk_toks",
+            slice(col("toks"), col("start") + 1, lit(win)))
+          .withColumn("chunk_len", size(col("chunk_toks")))
+          .withColumn("fp", graft.functions.TextFunctions.hash64(
+            array_join(col("chunk_toks"), " ")))
+        chunks.groupBy("source")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum("chunk_len").as("total_chunk_tokens"),
+            countDistinct(col("fp")).as("n_distinct_chunks"),
+            round(avg(col("chunk_len").cast("double")), 6).as("avg_chunk_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+             |    len(string_split(text, ' ')) AS n FROM documents),
+             |st AS (SELECT doc_id, source, toks, n,
+             |    unnest(range(0, n, 48)) AS start FROM t WHERE n >= 1),
+             |ch AS (SELECT doc_id, source,
+             |    toks[start + 1 : least(start + 64, n)] AS chunk_toks
+             |  FROM st),
+             |fp AS (SELECT doc_id, source, len(chunk_toks) AS chunk_len,
+             |    CAST(('0x' || substr(md5(array_to_string(chunk_toks, ' ')), 1, 15)) AS BIGINT) AS fp
+             |  FROM ch)
+             |SELECT source, count(DISTINCT doc_id) AS n_docs,
+             |  count(*) AS n_chunks,
+             |  CAST(sum(chunk_len) AS BIGINT) AS total_chunk_tokens,
+             |  count(DISTINCT fp) AS n_distinct_chunks,
+             |  round(avg(CAST(chunk_len AS DOUBLE)), 6) AS avg_chunk_tokens
+             |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // T5 — term frequency / word-cloud prep (reference M8: concat → split →
     // stopword filter → top-n, 实习四/…ipynb:1042-1101).
     "t5_word_freq" -> QueryDef(

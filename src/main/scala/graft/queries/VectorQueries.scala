@@ -267,6 +267,130 @@ object VectorQueries extends QueryCatalog {
            |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
       }),
 
+    // V8 — Product Quantization ANN (the faiss-style memory-scale path:
+    // 64-dim floats compress to M=8 sub-codes of K=16 — 32 bits/vector —
+    // and the scan runs over CODES, not vectors): per-subspace codebooks
+    // from the same deterministic relational Lloyd (subspace = extra group
+    // key, one pass trains all 8 codebooks), vectors encode to their
+    // nearest sub-centroid per subspace, probes build an ADC table (probe ×
+    // subspace × centroid partial distances — K·M rows per probe,
+    // broadcast), approximate distance is the sum of 8 table lookups (a
+    // codes-equi-join + hash-agg — no vector math on the corpus side), and
+    // the ADC top-20 shortlist re-ranks by exact L2 (the standard
+    // shortlist-then-rerank PQ pipeline; only shortlist×Dim rows touch real
+    // vectors). Every stage sorted-fold deterministic ⇒ full DuckDB oracle;
+    // PqSpec pins end-to-end recall vs exact L2.
+    "v8_pq_search" -> QueryDef(
+      (s, dir) => {
+        val subDim = 8 // Dim / M subspaces of 8 dims each
+        val k = 16; val iters = 2; val shortlist = 20; val topk = 5
+        val trainN = 500L // codebooks train on a deterministic prefix sample
+        val rows = Tables.embeddings(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), expr(s"pos div $subDim").as("m"), col("pos").as("dim"),
+            col("col").cast("double").as("v"))
+          .persist()
+        // faiss-faithful: Lloyd runs on the SAMPLE (training cost is fixed
+        // regardless of corpus size); the full corpus only pays the single
+        // final nearest-sub-centroid encoding pass below.
+        val train = rows.filter(col("vec_id") < trainN)
+        var centers = rows.filter(col("vec_id") < k)
+          .select(col("m").as("cm"), col("vec_id").as("cid"), col("dim"), col("v").as("cv"))
+        for (_ <- 1 to iters) {
+          val d2 = train.join(broadcast(centers.drop("cm")), "dim")
+            .withColumn("t", (col("v") - col("cv")) * (col("v") - col("cv")))
+            .groupBy("vec_id", "m", "cid").agg(ssum(col("t")).as("d2"))
+          val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
+          val assigned = d2.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).select("vec_id", "m", "cid")
+          centers = assigned.join(train, Seq("vec_id", "m"))
+            .groupBy(col("m").as("cm"), col("cid"), col("dim"))
+            .agg((ssum(col("v")) / count(lit(1))).as("cv"))
+        }
+        val codes = rows.join(broadcast(centers.drop("cm")), "dim")
+          .withColumn("t", (col("v") - col("cv")) * (col("v") - col("cv")))
+          .groupBy("vec_id", "m", "cid").agg(ssum(col("t")).as("d2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))))
+          .filter(col("rn") === 1).select("vec_id", "m", "cid")
+        val adc = rows.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("dim"), col("v").as("pv"))
+          .join(broadcast(centers), "dim")
+          .withColumn("t", (col("pv") - col("cv")) * (col("pv") - col("cv")))
+          .groupBy(col("probe_id"), col("cm").as("m"), col("cid"))
+          .agg(ssum(col("t")).as("pd2"))
+        val approx = codes.join(broadcast(adc), Seq("m", "cid"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .groupBy("probe_id", "vec_id").agg(ssum(col("pd2")).as("ad2"))
+        val wAdc = Window.partitionBy("probe_id").orderBy(col("ad2"), col("vec_id"))
+        val cand = approx.withColumn("crn", row_number().over(wAdc))
+          .filter(col("crn") <= shortlist).select("probe_id", "vec_id")
+        // exact re-rank of the shortlist: |shortlist|·Dim rows per probe
+        val exact = cand
+          .join(rows.select(col("vec_id"), col("dim"), col("v")), "vec_id")
+          .join(rows.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("probe_id"), col("dim"), col("v").as("pv")),
+            Seq("probe_id", "dim"))
+          .withColumn("t", (col("v") - col("pv")) * (col("v") - col("pv")))
+          .groupBy("probe_id", "vec_id").agg(ssum(col("t")).as("d2"))
+        val w2 = Window.partitionBy("probe_id").orderBy(col("d2"), col("vec_id"))
+        val result = exact.withColumn("rn", row_number().over(w2))
+          .filter(col("rn") <= topk)
+          .select(col("probe_id"), col("rn"), col("vec_id").as("neighbor"),
+            round(col("d2"), 6).as("d2"))
+          .orderBy("probe_id", "rn")
+        graft.QueryDef.materialized(result, rows)
+      },
+      Some {
+        val steps = (1 to 2).map { i =>
+          s"""a$i AS MATERIALIZED (SELECT vec_id, m, cid FROM (
+             |    SELECT r.vec_id, r.m, c.cid,
+             |      list_sum(list_sort(list((r.v - c.cv) * (r.v - c.cv)))) AS d2
+             |    FROM train r JOIN c${i - 1} c ON c.dim = r.dim GROUP BY 1, 2, 3)
+             |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1),
+             |c$i AS MATERIALIZED (SELECT a.m, a.cid, r.dim,
+             |    list_sum(list_sort(list(r.v))) / count(*) AS cv
+             |  FROM a$i a JOIN train r ON r.vec_id = a.vec_id AND r.m = a.m
+             |  GROUP BY 1, 2, 3)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH rows_ AS MATERIALIZED (SELECT vec_id,
+           |    generate_subscripts(embedding, 1) - 1 AS dim,
+           |    (generate_subscripts(embedding, 1) - 1) // 8 AS m,
+           |    unnest(embedding)::DOUBLE AS v
+           |  FROM embeddings),
+           |train AS MATERIALIZED (SELECT * FROM rows_ WHERE vec_id < 500),
+           |c0 AS MATERIALIZED (SELECT m, vec_id AS cid, dim, v AS cv
+           |  FROM rows_ WHERE vec_id < 16),
+           |$steps,
+           |codes AS MATERIALIZED (SELECT vec_id, m, cid FROM (
+           |    SELECT r.vec_id, r.m, c.cid,
+           |      list_sum(list_sort(list((r.v - c.cv) * (r.v - c.cv)))) AS d2
+           |    FROM rows_ r JOIN c2 c ON c.dim = r.dim GROUP BY 1, 2, 3)
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) = 1),
+           |adc AS MATERIALIZED (SELECT r.vec_id AS probe_id, c.m, c.cid,
+           |    list_sum(list_sort(list((r.v - c.cv) * (r.v - c.cv)))) AS pd2
+           |  FROM rows_ r JOIN c2 c ON c.dim = r.dim
+           |  WHERE r.vec_id < 5 GROUP BY 1, 2, 3),
+           |approx AS MATERIALIZED (SELECT a.probe_id, x.vec_id,
+           |    list_sum(list_sort(list(a.pd2))) AS ad2
+           |  FROM codes x JOIN adc a ON a.m = x.m AND a.cid = x.cid
+           |  WHERE x.vec_id <> a.probe_id GROUP BY 1, 2),
+           |cand AS MATERIALIZED (SELECT probe_id, vec_id FROM (
+           |    SELECT probe_id, vec_id, row_number() OVER (
+           |      PARTITION BY probe_id ORDER BY ad2, vec_id) AS crn FROM approx)
+           |  WHERE crn <= 20),
+           |exact AS (SELECT c.probe_id, c.vec_id,
+           |    list_sum(list_sort(list((r.v - p.v) * (r.v - p.v)))) AS d2
+           |  FROM cand c
+           |  JOIN rows_ r ON r.vec_id = c.vec_id
+           |  JOIN rows_ p ON p.vec_id = c.probe_id AND p.dim = r.dim
+           |  GROUP BY 1, 2)
+           |SELECT probe_id, rn, vec_id AS neighbor, round(d2, 6) AS d2
+           |FROM (SELECT probe_id, vec_id, d2, row_number() OVER (
+           |    PARTITION BY probe_id ORDER BY d2, vec_id) AS rn FROM exact)
+           |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin
+      }),
+
     // V4 — IVF-style coarse assignment: per-label centroids (the "trained"
     // quantizer), every vector assigned to its nearest centroid by cosine;
     // output = assignment-vs-label confusion summary. Fully relational:
