@@ -339,6 +339,62 @@ object JoinQueries extends QueryCatalog {
            |  count(*) AS n_points, round(avg(c_acctbal), 4) AS avg_bal
            |FROM (SELECT c_acctbal, $lonSql AS lon, $latSql AS lat FROM customer)
            |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY 1, 2""".stripMargin
-      })
+      }),
+
+    // J12 — AS-OF join (each purchase matched to the user's LATEST click at
+    // or before it): the time-series join Spark lacks as a native operator,
+    // composed Spark-first as union + per-key ordered window with a
+    // carried-forward last non-null — one shuffle on user_id, partitions
+    // data-proportional per key, no range cross-join. Ties: clicks dedupe
+    // to max event_id per (user, ts); a click AT the purchase timestamp
+    // matches (side orders right before left at equal ts). The oracle is
+    // DuckDB's native ASOF LEFT JOIN — an independent implementation of
+    // the same semantics. Gaps stay integer seconds so every sum is exact.
+    "j12_asof_join" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts_ns").agg(max("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ns"), col("event_id"))
+        val tagged = clicks
+          .select(col("user_id"), col("ts_ns"), lit(0).as("side"), col("click_id"),
+            lit(null).cast("long").as("p_id"))
+          .unionByName(purchases
+            .select(col("user_id"), col("ts_ns"), lit(1).as("side"),
+              lit(null).cast("long").as("click_id"), col("event_id").as("p_id")))
+        val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("last_click_ts",
+            last(when(col("side") === 0, col("ts_ns")), ignoreNulls = true).over(w))
+          .withColumn("last_click_id",
+            last(col("click_id"), ignoreNulls = true).over(w))
+          .filter(col("side") === 1)
+          .withColumn("gap_s",
+            expr("(ts_ns - last_click_ts) div 1000000000"))
+          .groupBy(pmod(col("user_id"), lit(4L)).as("cohort"))
+          .agg(count(lit(1)).as("n_purchases"),
+            count(col("last_click_id")).as("n_matched"),
+            sum("gap_s").as("total_gap_s"),
+            max("gap_s").as("max_gap_s"),
+            sum("last_click_id").as("sum_click_id"))
+          .orderBy("cohort")
+      },
+      Some("""WITH ev AS (SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, event_type
+             |  FROM events),
+             |clicks AS (SELECT user_id, ts_ns, max(event_id) AS click_id
+             |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+             |p AS (SELECT user_id, ts_ns, event_id FROM ev
+             |  WHERE event_type = 'purchase'),
+             |j AS (SELECT p.user_id, p.ts_ns, p.event_id, c.click_id, c.ts_ns AS c_ts
+             |  FROM p ASOF LEFT JOIN clicks c
+             |    ON p.user_id = c.user_id AND p.ts_ns >= c.ts_ns)
+             |SELECT user_id % 4 AS cohort, count(*) AS n_purchases,
+             |  count(click_id) AS n_matched,
+             |  CAST(sum((ts_ns - c_ts) // 1000000000) AS BIGINT) AS total_gap_s,
+             |  CAST(max((ts_ns - c_ts) // 1000000000) AS BIGINT) AS max_gap_s,
+             |  CAST(sum(click_id) AS BIGINT) AS sum_click_id
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
