@@ -144,4 +144,21 @@ class PlanSpec extends SparkSpec {
       assert(bad.isEmpty, s"$name has unpartitioned windows: $bad")
     }
   }
+
+  test("j12: as-of join windows partition by user key, never globally") {
+    val p = plan("j12_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  // v8's plan is not pinnable here: the query returns a Materialize.cut
+  // frame, so the executed plan collapses to the checkpoint scan. Its
+  // broadcast shapes are asserted structurally by construction
+  // (broadcast(...) on every centers/adc join) and exercised by PqSpec.
+
+  test("t10: chunk fan-out is a generate over the scan (no shuffle before the agg)") {
+    val p = plan("t10_chunking")
+    assert(p.contains("Generate"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
