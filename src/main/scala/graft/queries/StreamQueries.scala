@@ -107,6 +107,45 @@ object StreamQueries extends QueryCatalog {
       Some("""SELECT event_type, count(DISTINCT event_id) AS n
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // W15 — STREAM-STREAM interval join through the append-mode replay
+    // harness: the purchase stream inner-joins the click stream on user
+    // within a trailing 30-minute window (ad-attribution shape), both sides
+    // watermarked so join state stays bounded; the per-cohort rollup runs
+    // in batch over the emitted pairs. Oracle = the identical interval join
+    // in DuckDB over the static table — streaming/batch equivalence for
+    // the one streaming operator class (two-stream correlation) w10-w14
+    // did not yet cover. Gap sums stay integer-exact.
+    "w15_stream_join" -> QueryDef(
+      (s, dir) => {
+        val windowSec = 1800L
+        EventsAnomaly.replayBoundedJoin(s, s"$dir/events.parquet",
+            (a, b) => EventsAnomaly.purchaseClickJoin(
+              Tables.normalizeEvents(a), Tables.normalizeEvents(b), windowSec))
+          .withColumn("gap_s", expr("(p_ts_ns - c_ts_ns) div 1000000000"))
+          .groupBy(pmod(col("p_user"), lit(4L)).as("cohort"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("p_id")).as("n_purchases_matched"),
+            sum("gap_s").as("total_gap_s"),
+            max("gap_s").as("max_gap_s"))
+          .orderBy("cohort")
+      },
+      Some("""WITH ev AS (SELECT event_id, epoch_ns(ts) AS ts_ns, user_id, event_type
+             |  FROM events),
+             |p AS (SELECT user_id, ts_ns, event_id FROM ev
+             |  WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts_ns, event_id FROM ev
+             |  WHERE event_type = 'click'),
+             |j AS (SELECT p.user_id, p.event_id AS p_id,
+             |    (p.ts_ns - c.ts_ns) // 1000000000 AS gap_s
+             |  FROM p JOIN c ON p.user_id = c.user_id
+             |    AND c.ts_ns >= p.ts_ns - 1800000000000
+             |    AND c.ts_ns <= p.ts_ns)
+             |SELECT user_id % 4 AS cohort, count(*) AS n_pairs,
+             |  count(DISTINCT p_id) AS n_purchases_matched,
+             |  CAST(sum(gap_s) AS BIGINT) AS total_gap_s,
+             |  CAST(max(gap_s) AS BIGINT) AS max_gap_s
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Structured Streaming replay: hourly tumbling counts with a 1-hour
     // watermark over the parquet-file stream; must reproduce the batch
     // w1_hourly_counts result exactly.

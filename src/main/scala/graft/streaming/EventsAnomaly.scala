@@ -67,6 +67,29 @@ object EventsAnomaly {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** STREAM-STREAM interval join: purchases join the same user's clicks
+    * within the trailing `windowSec` seconds — the canonical two-stream
+    * correlation (ad attribution, conversion windows). Both sides carry
+    * watermarks; the event-time range condition lets Spark bound the join
+    * state (click state drops once the watermark passes click.ts +
+    * windowSec). INNER join, so matches emit as they are found — bounded
+    * replay surfaces every pair without waiting for state expiry. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+      windowSec: Long): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("ts_ns").as("p_ts_ns"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("ts_ns").as("c_ts_ns"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c, expr(
+      s"""p_user = c_user AND
+         |c_ts >= p_ts - INTERVAL $windowSec SECONDS AND
+         |c_ts <= p_ts""".stripMargin))
+  }
+
   /** Run a streaming transformation over a bounded parquet source with
     * Trigger.AvailableNow and a memory sink, returning the final result —
     * the replay harness that lets the correctness gate cover the streaming
@@ -84,6 +107,28 @@ object EventsAnomaly {
     val q = transform(source).writeStream
       .format("memory").queryName(name)
       .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Two-source APPEND-mode replay for stream-stream joins: each side gets
+    * its own file-stream instance over the same bounded source (two
+    * independent streams, as production would have two topics), the join's
+    * emitted rows accumulate in the memory sink. Complete mode is
+    * aggregation-only in Spark, so joins need this append variant. */
+  def replayBoundedJoin(spark: SparkSession, parquetPath: String,
+      transform: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val f = new java.io.File(parquetPath)
+    def src() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", f.getName)
+      .parquet(f.getParent)
+    val name = "replayj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = transform(src(), src()).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
