@@ -125,4 +125,49 @@ object GraphOps {
     org.apache.spark.sql.graft.CheckpointBlocks.release(activeSource)
     labels.withColumnRenamed("label", "component")
   }
+
+  /** PageRank over `edges(src, dst)` with damping 0.85, run for exactly
+    * `iters` rounds (no early exit — a SQL oracle must reproduce the same
+    * iteration count). Returns `(id, pr)` where `pr` is the rank scaled to
+    * integer units of 1e-12 (`scale`).
+    *
+    * All arithmetic is integer: per-edge contribution `(pr * 85) div
+    * (100 * outdeg)`, uniform teleport `(15 * scale) div (100 * n)`, and the
+    * dangling-node mass redistributed as `(Σ_dangling pr * 85) div
+    * (100 * n)` — networkx-style semantics, but order-free-exact, so Spark
+    * and an unrolled DuckDB CTE agree bit-for-bit (truncation sheds ~1 unit
+    * of 1e-12 mass per node per round; identical on both sides). Each round
+    * is two equi-joins + one hash aggregate on data-proportional frames —
+    * no driver-side adjacency — with lineage cut per round (see sssp). */
+  def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("e_src").as("id"))
+      .unionByName(e.select(col("e_dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy(col("e_src").as("id")).agg(count(lit(1)).as("od"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    val teleport = (15L * scale) / (100L * n)
+    var pr = graft.core.Materialize.cut(
+      nodes.select(col("id"), lit(scale / n).as("pr")))
+    for (_ <- 1 to iters) {
+      val dangRow = pr.join(outdeg, Seq("id"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0L)).as("ds")).head()
+      val dangShare = (dangRow.getLong(0) * 85L) / (100L * n)
+      val inflow = pr.join(outdeg, "id")
+        .join(e, col("id") === col("e_src"))
+        .select(col("e_dst").as("id"),
+          expr("(pr * 85) div (100 * od)").as("c"))
+        .groupBy("id").agg(sum("c").as("inflow"))
+      val next = graft.core.Materialize.cut(
+        nodes.join(inflow, Seq("id"), "left")
+          .select(col("id"),
+            (coalesce(col("inflow"), lit(0L)) + lit(teleport + dangShare)).as("pr")))
+      org.apache.spark.sql.graft.CheckpointBlocks.release(pr)
+      pr = next
+    }
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    pr
+  }
 }

@@ -352,6 +352,43 @@ object GraphQueries extends QueryCatalog {
               |  FROM edges)
               |SELECT cls, count(*) AS n_edges, CAST(sum(w) AS BIGINT) AS total_w,
               |  round(avg(w / speed * 3600), 4) AS avg_tt
-              |FROM ann GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM ann GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Engine-added — PageRank (reference computes centrality with networkx
+    // in-process, …urban_road_network_analysis.ipynb; here it's the join-
+    // based message-passing formulation). Integer-scaled state makes every
+    // iteration bit-reproducible, so the oracle is the SAME six rounds
+    // unrolled as materialized CTEs (AS MATERIALIZED: DuckDB inlines twice-
+    // referenced CTEs, which would re-evaluate each round exponentially).
+    "g8_pagerank" -> QueryDef(
+      (s, dir) => GraphOps.pageRank(edges(s, dir), iters = 6)
+        .orderBy(desc("pr"), col("id")).limit(20)
+        .select(col("id"), col("pr").as("pr_scaled")),
+      Some {
+        val steps = (1 to 6).map { i =>
+          s"""dang$i AS MATERIALIZED (SELECT CAST(coalesce(sum(p.pr), 0) AS BIGINT) AS ds
+             |  FROM pr${i - 1} p LEFT JOIN outdeg o ON o.id = p.id WHERE o.id IS NULL),
+             |infl$i AS MATERIALIZED (SELECT e.dst AS id,
+             |    CAST(sum((p.pr * 85) // (100 * o.od)) AS BIGINT) AS s
+             |  FROM pr${i - 1} p JOIN outdeg o ON o.id = p.id
+             |  JOIN edges e ON e.src = p.id GROUP BY 1),
+             |pr$i AS MATERIALIZED (SELECT nd.id,
+             |    coalesce(f.s, 0) + (15 * 1000000000000) // (100 * nc.n)
+             |      + (d.ds * 85) // (100 * nc.n) AS pr
+             |  FROM nodes nd CROSS JOIN ncnt nc CROSS JOIN dang$i d
+             |  LEFT JOIN infl$i f ON f.id = nd.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgesSql,
+           |nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+           |  (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+           |ncnt AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+           |outdeg AS MATERIALIZED (SELECT src AS id, count(*) AS od
+           |  FROM edges GROUP BY 1),
+           |pr0 AS MATERIALIZED (SELECT id, 1000000000000 // n AS pr
+           |  FROM nodes CROSS JOIN ncnt),
+           |$steps
+           |SELECT id, pr AS pr_scaled FROM pr6
+           |ORDER BY pr DESC, id LIMIT 20""".stripMargin
+      })
   )
 }
