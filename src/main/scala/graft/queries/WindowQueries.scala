@@ -209,6 +209,46 @@ object WindowQueries extends QueryCatalog {
               |  WHEN (epoch_ns(ts) // $hourNs) % 24 BETWEEN 10 AND 16 THEN 'day'
               |  ELSE 'night' END AS bucket,
               |count(*) AS n, round(avg(value), 4) AS avg_value
-              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Engine-added — calendar resample + forward fill (pandas
+    // df.resample('1h').ffill()): each event_type's hourly series is
+    // densified to every hour between its first and last observation
+    // (sequence+explode spine — no driver loop), missing hours carry the
+    // last observed count forward. The fill window partitions by key and
+    // each partition is calendar-bounded (720 hours here regardless of
+    // event volume), the same bounded-series argument as w13; at 100 TB
+    // the spine grows with keys × calendar, never with row count.
+    "w16_resample_ffill" -> QueryDef(
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"), expr(s"ts_ns div $hourNs").as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val spine = hourly.groupBy("event_type")
+          .agg(min("h").as("h0"), max("h").as("h1"))
+          .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+        val fill = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(hourly, Seq("event_type", "h"), "left")
+          .withColumn("was_gap", col("cnt").isNull)
+          .withColumn("cnt_filled", last(col("cnt"), ignoreNulls = true).over(fill))
+          .select(col("event_type"), (col("h") * 3600L).as("hour_epoch"),
+            col("cnt_filled"), col("was_gap"))
+          .orderBy("event_type", "hour_epoch")
+      },
+      Some(s"""WITH hourly AS (SELECT event_type, epoch_ns(ts) // $hourNs AS h,
+             |    count(*) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |span AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+             |  FROM hourly GROUP BY 1),
+             |spine AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h FROM span),
+             |j AS (SELECT s.event_type, s.h, hourly.cnt
+             |  FROM spine s LEFT JOIN hourly
+             |    ON hourly.event_type = s.event_type AND hourly.h = s.h)
+             |SELECT event_type, h * 3600 AS hour_epoch,
+             |  last_value(cnt IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_filled,
+             |  cnt IS NULL AS was_gap
+             |FROM j ORDER BY 1, 2""".stripMargin))
   )
 }
