@@ -30,6 +30,16 @@ object Staged {
     f.delete(): Unit
   }
 
+  /** The app's tmp staging root, registered for shutdown-hook cleanup.
+    * Callers staging non-parquet artifacts (ORC round-trips, export files)
+    * place them under this root so they share the stages' lifecycle. */
+  def appRoot(s: SparkSession): String = {
+    hookInstalled
+    val root = s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}"
+    roots.put(root, ()): Unit
+    root
+  }
+
   /** `afterWrite` runs once, after the stage's parquet write completes —
     * the hook for releasing build-side caches the write consumed. */
   def apply(s: SparkSession, key: String, afterWrite: () => Unit = () => ())
@@ -40,14 +50,11 @@ object Staged {
     // concurrent duplicate build would corrupt the directory under a reader.
     val path = cache.synchronized {
       cache.getOrElseUpdate(k, {
-        hookInstalled
         // md5 of the full key: a 32-bit hashCode collision would silently
         // alias two different stages onto one directory.
         val digest = java.security.MessageDigest.getInstance("MD5")
           .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val root = s"${sys.props("java.io.tmpdir")}/graft-${s.sparkContext.applicationId}"
-        roots.put(root, ()): Unit
-        val p = s"$root/stage-$digest"
+        val p = s"${appRoot(s)}/stage-$digest"
         build.write.mode("overwrite").parquet(p)
         afterWrite()
         p

@@ -28,6 +28,32 @@ object CoreQueries extends QueryCatalog {
              |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
              |LIMIT 100""".stripMargin)),
 
+    // S14 (engine-added) — ORC round-trip: the returned-flag lineitem slice
+    // is written as ORC into the app's staging root and scanned back through
+    // Spark's native ORC reader before aggregating. The oracle runs the same
+    // aggregate straight off parquet — equality proves the ORC write→scan
+    // path is lossless. (l_quantity is integral, so the bigint cast is exact
+    // and the sum order-free.)
+    "s14_orc_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val slice = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_linestatus")
+        val path = graft.ops.Staged.appRoot(s) + "/orc-rt-" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        graft.sources.IO.writeOrc(slice, path)
+        graft.sources.IO.readOrc(s, path)
+          .groupBy("l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem WHERE l_returnflag = 'R'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S10 — geocode lookup against an offline gazetteer (reference
     // ox.geocode at 实习三/…urban_road_network_analysis.ipynb:307-310): the
     // gazetteer maps place NAME → deterministic point, and the lookup joins

@@ -52,6 +52,7 @@ object IO {
     val base =
       if (path.endsWith(".csv")) readCsv(spark, path)
       else if (path.endsWith(".json") || path.endsWith(".jsonl")) readJsonLines(spark, path)
+      else if (path.endsWith(".orc")) readOrc(spark, path)
       else spark.read.parquet(path)
     val latCol = base.columns.find(c => c.toLowerCase.matches("lat(itude)?"))
     val lonCol = base.columns.find(c => c.toLowerCase.matches("lon(gitude)?|lng"))
@@ -65,6 +66,15 @@ object IO {
   /** CSV sink (S12; reference to_csv(index=False)). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** ORC scan/sink — a second columnar exchange format beside parquet,
+    * served by Spark's native reader, so predicate pushdown and column
+    * pruning reach the ORC stripes exactly as they do parquet row-groups. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 
   /** GeoJSON FeatureCollection export for point tables (S6 write side):
     * each row becomes a Feature with a Point geometry from (lon, lat) and

@@ -35,6 +35,20 @@ class IOSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("orc round-trip preserves schema, types, and values") {
+    val dir = tmpDir("graft-orc")
+    val df = Seq((1L, "a", 2.5, true), (2L, "b", -0.75, false), (3L, null, 0.0, true))
+      .toDF("id", "name", "score", "flag")
+    IO.writeOrc(df, s"$dir/out.orc")
+    val back = IO.readOrc(spark, s"$dir/out.orc")
+    // ORC stores no nullability, so compare names + types (all read nullable)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+    // the polymorphic reader dispatches on the .orc extension
+    assert(IO.readPoints(spark, s"$dir/out.orc").count() === 3)
+  }
+
   test("polymorphic reader normalizes latitude/longitude column names") {
     val dir = tmpDir("graft-poly")
     Seq((40.7, -74.0, "p1")).toDF("Latitude", "Longitude", "name")
