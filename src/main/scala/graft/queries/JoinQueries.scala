@@ -395,6 +395,46 @@ object JoinQueries extends QueryCatalog {
              |  CAST(sum((ts_ns - c_ts) // 1000000000) AS BIGINT) AS total_gap_s,
              |  CAST(max((ts_ns - c_ts) // 1000000000) AS BIGINT) AS max_gap_s,
              |  CAST(sum(click_id) AS BIGINT) AS sum_click_id
-             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Engine-added — interval (range) join by bin bucketing. Each 'error'
+    // event opens a 2-hour incident window; the query counts, per type, the
+    // events falling inside ANY window. A raw `ts BETWEEN t0 AND t1` join
+    // has no equi-key, so Spark plans a broadcast nested loop — O(n·m) and
+    // a non-starter at scale. Bucketing both sides into hour bins (a fixed
+    // window spans ≤ 3 bins) turns it into an equi-join on the bin key with
+    // candidate fanout = bins × incidents-per-bin — data-proportional — and
+    // the exact predicate re-checked on candidates. DISTINCT collapses
+    // events matching several windows. Oracle: DuckDB's native IEJoin runs
+    // the straight inequality join.
+    "j13_range_bin_join" -> QueryDef(
+      (s, dir) => {
+        val hourNs = 3600000000000L
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("ts_ns"),
+            expr(s"ts_ns div $hourNs").as("bin"))
+        val inc = Tables.events(s, dir).filter(col("event_type") === "error")
+          .select(col("ts_ns").as("t0"), (col("ts_ns") + lit(2L * hourNs)).as("t1"))
+          .select(col("t0"), col("t1"),
+            explode(sequence(expr(s"t0 div $hourNs"), expr(s"t1 div $hourNs"))).as("bin"))
+        val hits = ev.join(inc, "bin")
+          .filter(col("ts_ns") >= col("t0") && col("ts_ns") < col("t1"))
+          .select("event_id", "event_type").distinct()
+        ev.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+          .join(hits.groupBy("event_type").agg(count(lit(1)).as("n_during")), "event_type")
+          .select(col("event_type"), col("n_events"), col("n_during"),
+            round(col("n_during").cast("double") / col("n_events"), 6).as("during_rate"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+             |inc AS (SELECT ts_ns AS t0, ts_ns + 7200000000000 AS t1
+             |  FROM ev WHERE event_type = 'error'),
+             |hits AS (SELECT DISTINCT e.event_id, e.event_type
+             |  FROM ev e JOIN inc ON e.ts_ns >= inc.t0 AND e.ts_ns < inc.t1),
+             |tot AS (SELECT event_type, count(*) AS n_events FROM ev GROUP BY 1),
+             |dur AS (SELECT event_type, count(*) AS n_during FROM hits GROUP BY 1)
+             |SELECT event_type, n_events, n_during,
+             |  round(n_during / CAST(n_events AS DOUBLE), 6) AS during_rate
+             |FROM tot JOIN dur USING (event_type) ORDER BY 1""".stripMargin))
   )
 }

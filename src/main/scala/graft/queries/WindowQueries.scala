@@ -249,6 +249,49 @@ object WindowQueries extends QueryCatalog {
              |  last_value(cnt IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_filled,
              |  cnt IS NULL AS was_gap
-             |FROM j ORDER BY 1, 2""".stripMargin))
+             |FROM j ORDER BY 1, 2""".stripMargin)),
+
+    // Engine-added — strict sequential funnel view → click → purchase: each
+    // user's stage-k timestamp is the earliest qualifying event STRICTLY
+    // AFTER their stage-(k-1) timestamp (not min-per-type, which overcounts
+    // users whose purchase preceded their first view). Three conditional-min
+    // hash aggregates keyed by user, each re-joined on user_id — at scale
+    // every pass is one map-side-combinable shuffle on the user key; nothing
+    // is ordered globally and no per-user event list is materialized.
+    "w17_funnel_stages" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("user_id", "event_type", "ts_ns")
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_ns").as("t1"))
+        val s2 = ev.join(s1, "user_id")
+          .filter(col("event_type") === "click" && col("ts_ns") > col("t1"))
+          .groupBy("user_id").agg(min("ts_ns").as("t2"))
+        val s3 = ev.join(s2, "user_id")
+          .filter(col("event_type") === "purchase" && col("ts_ns") > col("t2"))
+          .groupBy("user_id").agg(min("ts_ns").as("t3"))
+        val n1 = s1.count(); val n2 = s2.count(); val n3 = s3.count()
+        val stages = Seq(("1_view", n1, n1), ("2_click", n2, n1), ("3_purchase", n3, n2))
+        import s.implicits._
+        stages.toDF("stage", "n_users", "prev_users")
+          .select(col("stage"), col("n_users"),
+            round(col("n_users").cast("double") / col("prev_users"), 6).as("conversion"))
+          .orderBy("stage")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+             |s1 AS (SELECT user_id, min(ts_ns) AS t1 FROM ev
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |s2 AS (SELECT ev.user_id, min(ts_ns) AS t2 FROM ev JOIN s1 USING (user_id)
+             |  WHERE event_type = 'click' AND ts_ns > t1 GROUP BY 1),
+             |s3 AS (SELECT ev.user_id, min(ts_ns) AS t3 FROM ev JOIN s2 USING (user_id)
+             |  WHERE event_type = 'purchase' AND ts_ns > t2 GROUP BY 1),
+             |n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+             |  (SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3)
+             |SELECT stage, n_users, round(n_users / CAST(prev_users AS DOUBLE), 6)
+             |    AS conversion
+             |FROM (
+             |  SELECT '1_view' AS stage, n1 AS n_users, n1 AS prev_users FROM n
+             |  UNION ALL SELECT '2_click', n2, n1 FROM n
+             |  UNION ALL SELECT '3_purchase', n3, n2 FROM n)
+             |ORDER BY stage""".stripMargin))
   )
 }

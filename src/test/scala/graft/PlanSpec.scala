@@ -161,4 +161,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("j13: binned range join is an equi-join, never a nested loop") {
+    val p = plan("j13_range_bin_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the bin key gives the range predicate a hashable equi-join
+    assert(p.contains("HashJoin"), p)
+  }
+
+  test("w16: forward-fill window partitions by the series key, never globally") {
+    val p = plan("w16_resample_ffill")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
