@@ -292,6 +292,23 @@ object AggQueries extends QueryCatalog {
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY flag, status""".stripMargin)),
 
+    // Engine-added — CUBE: all four grouping sets over (status, priority)
+    // in ONE pass (Spark expands grouping sets inside a single hash
+    // aggregate — no union of scans), a18's ROLLUP companion.
+    "a19_cube" -> QueryDef(
+      (s, dir) => Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("revenue"))
+        .orderBy("status", "priority"),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
     // A11 — Pareto concentration (reference top-20%-users share,
     // analyze_data_bias.py:155-178): running share over the desc-ordered
     // per-user totals. Totals are EXACT INTEGER ten-thousandths and the

@@ -292,6 +292,35 @@ object WindowQueries extends QueryCatalog {
              |  SELECT '1_view' AS stage, n1 AS n_users, n1 AS prev_users FROM n
              |  UNION ALL SELECT '2_click', n2, n1 FROM n
              |  UNION ALL SELECT '3_purchase', n3, n2 FROM n)
-             |ORDER BY stage""".stripMargin))
+             |ORDER BY stage""".stripMargin)),
+
+    // Engine-added — first-order event-transition matrix: per user, each
+    // event's predecessor type via lag over (user, time), then global
+    // (prev → next) counts and row-normalized probabilities. The lag window
+    // partitions by user — thousands of small partitions, no global order —
+    // and the probability window runs over the 25-row aggregated matrix.
+    "w18_transition_matrix" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        val pairs = Tables.events(s, dir)
+          .select("user_id", "event_id", "event_type", "ts_ns")
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+        val row = Window.partitionBy("prev_type")
+        pairs
+          .withColumn("p", round(col("n").cast("double") / sum("n").over(row), 6))
+          .orderBy("prev_type", "event_type")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns
+             |  FROM events),
+             |pairs AS (SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+             |    ORDER BY ts_ns, event_id) AS prev_type, event_type
+             |  FROM ev),
+             |m AS (SELECT prev_type, event_type, count(*) AS n FROM pairs
+             |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT prev_type, event_type, n,
+             |  round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+             |FROM m ORDER BY prev_type, event_type""".stripMargin))
   )
 }
