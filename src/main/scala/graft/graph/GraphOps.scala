@@ -152,18 +152,20 @@ object GraphOps {
     var pr = graft.core.Materialize.cut(
       nodes.select(col("id"), lit(scale / n).as("pr")))
     for (_ <- 1 to iters) {
-      val dangRow = pr.join(outdeg, Seq("id"), "left_anti")
-        .agg(coalesce(sum("pr"), lit(0L)).as("ds")).head()
-      val dangShare = (dangRow.getLong(0) * 85L) / (100L * n)
+      // The dangling-mass scalar rides the plan as a broadcast 1-row frame
+      // instead of a driver-side action: one job per round, not two.
+      val dang = pr.join(outdeg, Seq("id"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0L)).as("ds"))
       val inflow = pr.join(outdeg, "id")
         .join(e, col("id") === col("e_src"))
         .select(col("e_dst").as("id"),
           expr("(pr * 85) div (100 * od)").as("c"))
         .groupBy("id").agg(sum("c").as("inflow"))
       val next = graft.core.Materialize.cut(
-        nodes.join(inflow, Seq("id"), "left")
+        nodes.join(inflow, Seq("id"), "left").crossJoin(broadcast(dang))
           .select(col("id"),
-            (coalesce(col("inflow"), lit(0L)) + lit(teleport + dangShare)).as("pr")))
+            (coalesce(col("inflow"), lit(0L)) + lit(teleport)
+              + expr(s"(ds * 85) div ${100L * n}")).as("pr")))
       org.apache.spark.sql.graft.CheckpointBlocks.release(pr)
       pr = next
     }
