@@ -309,6 +309,29 @@ object AggQueries extends QueryCatalog {
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
              |ORDER BY status, priority""".stripMargin)),
 
+    // Engine-added — per-group mode (pandas .mode() / most_common): the
+    // heavy pass is one hash aggregate over (group, value); the argmax
+    // window runs over the aggregated counts only (≤ |statuses × priorities|
+    // rows), with lexicographic tie-break for determinism.
+    "a20_group_mode" -> QueryDef(
+      (s, dir) => {
+        val counts = Tables.orders(s, dir)
+          .groupBy("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(desc("n"), col("o_orderpriority"))
+        counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("o_orderstatus").as("status"),
+            col("o_orderpriority").as("mode_priority"), col("n"))
+          .orderBy("status")
+      },
+      Some("""WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS n
+             |  FROM orders GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+             |    ORDER BY n DESC, o_orderpriority) AS rn FROM c)
+             |SELECT o_orderstatus AS status, o_orderpriority AS mode_priority, n
+             |FROM r WHERE rn = 1 ORDER BY status""".stripMargin)),
+
     // A11 — Pareto concentration (reference top-20%-users share,
     // analyze_data_bias.py:155-178): running share over the desc-ordered
     // per-user totals. Totals are EXACT INTEGER ten-thousandths and the

@@ -389,6 +389,43 @@ object GraphQueries extends QueryCatalog {
            |$steps
            |SELECT id, pr AS pr_scaled FROM pr6
            |ORDER BY pr DESC, id LIMIT 20""".stripMargin
-      })
+      }),
+
+    // Engine-added — triangle counting by ordered-orientation join: the
+    // undirected edge set is canonicalized to a<b, wedges are the e1(a,b)
+    // ⋈ e2(b,c) equi-join (so a<b<c — each triangle counted exactly once),
+    // and triangles close the wedge against a third equi-join on (a,c).
+    // Orientation bounds the wedge fanout by per-node oriented degree; at
+    // production scale the orientation key would be (degree, id) rather
+    // than raw id, which provably minimizes Σdeg² fanout — same plan shape.
+    "g9_triangles" -> QueryDef(
+      (s, dir) => {
+        val und = edges(s, dir)
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .filter(col("a") < col("b")).distinct()
+        val wedges = und.select(col("a"), col("b").as("m"))
+          .join(und.select(col("a").as("m"), col("b").as("c")), "m")
+        val tri = wedges.join(
+          und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+        und.agg(count(lit(1)).as("n_edges_und")).crossJoin(
+            wedges.agg(count(lit(1)).as("n_wedges")))
+          .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+          .select(col("n_edges_und"), col("n_wedges"), col("n_triangles"),
+            round(col("n_triangles").cast("double") / col("n_wedges"), 6)
+              .as("closure_rate"))
+      },
+      Some(s"""WITH $edgesSql,
+              |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              |  FROM edges WHERE least(src, dst) < greatest(src, dst)),
+              |wedges AS (SELECT e1.a, e1.b AS m, e2.b AS c
+              |  FROM und e1 JOIN und e2 ON e1.b = e2.a),
+              |tri AS (SELECT w.a FROM wedges w JOIN und e3
+              |  ON e3.a = w.a AND e3.b = w.c)
+              |SELECT (SELECT count(*) FROM und) AS n_edges_und,
+              |  (SELECT count(*) FROM wedges) AS n_wedges,
+              |  (SELECT count(*) FROM tri) AS n_triangles,
+              |  round((SELECT count(*) FROM tri)
+              |    / CAST((SELECT count(*) FROM wedges) AS DOUBLE), 6) AS closure_rate""".stripMargin))
   )
 }

@@ -412,6 +412,44 @@ object TextQueries extends QueryCatalog {
       Some("""SELECT tok, count(*) AS n FROM (
              |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
              |WHERE length(tok) > 3 AND tok NOT IN ('the', 'with', 'from', 'this')
-             |GROUP BY 1 ORDER BY n DESC, tok LIMIT 30""".stripMargin))
+             |GROUP BY 1 ORDER BY n DESC, tok LIMIT 30""".stripMargin)),
+
+    // Engine-added — top-3 TF-IDF terms per document (keyword extraction).
+    // The score is quantized to integer micro-units BEFORE ranking so an
+    // ulp of libm ln() difference between engines cannot flip a rank:
+    // near-ties become exact ties broken lexicographically. The argmax
+    // window partitions by doc_id — millions of small partitions at scale,
+    // no global order; tf and df are single hash aggregates.
+    "t11_top_tfidf" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val f = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 3)
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = f.groupBy("tok").agg(count(lit(1)).as("df"))
+        val nd = docs.agg(count(lit(1)).as("nd"))
+        val sc = f.join(dfreq, "tok").crossJoin(broadcast(nd))
+          .withColumn("score_micro",
+            round(col("tf") * log((col("nd") + lit(1.0)) / (col("df") + lit(1.0)))
+              * lit(1000000.0)).cast("long"))
+        val w = Window.partitionBy("doc_id").orderBy(desc("score_micro"), col("tok"))
+        sc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+          .select("doc_id", "rnk", "tok", "score_micro")
+          .orderBy("doc_id", "rnk")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |f AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+             |  WHERE length(tok) > 3 GROUP BY 1, 2),
+             |dfreq AS (SELECT tok, count(*) AS df FROM f GROUP BY 1),
+             |n AS (SELECT count(*) AS nd FROM documents),
+             |sc AS (SELECT f.doc_id, f.tok,
+             |    CAST(round(f.tf * ln((n.nd + 1.0) / (dfreq.df + 1.0)) * 1000000)
+             |      AS BIGINT) AS score_micro
+             |  FROM f JOIN dfreq USING (tok) CROSS JOIN n),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY score_micro DESC, tok) AS rnk FROM sc)
+             |SELECT doc_id, rnk, tok, score_micro FROM r WHERE rnk <= 3
+             |ORDER BY doc_id, rnk""".stripMargin))
   )
 }
