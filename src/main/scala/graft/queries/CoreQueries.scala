@@ -54,6 +54,31 @@ object CoreQueries extends QueryCatalog {
              |FROM lineitem WHERE l_returnflag = 'R'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S15 (engine-added) — hive-partitioned layout + partition pruning:
+    // lineitem is written partitioned by return flag, and the filtered
+    // re-scan must touch ONE directory — the pruning shows up as
+    // PartitionFilters on the scan (PlanSpec pins it). This is the layout
+    // a 100 TB table actually ships with: the filter eliminates whole
+    // partitions at planning time, before any IO.
+    "s15_partition_prune" -> QueryDef(
+      (s, dir) => {
+        val path = graft.ops.Staged.appRoot(s) + "/part-lineitem-" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_quantity", "l_linestatus", "l_returnflag")
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+        s.read.parquet(path).filter(col("l_returnflag") === "A")
+          .groupBy("l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem WHERE l_returnflag = 'A'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S10 — geocode lookup against an offline gazetteer (reference
     // ox.geocode at 实习三/…urban_road_network_analysis.ipynb:307-310): the
     // gazetteer maps place NAME → deterministic point, and the lookup joins

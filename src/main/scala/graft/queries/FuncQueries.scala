@@ -242,6 +242,31 @@ object FuncQueries extends QueryCatalog {
              |  WHEN (value-100.0)/100.0 >= -0.5 THEN 'negative'
              |  ELSE 'very_neg' END AS cat, count(*) AS n,
              |  round(avg((value-100.0)/100.0), 6) AS avg_score
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Engine-added — fuzzy string matching with blocking (entity-resolution
+    // shape): candidate pairs come from an equi-join on a 16-char prefix
+    // block — never the n² cross product — and only candidates pay the
+    // levenshtein comparison (identical unit-cost edit distance in Spark
+    // and DuckDB). Per-block near-match counts, lexicographic order.
+    "f10_fuzzy_match" -> QueryDef(
+      (s, dir) => {
+        val sup = Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"),
+            substring(col("s_name"), 1, 16).as("blk"))
+        val a = sup.select(col("blk"), col("s_suppkey").as("k1"), col("s_name").as("n1"))
+        val b = sup.select(col("blk"), col("s_suppkey").as("k2"), col("s_name").as("n2"))
+        a.join(b, "blk").filter(col("k1") < col("k2"))
+          .filter(levenshtein(col("n1"), col("n2")) <= 1)
+          .groupBy("blk").agg(count(lit(1)).as("n_close_pairs"))
+          .orderBy("blk")
+      },
+      Some("""WITH s AS (SELECT s_suppkey, s_name, substring(s_name, 1, 16) AS blk
+             |  FROM supplier),
+             |pairs AS (SELECT a.blk, a.s_name AS n1, b.s_name AS n2
+             |  FROM s a JOIN s b ON a.blk = b.blk AND a.s_suppkey < b.s_suppkey)
+             |SELECT blk, count(*) AS n_close_pairs FROM pairs
+             |WHERE levenshtein(n1, n2) <= 1
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

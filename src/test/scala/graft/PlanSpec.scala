@@ -175,4 +175,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("s15: partition filter prunes the hive-layout scan at planning time") {
+    val p = plan("s15_partition_prune")
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("l_returnflag"), p)
+  }
 }
