@@ -321,6 +321,39 @@ object WindowQueries extends QueryCatalog {
              |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
              |SELECT prev_type, event_type, n,
              |  round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
-             |FROM m ORDER BY prev_type, event_type""".stripMargin))
+             |FROM m ORDER BY prev_type, event_type""".stripMargin)),
+
+    // Engine-added — weekly cohort retention: users are cohorted by the
+    // week of their first activity, and each (cohort, weeks-since) cell
+    // counts the cohort members still active that week. Two hash
+    // aggregates keyed by user plus one keyed by (cohort, offset) — every
+    // shuffle is on a data-proportional key, no window at all.
+    "w19_cohort_retention" -> QueryDef(
+      (s, dir) => {
+        val dayNs = 86400000000000L
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), expr(s"ts_ns div $dayNs div 7").as("week"))
+          .distinct()
+        val first = ev.groupBy("user_id").agg(min("week").as("cohort"))
+        val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+        ev.join(first, "user_id")
+          .groupBy(col("cohort"), (col("week") - col("cohort")).as("week_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .join(sizes, "cohort")
+          .select(col("cohort"), col("week_offset"), col("n_active"),
+            round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
+          .orderBy("cohort", "week_offset")
+      },
+      Some("""WITH ev AS (SELECT DISTINCT user_id,
+             |    epoch_ns(ts) // 86400000000000 // 7 AS week FROM events),
+             |first AS (SELECT user_id, min(week) AS cohort FROM ev GROUP BY 1),
+             |sizes AS (SELECT cohort, count(*) AS n_cohort FROM first GROUP BY 1),
+             |cells AS (SELECT f.cohort, ev.week - f.cohort AS week_offset,
+             |    count(*) AS n_active
+             |  FROM ev JOIN first f USING (user_id) GROUP BY 1, 2)
+             |SELECT cohort, week_offset, n_active,
+             |  round(n_active / CAST(n_cohort AS DOUBLE), 6) AS retention
+             |FROM cells JOIN sizes USING (cohort)
+             |ORDER BY cohort, week_offset""".stripMargin))
   )
 }
