@@ -20,6 +20,63 @@ object MLModelQueries extends QueryCatalog {
 
   private val Dim64 = 64 // embeddings table dimension
 
+  /** Order-free exact mean: sorted sequential fold over the collected
+    * values (≡ DuckDB list_sum(list_sort(list(x)))). */
+  private def sortedMean(c: org.apache.spark.sql.Column) =
+    graft.functions.VectorExpr.vecSeqSumD(sort_array(collect_list(c))) / count(lit(1))
+
+  /** The m3b relational Lloyd loop, shared with m22: k lowest-id seeds,
+    * `iters` argmin-assign + sorted-mean-recenter rounds, all deterministic.
+    * Returns (assigned(id, x, y, cid), centers(cid, cx, cy)). */
+  private def lloydAssign(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int, iters: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+      .select(col("c_custkey").as("id"), col("lon").as("x"), col("lat").as("y"))
+    // Seeds = the k lowest-id points via orderBy.limit (TakeOrderedAndProject,
+    // fully distributed). The global row_number window this replaces moved the
+    // ENTIRE point table through one task just to take k rows. cid = rank
+    // within the k-row seed frame, computed by a broadcast self-count — no
+    // window at all, so nothing single-partition survives in the plan.
+    val seed = pts.orderBy("id").limit(k)
+    var centers = seed
+      .join(broadcast(seed.select(col("id").as("bid"))), col("bid") <= col("id"))
+      .groupBy(col("id"), col("x"), col("y"))
+      .agg(count(lit(1)).as("cid"))
+      .select(col("cid"), col("x").as("cx"), col("y").as("cy"))
+    var assigned = pts
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("id").orderBy(col("d2"), col("cid"))
+      assigned = pts.crossJoin(broadcast(centers))
+        .withColumn("d2",
+          pow(col("x") - col("cx"), 2) + pow(col("y") - col("cy"), 2))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("id", "x", "y", "cid")
+      centers = assigned.groupBy("cid")
+        .agg(sortedMean(col("x")).as("cx"), sortedMean(col("y")).as("cy"))
+    }
+    (assigned, centers)
+  }
+
+  /** The DuckDB mirror of [[lloydAssign]]: CTE prelude ending with
+    * `a<iters>` (assignments) and `c<iters>` (centers). */
+  private def lloydSqlPrelude(k: Int, iters: Int): String = {
+    val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+    val steps = (1 to iters).map { i =>
+      s"""a$i AS (SELECT p.id, p.x, p.y, c.cid FROM pts p CROSS JOIN c${i - 1} c
+         |  QUALIFY row_number() OVER (PARTITION BY p.id
+         |    ORDER BY power(p.x-c.cx, 2) + power(p.y-c.cy, 2), c.cid) = 1),
+         |c$i AS (SELECT cid,
+         |    list_sum(list_sort(list(x))) / count(*) AS cx,
+         |    list_sum(list_sort(list(y))) / count(*) AS cy
+         |  FROM a$i GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""pts AS (SELECT c_custkey AS id, $lonSql AS x, $latSql AS y FROM customer),
+       |c0 AS (SELECT CAST(rn AS BIGINT) AS cid, x AS cx, y AS cy FROM
+       |  (SELECT row_number() OVER (ORDER BY id) AS rn, x, y FROM pts)
+       |  WHERE rn <= $k),
+       |$steps""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // M1 — DBSCAN on the synthetic customer points (reference eps=500 m,
@@ -93,63 +150,55 @@ object MLModelQueries extends QueryCatalog {
     // broadcast; points shuffle once per iteration for the cid agg.
     "m3b_kmeans_lloyd" -> QueryDef(
       (s, dir) => {
-        val k = 8
-        val iters = 3
-        val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
-          .select(col("c_custkey").as("id"), col("lon").as("x"), col("lat").as("y"))
-        def sortedMean(c: org.apache.spark.sql.Column) =
-          graft.functions.VectorExpr.vecSeqSumD(
-            sort_array(collect_list(c))) / count(lit(1))
-        // Seeds = the k lowest-id points via orderBy.limit (TakeOrderedAndProject,
-        // fully distributed). The global row_number window this replaces moved the
-        // ENTIRE point table through one task just to take k rows. cid = rank
-        // within the k-row seed frame, computed by a broadcast self-count — no
-        // window at all, so nothing single-partition survives in the plan.
-        val seed = pts.orderBy("id").limit(k)
-        var centers = seed
-          .join(broadcast(seed.select(col("id").as("bid"))), col("bid") <= col("id"))
-          .groupBy(col("id"), col("x"), col("y"))
-          .agg(count(lit(1)).as("cid"))
-          .select(col("cid"), col("x").as("cx"), col("y").as("cy"))
-        var assigned = pts
-        for (_ <- 1 to iters) {
-          val w = Window.partitionBy("id").orderBy(col("d2"), col("cid"))
-          assigned = pts.crossJoin(broadcast(centers))
-            .withColumn("d2",
-              pow(col("x") - col("cx"), 2) + pow(col("y") - col("cy"), 2))
-            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-            .select("id", "x", "y", "cid")
-          centers = assigned.groupBy("cid")
-            .agg(sortedMean(col("x")).as("cx"), sortedMean(col("y")).as("cy"))
-        }
+        val (assigned, centers) = lloydAssign(s, dir, k = 8, iters = 3)
         assigned.groupBy("cid").agg(count(lit(1)).as("n"))
           .join(centers, "cid")
           .select(col("cid"), col("n"),
             round(col("cx"), 6).as("cx"), round(col("cy"), 6).as("cy"))
           .orderBy("cid")
       },
-      Some {
-        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
-        val iters = 3
-        val steps = (1 to iters).map { i =>
-          s"""a$i AS (SELECT p.id, p.x, p.y, c.cid FROM pts p CROSS JOIN c${i - 1} c
-             |  QUALIFY row_number() OVER (PARTITION BY p.id
-             |    ORDER BY power(p.x-c.cx, 2) + power(p.y-c.cy, 2), c.cid) = 1),
-             |c$i AS (SELECT cid,
-             |    list_sum(list_sort(list(x))) / count(*) AS cx,
-             |    list_sum(list_sort(list(y))) / count(*) AS cy
-             |  FROM a$i GROUP BY 1)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH pts AS (SELECT c_custkey AS id, $lonSql AS x, $latSql AS y FROM customer),
-           |c0 AS (SELECT CAST(rn AS BIGINT) AS cid, x AS cx, y AS cy FROM
-           |  (SELECT row_number() OVER (ORDER BY id) AS rn, x, y FROM pts)
-           |  WHERE rn <= 8),
-           |$steps
+      Some(s"""WITH ${lloydSqlPrelude(k = 8, iters = 3)}
            |SELECT a.cid, count(*) AS n,
            |  round(any_value(c.cx), 6) AS cx, round(any_value(c.cy), 6) AS cy
-           |FROM a$iters a JOIN c$iters c USING (cid)
-           |GROUP BY a.cid ORDER BY a.cid""".stripMargin
-      }),
+           |FROM a3 a JOIN c3 c USING (cid)
+           |GROUP BY a.cid ORDER BY a.cid""".stripMargin)),
+
+    // Engine-added — centroid silhouette for the m3b clustering: per point,
+    // a = distance to own centroid, b = nearest other centroid,
+    // s = (b−a)/max(a,b); per-cluster mean silhouette. Distances are
+    // written as (dx*dx + dy*dy) then a correctly-rounded sqrt — both
+    // engines evaluate the identical two-term expression — and the mean is
+    // the sorted sequential fold, so the metric is bit-exact. The centers
+    // frame is 8 rows broadcast; the heavy side is one scan of the points.
+    "m22_silhouette" -> QueryDef(
+      (s, dir) => {
+        val (assigned, centers) = lloydAssign(s, dir, k = 8, iters = 3)
+        val d = assigned.crossJoin(broadcast(
+            centers.select(col("cid").as("ocid"), col("cx"), col("cy"))))
+          .withColumn("dist", sqrt((col("x") - col("cx")) * (col("x") - col("cx"))
+            + (col("y") - col("cy")) * (col("y") - col("cy"))))
+        val ab = d.groupBy("id", "cid")
+          .agg(min(when(col("ocid") === col("cid"), col("dist"))).as("a_dist"),
+            min(when(col("ocid") =!= col("cid"), col("dist"))).as("b_dist"))
+        ab.withColumn("sil",
+            (col("b_dist") - col("a_dist")) / greatest(col("a_dist"), col("b_dist")))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n"), round(sortedMean(col("sil")), 6).as("mean_sil"))
+          .orderBy("cid")
+      },
+      Some(s"""WITH ${lloydSqlPrelude(k = 8, iters = 3)},
+           |d AS (SELECT a.id, a.cid, c.cid AS ocid,
+           |    sqrt((a.x-c.cx)*(a.x-c.cx) + (a.y-c.cy)*(a.y-c.cy)) AS dist
+           |  FROM a3 a CROSS JOIN c3 c),
+           |ab AS (SELECT id, cid,
+           |    min(CASE WHEN ocid = cid THEN dist END) AS a_dist,
+           |    min(CASE WHEN ocid <> cid THEN dist END) AS b_dist
+           |  FROM d GROUP BY 1, 2),
+           |sil AS (SELECT cid,
+           |    (b_dist - a_dist) / greatest(a_dist, b_dist) AS sil FROM ab)
+           |SELECT cid, count(*) AS n,
+           |  round(list_sum(list_sort(list(sil))) / count(*), 6) AS mean_sil
+           |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // M4 — PCA of the 64-dim embeddings to 2 components; output per-label
     // mean |pc1|, |pc2| (abs kills the sign indeterminacy of eigenvectors).
