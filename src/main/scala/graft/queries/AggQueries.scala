@@ -332,6 +332,40 @@ object AggQueries extends QueryCatalog {
              |SELECT o_orderstatus AS status, o_orderpriority AS mode_priority, n
              |FROM r WHERE rn = 1 ORDER BY status""".stripMargin)),
 
+    // Engine-added — join-key skew profile, the diagnostic that decides
+    // whether a join needs salting (ops.SkewJoin) before it runs: per-key
+    // cardinalities reduced to key count, max/top-1 share, and Shannon
+    // entropy. Entropy uses the count-of-counts identity
+    // H = ln T − Σ m·n·ln n / T, so the fold runs over the CARDINALITY
+    // HISTOGRAM (a handful of rows however many keys exist — scale-safe,
+    // unlike folding per-key terms), sorted-sequentially on both engines.
+    "a21_key_skew_profile" -> QueryDef(
+      (s, dir) => {
+        val perKey = Tables.lineitem(s, dir)
+          .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+        val cc = perKey.groupBy("n").agg(count(lit(1)).as("m"))
+        def ssum(c: org.apache.spark.sql.Column) =
+          graft.functions.VectorExpr.vecSeqSumD(sort_array(collect_list(c)))
+        val t = cc.agg(sum(col("n") * col("m")).as("total"),
+          sum("m").as("n_keys"), max("n").as("max_n"))
+        val fold = cc.agg(ssum(col("n").cast("double") * col("m")
+          * log(col("n").cast("double"))).as("s2"))
+        t.crossJoin(fold).select(col("n_keys"), col("max_n").as("max_per_key"),
+          round(col("max_n").cast("double") / col("total"), 6).as("top_share"),
+          round(log(col("total").cast("double")) - col("s2") / col("total"), 6)
+            .as("entropy"))
+      },
+      Some("""WITH k AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1),
+             |cc AS (SELECT n, count(*) AS m FROM k GROUP BY 1),
+             |t AS (SELECT CAST(sum(n * m) AS BIGINT) AS total,
+             |    CAST(sum(m) AS BIGINT) AS n_keys, max(n) AS max_n FROM cc),
+             |fold AS (SELECT list_sum(list_sort(list(CAST(n AS DOUBLE) * m * ln(n))))
+             |    AS s2 FROM cc)
+             |SELECT n_keys, max_n AS max_per_key,
+             |  round(max_n / CAST(total AS DOUBLE), 6) AS top_share,
+             |  round(ln(total) - s2 / total, 6) AS entropy
+             |FROM t CROSS JOIN fold""".stripMargin)),
+
     // A11 — Pareto concentration (reference top-20%-users share,
     // analyze_data_bias.py:155-178): running share over the desc-ordered
     // per-user totals. Totals are EXACT INTEGER ten-thousandths and the

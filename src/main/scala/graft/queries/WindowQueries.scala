@@ -354,6 +354,38 @@ object WindowQueries extends QueryCatalog {
              |SELECT cohort, week_offset, n_active,
              |  round(n_active / CAST(n_cohort AS DOUBLE), 6) AS retention
              |FROM cells JOIN sizes USING (cohort)
-             |ORDER BY cohort, week_offset""".stripMargin))
+             |ORDER BY cohort, week_offset""".stripMargin)),
+
+    // Engine-added — seasonal residual anomalies: instead of w2's global
+    // mean+2σ, each hour is scored against its HOUR-OF-DAY baseline (the
+    // daily seasonality profile), surfacing hours that are unusual for
+    // their slot. The baseline is integer sums / integer counts — both
+    // engines divide the same integers — joined back broadcast (24 rows).
+    "w20_seasonal_residual" -> QueryDef(
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(expr(s"ts_ns div $hourNs").as("hour_idx"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("hod", pmod(col("hour_idx"), lit(24L)))
+        val profile = hourly.groupBy("hod")
+          .agg(sum("cnt").as("tot"), count(lit(1)).as("days"))
+        hourly.join(broadcast(profile), "hod")
+          .withColumn("baseline", col("tot").cast("double") / col("days"))
+          .withColumn("residual", col("cnt") - col("baseline"))
+          .select((col("hour_idx") * 3600L).as("hour_epoch"), col("hod"),
+            col("cnt"), round(col("baseline"), 6).as("baseline"),
+            round(col("residual"), 6).as("residual"))
+          .orderBy(desc("residual"), col("hour_epoch")).limit(15)
+      },
+      Some(s"""WITH h AS (SELECT epoch_ns(ts) // $hourNs AS hour_idx, count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |hh AS (SELECT hour_idx, cnt, hour_idx % 24 AS hod FROM h),
+             |prof AS (SELECT hod, CAST(sum(cnt) AS BIGINT) AS tot, count(*) AS days
+             |  FROM hh GROUP BY 1)
+             |SELECT hour_idx * 3600 AS hour_epoch, hod, cnt,
+             |  round(tot / CAST(days AS DOUBLE), 6) AS baseline,
+             |  round(cnt - tot / CAST(days AS DOUBLE), 6) AS residual
+             |FROM hh JOIN prof USING (hod)
+             |ORDER BY residual DESC, hour_epoch LIMIT 15""".stripMargin))
   )
 }
