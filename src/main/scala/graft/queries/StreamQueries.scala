@@ -154,6 +154,41 @@ object StreamQueries extends QueryCatalog {
           src => EventsAnomaly.hourlyCounts(Tables.normalizeEvents(src)))
         .orderBy("hour_epoch"),
       Some("""SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_epoch, count(*) AS cnt
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // W21 — STREAMING transition matrix: flatMapGroupsWithState keeps each
+    // user's last event as state and emits (prev → next) pairs incrementally
+    // (append mode — a flatMap's per-group emissions aren't expressible as a
+    // complete-mode aggregate); the pair rollup + row normalization runs in
+    // batch over the emitted rows. Must reproduce the batch lag-window
+    // result (w18) on the SAME oracle — the stateful-streaming/batch
+    // equivalence check for custom keyed state.
+    "w21_stream_transitions" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = EventsAnomaly.replayBoundedAppend(s, s"$dir/events.parquet",
+          src => {
+            val sp = src.sparkSession
+            import sp.implicits._
+            graft.streaming.StatefulOps.transitionStream(
+              Tables.normalizeEvents(src)
+                .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+                .as[graft.streaming.StatefulOps.Ev]).toDF
+          })
+        val m = pairs.groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+        val row = Window.partitionBy("prev_type")
+        m.withColumn("p", round(col("n").cast("double") / sum("n").over(row), 6))
+          .orderBy("prev_type", "event_type")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns
+             |  FROM events),
+             |pairs AS (SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+             |    ORDER BY ts_ns, event_id) AS prev_type, event_type
+             |  FROM ev),
+             |m AS (SELECT prev_type, event_type, count(*) AS n FROM pairs
+             |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT prev_type, event_type, n,
+             |  round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+             |FROM m ORDER BY prev_type, event_type""".stripMargin))
   )
 }

@@ -134,4 +134,24 @@ object EventsAnomaly {
     q.awaitTermination()
     spark.table(name)
   }
+
+  /** Single-source APPEND-mode replay: for stateful operators that emit
+    * rows incrementally (flatMapGroupsWithState) rather than maintaining a
+    * complete aggregate. */
+  def replayBoundedAppend(spark: SparkSession, parquetPath: String,
+      transform: DataFrame => DataFrame): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val f = new java.io.File(parquetPath)
+    val source = spark.readStream.schema(schema)
+      .option("pathGlobFilter", f.getName)
+      .parquet(f.getParent)
+    val name = "replaya_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = transform(source).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 }

@@ -38,6 +38,35 @@ object StatefulOps {
       }
   }
 
+  case class Ev(user_id: Long, ts_ns: Long, event_id: Long, event_type: String)
+  case class LastEvent(ts_ns: Long, event_id: Long, event_type: String)
+  case class TransPair(prev_type: String, event_type: String)
+
+  /** Streaming first-order transition pairs: per user, each event pairs with
+    * its predecessor — WITHIN a batch by (ts, id) sort of that user's slice,
+    * ACROSS batches through the kept last-event state. Replaying the full
+    * corpus therefore emits exactly the batch lag-window pairs (the w18
+    * oracle). State is one event per user; flatMap emits ≥0 rows per group,
+    * which complete-mode aggregation can't express — hence append mode. */
+  def transitionStream(events: Dataset[Ev]): Dataset[TransPair] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, batch, state: GroupState[LastEvent]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts_ns, e.event_id))
+          var prev = state.getOption
+          val out = Seq.newBuilder[TransPair]
+          for (e <- sorted) {
+            prev.foreach(p => out += TransPair(p.event_type, e.event_type))
+            prev = Some(LastEvent(e.ts_ns, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Batch-mode equivalence oracle for the spec: the same profile from a
     * plain aggregation. */
   def profilesBatch(spark: SparkSession, events: Dataset[UserEvent]): Dataset[UserProfile] = {
