@@ -36,6 +36,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(d === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
   }
 
+  test("pageRank: symmetric cycle stays uniform and mass is conserved") {
+    // 3-cycle: the uniform distribution is the exact fixpoint, and integer
+    // truncation never breaks the symmetry (identical arithmetic per node).
+    val scale = 1000000000000L
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 0L, 1L)).toDF("src", "dst", "w")
+    val pr = GraphOps.pageRank(edges, iters = 5).as[(Long, Long)].collect().toMap
+    assert(pr.values.toSet.size === 1, s"cycle ranks diverged: $pr")
+    val total = pr.values.sum
+    assert(total <= scale && total > scale - 100, s"mass not conserved: $total")
+  }
+
+  test("pageRank: a sink hub outranks its spokes, dangling mass recycles") {
+    // Star 1,2,3 → 0 with 0 dangling: node 0 must dominate; every node keeps
+    // at least the teleport share.
+    val edges = Seq((1L, 0L, 1L), (2L, 0L, 1L), (3L, 0L, 1L)).toDF("src", "dst", "w")
+    val pr = GraphOps.pageRank(edges, iters = 8).as[(Long, Long)].collect().toMap
+    assert(pr(0L) > pr(1L) * 2, s"hub not dominant: $pr")
+    assert(pr(1L) === pr(2L) && pr(2L) === pr(3L), s"spoke symmetry broken: $pr")
+    val teleport = (15L * 1000000000000L) / (100L * 4L)
+    assert(pr.values.forall(_ >= teleport), s"below teleport floor: $pr")
+  }
+
   test("iterative ops release per-round checkpoint blocks (suite hygiene)") {
     // Each round localCheckpoints its new state; the previous round's blocks
     // must be dropped as it goes (regression guard: leaked rounds accumulate
