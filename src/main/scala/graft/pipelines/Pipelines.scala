@@ -87,23 +87,34 @@ object Pipelines {
     degStats.crossJoin(sssp).crossJoin(iso)
   }
 
-  /** Lab 4 (实习四/…yelp_analysis.ipynb): corpus → sentiment → per-source
-    * ranking → coverage/bias signals. Documents stand in for reviews,
-    * sources for businesses. */
-  def reviewSentiment(spark: SparkSession, dir: String): DataFrame = {
+  /** Lab-4 per-document polarity: mean lexicon score over tokens (null when
+    * no token hits the lexicon). Shared by the pipeline summary and the
+    * prompt-report sink. */
+  def reviewPolarity(spark: SparkSession, dir: String): DataFrame = {
     val lexicon = graft.sources.Lexicon.scoring(spark)
-    val perDoc = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tok"))
       .join(broadcast(lexicon), Seq("tok"), "left")
       .groupBy("doc_id", "source")
       .agg(avg("score").as("polarity"))
-    val perSource = perDoc.groupBy("source")
+  }
+
+  /** Lab-4 per-source ranking frame (score = 0.7·polarity + 0.3·positive
+    * rate), shared with the prompt-report sink. */
+  def reviewSentimentRanked(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = reviewPolarity(spark, dir).groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         round(avg("polarity"), 6).as("avg_polarity"),
         round(avg(when(col("polarity") > 0.1, 1.0).otherwise(0.0)), 6).as("positive_rate"))
-    val ranked = perSource
-      .withColumn("score",
-        round(col("avg_polarity") * 0.7 + col("positive_rate") * 0.3, 6))
+    perSource.withColumn("score",
+      round(col("avg_polarity") * 0.7 + col("positive_rate") * 0.3, 6))
+  }
+
+  /** Lab 4 (实习四/…yelp_analysis.ipynb): corpus → sentiment → per-source
+    * ranking → coverage/bias signals. Documents stand in for reviews,
+    * sources for businesses. */
+  def reviewSentiment(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = reviewSentimentRanked(spark, dir)
     // min_by on (-score, source) — NOT orderBy+first, which is only
     // coincidentally correct on a single partition; the agg must pick the
     // winner itself so multi-partition execution keeps the tie-break
