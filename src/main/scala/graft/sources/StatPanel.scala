@@ -24,15 +24,25 @@ object StatPanel {
     * noise_count, noise_pct, cluster_count), `clusters` (top-5 sizes by
     * rank), `hourly` (hour-of-day 0-23 counts), `daily` (day-of-week
     * 0=Monday counts — pandas dayofweek convention). */
-  def lab1PanelRows(s: SparkSession, dir: String): DataFrame = {
+  /** The lab-1 DBSCAN-labeled complaint points `(id, x, y, label)` — shared
+    * by the stat panel and the map panel, identical inputs to the
+    * oracle-checked lab1 query. */
+  def lab1Labeled(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .filter(col("event_type") === "error")
       .dropDuplicates("event_id")
     val pts = Tables.withSyntheticPoint(ev, "event_id")
       .filter(col("lon").between(-74.3, -73.7) && col("lat").between(40.5, 41.0))
-    val labeled = Dbscan.run(
+    Dbscan.run(
       pts.select(col("event_id").as("id"), col("lon").as("x"), col("lat").as("y")),
       eps = 0.017, minPts = 5)
+  }
+
+  def lab1PanelRows(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type") === "error")
+      .dropDuplicates("event_id")
+    val labeled = lab1Labeled(s, dir)
     val sizes = labeled.groupBy("label").agg(count(lit(1)).as("n"))
 
     val summary = sizes.agg(
@@ -152,5 +162,51 @@ object StatPanel {
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outPath/panel.html"), renderHtml(back, title))
+  }
+
+  /** Cluster map panel (the reference's folium cluster map, 实习一/
+    * 实习一代码/test.py:621, rendered dependency-free): the labeled points
+    * land as an SVG scatter in bbox coordinates, clusters colored from a
+    * fixed palette, noise gray. Single-file exchange artifact like the Shp/
+    * GeoTiff exports — capped, loud failure above `maxPoints`. */
+  def renderMapSvg(pts: Seq[(Double, Double, Long)],
+      bbox: (Double, Double, Double, Double), title: String): String = {
+    val (lon0, lat0, lon1, lat1) = bbox
+    val (w, h) = (800.0, 600.0)
+    val palette = Array("#d62728", "#1f77b4", "#2ca02c", "#ff7f0e", "#9467bd",
+      "#8c564b", "#e377c2", "#17becf")
+    def fx(lon: Double) = (lon - lon0) / (lon1 - lon0) * w
+    def fy(lat: Double) = h - (lat - lat0) / (lat1 - lat0) * h
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val circles = pts.map { case (lon, lat, label) =>
+      val cls = if (label < 0) "noise" else s"c${label % palette.length}"
+      val fill = if (label < 0) "#9aa0a6" else palette((label % palette.length).toInt)
+      s"""<circle class="$cls" cx="${fmt(fx(lon))}" cy="${fmt(fy(lat))}" r="3" fill="$fill" fill-opacity="0.75"/>"""
+    }.mkString("\n")
+    s"""<!DOCTYPE html><html><head><meta charset="UTF-8"><title>${esc(title)}</title></head>
+       |<body><h1>${esc(title)}</h1>
+       |<svg viewBox="0 0 ${w.toInt} ${h.toInt}" width="${w.toInt}" height="${h.toInt}"
+       |  style="border:1px solid #ccc;background:#fafafa">
+       |$circles
+       |</svg>
+       |<p>bbox [${fmt(lon0)}, ${fmt(lat0)}] – [${fmt(lon1)}, ${fmt(lat1)}];
+       |noise gray, clusters colored.</p></body></html>""".stripMargin
+  }
+
+  def writeLab1Map(s: SparkSession, dir: String, outPath: String,
+      title: String = "Noise complaint clusters", maxPoints: Int = 100000): Unit = {
+    val labeled = lab1Labeled(s, dir)
+    val n = labeled.count()
+    require(n <= maxPoints,
+      s"writeLab1Map is a single-file exchange export capped at $maxPoints points; got $n")
+    val pts = labeled.join(
+        Tables.withSyntheticPoint(labeled.select(col("id")), "id"), "id")
+      .select(col("lon"), col("lat"), col("label"))
+      .orderBy("lon", "lat", "label")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSeq
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outPath))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outPath/map.html"),
+      renderMapSvg(pts, (-74.3, 40.5, -73.7, 41.0), title)): Unit
   }
 }

@@ -8,6 +8,27 @@ import graft.sources.StatPanel
   * that can drift. */
 class StatPanelSpec extends SparkSpec {
 
+  test("lab1 map panel renders every labeled point, noise gray") {
+    val dir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files.createTempDirectory("graft-map").toString
+    StatPanel.writeLab1Map(spark, dir, out)
+    val html = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/map.html"))
+
+    val labeled = StatPanel.lab1Labeled(spark, dir)
+    val total = labeled.count()
+    val noise = labeled.filter("label = -1").count()
+    assert("<circle ".r.findAllIn(html).size === total.toInt, s"total=$total")
+    assert("class=\"noise\"".r.findAllIn(html).size === noise.toInt, s"noise=$noise")
+    // self-contained artifact: inline SVG only, no scripts or external refs
+    assert(!html.contains("<script") && !html.contains("http"))
+    // bbox mapping puts every point inside the viewport
+    val cx = """cx="([0-9.]+)"""".r
+    assert(cx.findAllMatchIn(html).forall { m =>
+      val v = m.group(1).toDouble; v >= 0.0 && v <= 800.0
+    })
+  }
+
   test("lab1 panel renders from report rows and matches the oracle-checked query") {
     val dir = "/root/testdata/sf0.001"
     val out = java.nio.file.Files.createTempDirectory("graft-panel").toString
