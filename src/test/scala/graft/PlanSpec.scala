@@ -181,4 +181,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters"), p)
     assert(p.contains("l_returnflag"), p)
   }
+
+  test("w19: cohort retention is pure hash aggregation — no window at all") {
+    val p = plan("w19_cohort_retention")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("g9: wedge/triangle joins stay equi-joins, never a cartesian product") {
+    val p = plan("g9_triangles")
+    // (the plan's two BroadcastNestedLoopJoins are the final cross of three
+    // ONE-ROW aggregate scalars — the data-proportional wedge and closure
+    // joins must be hashable equi-joins)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin"), p)
+  }
+
+  test("w17: funnel stages are conditional-min aggregates, no cross product") {
+    val p = plan("w17_funnel_stages")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
