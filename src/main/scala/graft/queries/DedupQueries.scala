@@ -390,6 +390,79 @@ object DedupQueries extends QueryCatalog {
              |  LEFT JOIN shared s ON b.doc_id = s.doc_id)
              |SELECT n_shared >= 3 AS contaminated, count(*) AS n_docs,
              |  max(n_shared) AS max_shared, min(doc_id) AS min_doc
-             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // D8 — DIRECTIONAL containment: containment(a ⊂ b) = |A∩B|/|A| catches
+    // a document embedded inside a larger one, which symmetric Jaccard
+    // misses (small ∩ large ⇒ low union ratio, high containment). Same
+    // df-capped index; the ordered self-join doubles d2's pair fanout but
+    // keeps the cap²-bounded shape. Reported: contained/container pairs at
+    // containment ≥ 0.8 with their (lower) Jaccard.
+    "d8_containment" -> QueryDef(
+      (s, dir) => {
+        val sh = graft.ops.ShingleIndex.capped(s, dir)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_in"), col("b.doc_id").as("id_of"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("id_in"), col("n_sh").as("sa")), "id_in")
+          .join(sizes.select(col("doc_id").as("id_of"), col("n_sh").as("sb")), "id_of")
+          .filter(col("inter") / col("sa") >= 0.8)
+          .select(col("id_in"), col("id_of"),
+            round(col("inter") / col("sa"), 6).as("containment"),
+            round(col("inter") / (col("sa") + col("sb") - col("inter")), 6).as("jaccard"))
+          .orderBy(desc("containment"), col("id_in"), col("id_of"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |${graft.ops.ShingleIndex.cappedSql},
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS id_in, b.doc_id AS id_of, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_in, id_of,
+             |  round(inter * 1.0 / sa.n_sh, 6) AS containment,
+             |  round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+             |FROM inter
+             |JOIN sizes sa ON sa.doc_id = id_in
+             |JOIN sizes sb ON sb.doc_id = id_of
+             |WHERE inter * 1.0 / sa.n_sh >= 0.8
+             |ORDER BY containment DESC, id_in, id_of""".stripMargin)),
+
+    // D9 — cross-source shingle overlap matrix (content contamination
+    // between corpus slices): per source the DISTINCT capped-shingle set,
+    // pairwise intersections via the shingle equi-join (≤ |sources| rows per
+    // shingle ⇒ bounded fanout however big the corpus), overlap coefficient
+    // |A∩B| / min(|A|,|B|).
+    "d9_source_overlap" -> QueryDef(
+      (s, dir) => {
+        val srcSh = graft.ops.ShingleIndex.capped(s, dir)
+          .join(Tables.documents(s, dir).select("doc_id", "source"), "doc_id")
+          .select("source", "sh").distinct()
+        val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+        srcSh.as("a").join(srcSh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("source").as("src_a"), col("n_sh").as("na")), "src_a")
+          .join(sizes.select(col("source").as("src_b"), col("n_sh").as("nb")), "src_b")
+          .select(col("src_a"), col("src_b"), col("inter"),
+            round(col("inter") / least(col("na"), col("nb")), 6).as("overlap"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |${graft.ops.ShingleIndex.cappedSql},
+             |ss AS (SELECT DISTINCT d.source, sh.sh
+             |  FROM sh JOIN documents d USING (doc_id)),
+             |sizes AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY 1),
+             |inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+             |  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b, inter,
+             |  round(inter * 1.0 / least(sa.n_sh, sb.n_sh), 6) AS overlap
+             |FROM inter
+             |JOIN sizes sa ON sa.source = src_a
+             |JOIN sizes sb ON sb.source = src_b
+             |ORDER BY src_a, src_b""".stripMargin))
   )
 }
