@@ -172,4 +172,43 @@ object GraphOps {
     e.unpersist(); nodes.unpersist(); outdeg.unpersist()
     pr
   }
+
+  /** Synchronous label-propagation communities over `edges(src, dst)`,
+    * treated as undirected, run for exactly `iters` rounds (no early exit —
+    * a SQL oracle reproduces the same rounds). Returns `(id, lbl)`.
+    *
+    * Each round every node adopts the most frequent label among its
+    * neighbors' previous labels, ties broken by the SMALLEST label — the
+    * argmax is `max(struct(count, -label))`, a plain hash aggregate, so the
+    * update is deterministic (classic async LPA is order-dependent; the
+    * synchronous min-tie-break variant is reproducible). Isolated nodes
+    * keep their own id. Per round: one equi-join on the neighbor key + two
+    * hash aggregates over data-proportional frames, lineage cut per round
+    * (see sssp) — no driver-side adjacency, scales like one shuffle per
+    * round at any graph size. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val und = edges.select(col("src").as("id"), col("dst").as("nbr"))
+      .unionByName(edges.select(col("dst").as("id"), col("src").as("nbr")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = und.select("id").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lbl = graft.core.Materialize.cut(
+      nodes.select(col("id"), col("id").as("lbl")))
+    for (_ <- 1 to iters) {
+      val votes = und
+        .join(lbl.select(col("id").as("nbr"), col("lbl").as("nlbl")), "nbr")
+        .groupBy("id", "nlbl").agg(count(lit(1)).as("c"))
+      val best = votes.groupBy("id")
+        .agg(max(struct(col("c"), (-col("nlbl")).as("neg"))).as("m"))
+        .select(col("id"), (-col("m.neg")).as("winner"))
+      val next = graft.core.Materialize.cut(
+        nodes.join(best, Seq("id"), "left")
+          .select(col("id"), coalesce(col("winner"), col("id")).as("lbl")))
+      org.apache.spark.sql.graft.CheckpointBlocks.release(lbl)
+      lbl = next
+    }
+    und.unpersist(); nodes.unpersist()
+    lbl
+  }
 }

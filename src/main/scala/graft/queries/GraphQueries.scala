@@ -426,6 +426,37 @@ object GraphQueries extends QueryCatalog {
               |  (SELECT count(*) FROM wedges) AS n_wedges,
               |  (SELECT count(*) FROM tri) AS n_triangles,
               |  round((SELECT count(*) FROM tri)
-              |    / CAST((SELECT count(*) FROM wedges) AS DOUBLE), 6) AS closure_rate""".stripMargin))
+              |    / CAST((SELECT count(*) FROM wedges) AS DOUBLE), 6) AS closure_rate""".stripMargin)),
+
+    // Engine-added — synchronous label-propagation communities (the same
+    // community-detection role networkx plays in the reference's road
+    // topology study). Four fixed rounds of most-frequent-neighbor-label
+    // with min-label tie-break are fully deterministic, so the oracle is
+    // the SAME four rounds unrolled as materialized CTEs with a
+    // row_number argmax (ORDER BY c DESC, nlbl — identical tie-break).
+    "g10_label_prop" -> QueryDef(
+      (s, dir) => GraphOps.labelPropagation(edges(s, dir), iters = 4)
+        .groupBy(col("lbl").as("community")).agg(count(lit(1)).as("csize"))
+        .orderBy(desc("csize"), col("community")).limit(20),
+      Some {
+        val steps = (1 to 4).map { i =>
+          s"""cnt$i AS MATERIALIZED (SELECT u.id, l.lbl AS nlbl, count(*) AS c
+             |  FROM und u JOIN lbl${i - 1} l ON l.id = u.nbr GROUP BY 1, 2),
+             |lbl$i AS MATERIALIZED (SELECT n.id, coalesce(b.nlbl, n.id) AS lbl
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT id, nlbl FROM (SELECT id, nlbl,
+             |        row_number() OVER (PARTITION BY id ORDER BY c DESC, nlbl) AS rn
+             |      FROM cnt$i) WHERE rn = 1) b ON b.id = n.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgesSql,
+           |und AS MATERIALIZED (SELECT DISTINCT id, nbr FROM (
+           |  SELECT src AS id, dst AS nbr FROM edges
+           |  UNION ALL SELECT dst, src FROM edges)),
+           |nodes AS MATERIALIZED (SELECT DISTINCT id FROM und),
+           |lbl0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
+           |$steps
+           |SELECT lbl AS community, count(*) AS csize FROM lbl4
+           |GROUP BY 1 ORDER BY csize DESC, community LIMIT 20""".stripMargin
+      })
   )
 }

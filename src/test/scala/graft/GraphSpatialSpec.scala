@@ -58,6 +58,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(pr.values.forall(_ >= teleport), s"below teleport floor: $pr")
   }
 
+  test("labelPropagation: disconnected triangles collapse to per-component min labels") {
+    // Sync LPA with min tie-break, traced by hand on a triangle {0,1,2}:
+    // r1 = (0→1, 1→0, 2→0), r2 = all 0, stable after — and independently
+    // the same on {10,11,12} → all 10. Odd cycles don't oscillate.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 12L), (12L, 10L))
+      .toDF("src", "dst")
+    val lbl = GraphOps.labelPropagation(edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(lbl === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation is deterministic across runs") {
+    val edges = (0L until 60L).map(i => (i, (i * 3 + 1) % 60)).toDF("src", "dst")
+    val a = GraphOps.labelPropagation(edges, iters = 4).as[(Long, Long)].collect().toMap
+    val b = GraphOps.labelPropagation(edges, iters = 4).as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
   test("iterative ops release per-round checkpoint blocks (suite hygiene)") {
     // Each round localCheckpoints its new state; the previous round's blocks
     // must be dropped as it goes (regression guard: leaked rounds accumulate
