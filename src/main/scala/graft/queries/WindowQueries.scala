@@ -386,6 +386,54 @@ object WindowQueries extends QueryCatalog {
              |  round(tot / CAST(days AS DOUBLE), 6) AS baseline,
              |  round(cnt - tot / CAST(days AS DOUBLE), 6) AS residual
              |FROM hh JOIN prof USING (hod)
-             |ORDER BY residual DESC, hour_epoch LIMIT 15""".stripMargin))
+             |ORDER BY residual DESC, hour_epoch LIMIT 15""".stripMargin)),
+
+    // Engine-added — autocorrelation function of the hourly series at lags
+    // 1..24 (the classic seasonality diagnostic behind the reference's
+    // hour-of-day profiles; pandas Series.autocorr(lag)). Per-lag Pearson
+    // over an hour-shifted equi-join of the AGGREGATED series (one row per
+    // hour — bounded by the time range, so the 24× fan-out is 24×720 rows
+    // at any event volume). All moments are exact integer sums; the final
+    // correlation is a pure IEEE chain (·, −, /, sqrt) on identical
+    // integers, so Spark and DuckDB agree bit-for-bit before round(6).
+    "w22_acf" -> QueryDef(
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(expr(s"ts_ns div $hourNs").as("hour_idx"))
+          .agg(count(lit(1)).as("cnt"))
+        val lags = s.range(1, 25).select(col("id").as("lag"))
+        val x = hourly.select(col("hour_idx"), col("cnt").as("xv"))
+        val y = hourly.select(col("hour_idx").as("y_idx"), col("cnt").as("yv"))
+        val m = x.join(broadcast(lags))
+          .join(y, col("hour_idx") + col("lag") === col("y_idx"))
+          .groupBy("lag").agg(
+            count(lit(1)).as("n"),
+            sum("xv").as("sx"), sum("yv").as("sy"),
+            sum(col("xv") * col("yv")).as("sxy"),
+            sum(col("xv") * col("xv")).as("sxx"),
+            sum(col("yv") * col("yv")).as("syy"))
+        m.select(col("lag"), col("n").as("n_pairs"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+                * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+              .as("acf"))
+          .orderBy("lag")
+      },
+      Some(s"""WITH h AS (SELECT epoch_ns(ts) // $hourNs AS hour_idx, count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |lags AS (SELECT unnest(generate_series(1, 24)) AS lag),
+             |p AS (SELECT l.lag, x.cnt AS xv, y.cnt AS yv
+             |  FROM h x CROSS JOIN lags l JOIN h y ON y.hour_idx = x.hour_idx + l.lag),
+             |s AS (SELECT lag, count(*) AS n,
+             |    CAST(sum(xv) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+             |    CAST(sum(xv * yv) AS BIGINT) AS sxy,
+             |    CAST(sum(xv * xv) AS BIGINT) AS sxx,
+             |    CAST(sum(yv * yv) AS BIGINT) AS syy
+             |  FROM p GROUP BY 1)
+             |SELECT lag, n AS n_pairs,
+             |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+             |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+             |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
+             |FROM s ORDER BY lag""".stripMargin))
   )
 }
