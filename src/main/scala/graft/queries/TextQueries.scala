@@ -450,6 +450,67 @@ object TextQueries extends QueryCatalog {
              |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
              |    ORDER BY score_micro DESC, tok) AS rnk FROM sc)
              |SELECT doc_id, rnk, tok, score_micro FROM r WHERE rnk <= 3
-             |ORDER BY doc_id, rnk""".stripMargin))
+             |ORDER BY doc_id, rnk""".stripMargin)),
+
+    // Engine-added — Zipf's-law fit: OLS of ln(freq) on ln(rank) over the
+    // top-100 tokens (the corpus-health diagnostic — natural text slopes
+    // ≈ −1; a far-off slope flags boilerplate or spam). Top-100 via
+    // TakeOrderedAndProject (scale-safe), ranked by a bounded window over
+    // ≤100 rows with a non-foldable constant partition key. Both logs are
+    // quantized to integer micro-units BEFORE the moment sums (t11
+    // pattern: an ulp of libm ln() skew cannot move an integer), so the
+    // regression inputs are identical integers and the slope/intercept/r²
+    // arithmetic is a pure IEEE chain both engines evaluate bit-for-bit.
+    "t12_zipf_fit" -> QueryDef(
+      (s, dir) => {
+        val top = Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("tok")).limit(100)
+        val one = coalesce(pmod(col("n"), lit(1)), lit(0))
+        val rw = Window.partitionBy(one).orderBy(desc("n"), col("tok"))
+        val pts = top.withColumn("rank", row_number().over(rw))
+          .select(
+            round(log(col("rank").cast("double")) * lit(1000000.0)).cast("long").as("xq"),
+            round(log(col("n").cast("double")) * lit(1000000.0)).cast("long").as("yq"))
+        val m = pts.agg(count(lit(1)).as("np"),
+          sum("xq").as("sx"), sum("yq").as("sy"),
+          sum(col("xq") * col("yq")).as("sxy"),
+          sum(col("xq") * col("xq")).as("sxx"),
+          sum(col("yq") * col("yq")).as("syy"))
+        val num = (col("np") * col("sxy") - col("sx") * col("sy")).cast("double")
+        val den = (col("np") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val deny = (col("np") * col("syy") - col("sy") * col("sy")).cast("double")
+        m.select(col("np").as("n_terms"),
+          round(num / den, 6).as("slope"),
+          round((col("sy").cast("double") - num / den * col("sx").cast("double"))
+            / col("np").cast("double") / lit(1000000.0), 6).as("intercept"),
+          round(num * num / (den * deny), 6).as("r2"))
+      },
+      Some("""WITH freq AS (SELECT tok, count(*) AS n FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+             |  WHERE length(tok) > 0 GROUP BY 1 ORDER BY n DESC, tok LIMIT 100),
+             |pts AS (SELECT
+             |    CAST(round(ln(CAST(row_number() OVER (ORDER BY n DESC, tok) AS DOUBLE))
+             |      * 1000000) AS BIGINT) AS xq,
+             |    CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS yq
+             |  FROM freq),
+             |s AS (SELECT count(*) AS np,
+             |    CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+             |    CAST(sum(xq * yq) AS BIGINT) AS sxy,
+             |    CAST(sum(xq * xq) AS BIGINT) AS sxx,
+             |    CAST(sum(yq * yq) AS BIGINT) AS syy
+             |  FROM pts)
+             |SELECT np AS n_terms,
+             |  round(CAST(np * sxy - sx * sy AS DOUBLE)
+             |    / CAST(np * sxx - sx * sx AS DOUBLE), 6) AS slope,
+             |  round((CAST(sy AS DOUBLE) - CAST(np * sxy - sx * sy AS DOUBLE)
+             |      / CAST(np * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |    / CAST(np AS DOUBLE) / 1000000, 6) AS intercept,
+             |  round(CAST(np * sxy - sx * sy AS DOUBLE) * CAST(np * sxy - sx * sy AS DOUBLE)
+             |    / (CAST(np * sxx - sx * sx AS DOUBLE) * CAST(np * syy - sy * sy AS DOUBLE)),
+             |    6) AS r2
+             |FROM s""".stripMargin))
   )
 }
