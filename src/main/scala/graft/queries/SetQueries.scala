@@ -174,6 +174,70 @@ object SetQueries extends QueryCatalog {
              |FROM documents
              |WHERE CAST(('0x' || substr(md5('mix:' || doc_id), 1, 15)) AS BIGINT) % 100
              |  < CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 ELSE 20 END
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Engine-added — CDC-style MERGE/upsert (Delta/Iceberg `MERGE INTO`
+    // semantics: WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT /
+    // untouched rows kept): the incremental-snapshot maintenance step of
+    // any warehouse-scale pipeline. The change set is derived
+    // deterministically from orders — per-customer spend in integer cents
+    // (order-free exact), keys ≡ 0 (mod 3) as updates, keys ≡ 5 (mod 11)
+    // shifted past max(custkey) as inserts. The merge itself is ONE
+    // shuffle: a full-outer equi-join on the key (map-side-combined agg
+    // feeds it; the max-key scalar rides broadcast) — the same plan a
+    // lakehouse MERGE compiles to, minus the file rewrite.
+    "u8_merge_upsert" -> QueryDef(
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey").as("key"), col("c_mktsegment").as("seg"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        val maxk = cust.agg(max("key").as("maxk"))
+        val spend = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("k"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("spent_cents"))
+        val upd = spend.filter(pmod(col("k"), lit(3L)) === 0)
+          .select(col("k").as("ukey"), col("spent_cents"))
+        val ins = spend.filter(pmod(col("k"), lit(11L)) === 5)
+          .crossJoin(broadcast(maxk))
+          .select((col("k") + col("maxk")).as("ukey"), col("spent_cents"))
+        val changes = upd.unionByName(ins)
+        val merged = cust.join(changes, col("key") === col("ukey"), "full_outer")
+          .select(
+            when(col("key").isNotNull && col("ukey").isNotNull, "update")
+              .when(col("ukey").isNotNull, "insert").otherwise("keep").as("op"),
+            coalesce(col("key"), col("ukey")).as("mkey"),
+            (coalesce(col("bal_cents"), lit(0L))
+              + coalesce(col("spent_cents"), lit(0L))).as("new_bal"),
+            when(col("key").isNotNull && col("ukey").isNotNull, lit("UPGRADED"))
+              .when(col("ukey").isNotNull, lit("NEW")).otherwise(col("seg")).as("new_seg"))
+        merged.groupBy("op")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("new_bal").as("bal_cents"),
+            countDistinct("new_seg").as("n_segments"),
+            min("mkey").as("min_key"), max("mkey").as("max_key"))
+          .orderBy("op")
+      },
+      Some("""WITH cust AS (SELECT c_custkey AS key, c_mktsegment AS seg,
+             |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer),
+             |mk AS (SELECT max(key) AS maxk FROM cust),
+             |spend AS (SELECT o_custkey AS k,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spent_cents
+             |  FROM orders GROUP BY 1),
+             |changes AS (
+             |  SELECT k AS ukey, spent_cents FROM spend WHERE k % 3 = 0
+             |  UNION ALL
+             |  SELECT k + mk.maxk, spent_cents FROM spend CROSS JOIN mk WHERE k % 11 = 5),
+             |merged AS (SELECT
+             |    CASE WHEN c.key IS NOT NULL AND g.ukey IS NOT NULL THEN 'update'
+             |         WHEN g.ukey IS NOT NULL THEN 'insert' ELSE 'keep' END AS op,
+             |    coalesce(c.key, g.ukey) AS mkey,
+             |    coalesce(c.bal_cents, 0) + coalesce(g.spent_cents, 0) AS new_bal,
+             |    CASE WHEN c.key IS NOT NULL AND g.ukey IS NOT NULL THEN 'UPGRADED'
+             |         WHEN g.ukey IS NOT NULL THEN 'NEW' ELSE c.seg END AS new_seg
+             |  FROM cust c FULL OUTER JOIN changes g ON g.ukey = c.key)
+             |SELECT op, count(*) AS n_rows, CAST(sum(new_bal) AS BIGINT) AS bal_cents,
+             |  count(DISTINCT new_seg) AS n_segments,
+             |  min(mkey) AS min_key, max(mkey) AS max_key
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
