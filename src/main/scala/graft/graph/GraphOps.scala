@@ -211,4 +211,36 @@ object GraphOps {
     und.unpersist(); nodes.unpersist()
     lbl
   }
+
+  /** k-core peeling bounded to exactly `iters` rounds (no early exit — a
+    * SQL oracle unrolls the same rounds): repeatedly drop every node whose
+    * undirected degree is below `k`, cascading as removals lower neighbor
+    * degrees. Returns the surviving canonical undirected edge set `(a, b)`
+    * with a < b.
+    *
+    * Each round is one hash aggregate (degrees) + two broadcast-or-shuffle
+    * left-semi joins filtering the edge list — data-proportional frames
+    * only, lineage cut per round (see sssp). Bounded peeling is the
+    * distributed form: full convergence is O(max-degeneracy) rounds, but
+    * every round strictly shrinks the edge set, so a fixed budget gives a
+    * sound over-approximation of the true k-core at any scale. */
+  def kCoreEdges(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    var live = graft.core.Materialize.cut(
+      edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") < col("b")).distinct())
+    for (_ <- 1 to iters) {
+      val deg = live.select(col("a").as("id"))
+        .unionByName(live.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree"))
+      val keep = deg.filter(col("degree") >= k).select("id")
+      val next = graft.core.Materialize.cut(
+        live.join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+          .select("a", "b"))
+      org.apache.spark.sql.graft.CheckpointBlocks.release(live)
+      live = next
+    }
+    live
+  }
 }

@@ -457,6 +457,44 @@ object GraphQueries extends QueryCatalog {
            |$steps
            |SELECT lbl AS community, count(*) AS csize FROM lbl4
            |GROUP BY 1 ORDER BY csize DESC, community LIMIT 20""".stripMargin
+      }),
+
+    // Engine-added — k-core peeling (k=6, two fixed cascade rounds): the
+    // dense-backbone extraction the reference's road-topology study gets
+    // from networkx. Two rounds on this graph already cascade hard (100 →
+    // 80 → 24 nodes at sf0.01; a third empties it, which is the degenerate
+    // answer — bounded peeling reports the interesting intermediate core).
+    // Deterministic set-algebra per round, so the oracle is the SAME two
+    // degree-filter-semijoin rounds unrolled as materialized CTEs over the
+    // canonical undirected edge set.
+    "g11_kcore" -> QueryDef(
+      (s, dir) => {
+        val core = GraphOps.kCoreEdges(edges(s, dir), k = 6, iters = 2)
+        val nodes = core.select(col("a").as("id"))
+          .unionByName(core.select(col("b").as("id"))).distinct()
+        nodes.agg(count(lit(1)).as("n_core_nodes"),
+            coalesce(sum("id"), lit(0L)).as("node_checksum"))
+          .crossJoin(core.agg(count(lit(1)).as("n_core_edges")))
+          .select(col("n_core_nodes"), col("n_core_edges"), col("node_checksum"))
+      },
+      Some {
+        val steps = (1 to 2).map { i =>
+          s"""deg$i AS MATERIALIZED (SELECT id, count(*) AS degree FROM (
+             |    SELECT a AS id FROM und${i - 1} UNION ALL SELECT b FROM und${i - 1})
+             |  GROUP BY 1),
+             |keep$i AS MATERIALIZED (SELECT id FROM deg$i WHERE degree >= 6),
+             |und$i AS MATERIALIZED (SELECT a, b FROM und${i - 1}
+             |  WHERE a IN (SELECT id FROM keep$i) AND b IN (SELECT id FROM keep$i))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $edgesSql,
+           |und0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+           |    greatest(src, dst) AS b FROM edges WHERE least(src, dst) < greatest(src, dst)),
+           |$steps
+           |SELECT (SELECT count(*) FROM (SELECT DISTINCT id FROM (
+           |    SELECT a AS id FROM und2 UNION ALL SELECT b FROM und2))) AS n_core_nodes,
+           |  (SELECT count(*) FROM und2) AS n_core_edges,
+           |  (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) FROM (SELECT DISTINCT id FROM (
+           |    SELECT a AS id FROM und2 UNION ALL SELECT b FROM und2))) AS node_checksum""".stripMargin
       })
   )
 }

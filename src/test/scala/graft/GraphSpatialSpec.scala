@@ -76,6 +76,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("kCoreEdges: pendant chain peels away, the clique survives") {
+    // K4 on {0,1,2,3} (each degree 3) + chain 3-4-5: round 1 drops 5
+    // (degree 1 < 3) and 4 (degree 2 < 3); the clique is the exact 3-core.
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val core = GraphOps.kCoreEdges(edges, k = 3, iters = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(core === Set((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("kCoreEdges: k above the degeneracy empties the graph") {
+    val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L))
+      .toDF("src", "dst")
+    assert(GraphOps.kCoreEdges(k4, k = 4, iters = 2).count() === 0L)
+  }
+
   test("iterative ops release per-round checkpoint blocks (suite hygiene)") {
     // Each round localCheckpoints its new state; the previous round's blocks
     // must be dropped as it goes (regression guard: leaked rounds accumulate
