@@ -434,6 +434,58 @@ object WindowQueries extends QueryCatalog {
              |  round(CAST(n * sxy - sx * sy AS DOUBLE)
              |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
              |      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS acf
-             |FROM s ORDER BY lag""".stripMargin))
+             |FROM s ORDER BY lag""".stripMargin)),
+
+    // Engine-added — CUSUM changepoint detection on the hourly series: the
+    // point where the cumulative sum of mean-residuals peaks splits the
+    // series into maximally-different halves (the classic single-changepoint
+    // statistic). Residuals are kept integer by scaling: r_t = cnt_t·T −
+    // total (T hours, total events), so the running sum, the argmax, and
+    // the pre/post splits are all exact integer arithmetic both engines
+    // reproduce bit-for-bit. The running sum is a bounded window over the
+    // AGGREGATED series (one row per hour — w13's argument) with a
+    // non-foldable constant partition key; the (total, T) scalar rides the
+    // plan broadcast.
+    "w23_cusum_changepoint" -> QueryDef(
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(expr(s"ts_ns div $hourNs").as("hour_idx"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = hourly.agg(sum("cnt").as("total"), count(lit(1)).as("nh"))
+        val one = coalesce(pmod(col("hour_idx"), lit(1)), lit(0))
+        val w = Window.partitionBy(one).orderBy("hour_idx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cus = hourly.crossJoin(broadcast(tot))
+          .withColumn("cusum", sum(col("cnt") * col("nh") - col("total")).over(w))
+        val cp = cus.orderBy(abs(col("cusum")).desc, col("hour_idx")).limit(1)
+          .select(col("hour_idx").as("cph"), abs(col("cusum")).as("mx"))
+        hourly.crossJoin(broadcast(cp))
+          .groupBy("cph", "mx")
+          .agg(
+            count(when(col("hour_idx") <= col("cph"), 1)).as("n_pre"),
+            count(when(col("hour_idx") > col("cph"), 1)).as("n_post"),
+            round(sum(when(col("hour_idx") <= col("cph"), col("cnt"))).cast("double")
+              / count(when(col("hour_idx") <= col("cph"), 1)), 6).as("pre_mean"),
+            round(sum(when(col("hour_idx") > col("cph"), col("cnt"))).cast("double")
+              / count(when(col("hour_idx") > col("cph"), 1)), 6).as("post_mean"))
+          .select((col("cph") * 3600L).as("cp_hour_epoch"), col("mx").as("max_abs_cusum"),
+            col("n_pre"), col("n_post"), col("pre_mean"), col("post_mean"))
+      },
+      Some(s"""WITH h AS (SELECT epoch_ns(ts) // $hourNs AS hour_idx, count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS nh FROM h),
+             |c AS (SELECT hour_idx,
+             |    CAST(sum(cnt * nh - total) OVER (ORDER BY hour_idx) AS BIGINT) AS cusum
+             |  FROM h CROSS JOIN t),
+             |cp AS (SELECT hour_idx AS cph, abs(cusum) AS mx FROM c
+             |  ORDER BY abs(cusum) DESC, hour_idx LIMIT 1)
+             |SELECT cph * 3600 AS cp_hour_epoch, mx AS max_abs_cusum,
+             |  count(*) FILTER (WHERE hour_idx <= cph) AS n_pre,
+             |  count(*) FILTER (WHERE hour_idx > cph) AS n_post,
+             |  round(CAST(sum(cnt) FILTER (WHERE hour_idx <= cph) AS DOUBLE)
+             |    / count(*) FILTER (WHERE hour_idx <= cph), 6) AS pre_mean,
+             |  round(CAST(sum(cnt) FILTER (WHERE hour_idx > cph) AS DOUBLE)
+             |    / count(*) FILTER (WHERE hour_idx > cph), 6) AS post_mean
+             |FROM h CROSS JOIN cp GROUP BY 1, 2""".stripMargin))
   )
 }
