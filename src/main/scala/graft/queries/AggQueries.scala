@@ -505,6 +505,50 @@ object AggQueries extends QueryCatalog {
               |SELECT dow, CAST(sum(cnt) OVER (PARTITION BY dow) AS BIGINT) AS total,
               |  hod AS peak_hour, cnt AS peak_count
               |FROM c QUALIFY row_number() OVER (PARTITION BY dow
-              |  ORDER BY cnt DESC, hod) = 1 ORDER BY dow""".stripMargin))
+              |  ORDER BY cnt DESC, hod) = 1 ORDER BY dow""".stripMargin)),
+
+    // Engine-added — EXACT per-group weighted median (price weighted by
+    // quantity): the smallest value whose cumulative weight reaches half
+    // the group total. Scale-safe shape: ONE range-partitioned prefix sum
+    // over the total order (flag, price, orderkey, linenumber) via
+    // ops.Cumulative — never a per-group global-order window over
+    // data-proportional rows — then per-flag cumulative = global cumulative
+    // minus the (≤ handful of flags, broadcast) earlier-flag offset.
+    // Weights are integer quantities, so the threshold test 2·cum ≥ total
+    // is exact; the median itself is a data value, no arithmetic on it.
+    "a22_weighted_median" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(
+          col("l_returnflag").as("f"), col("l_extendedprice").as("p"),
+          col("l_quantity").cast("long").as("wt"),
+          col("l_orderkey"), col("l_linenumber"))
+        val cum = graft.ops.Cumulative.runningSum(
+          li, Seq(col("f"), col("p"), col("l_orderkey"), col("l_linenumber")),
+          col("wt"), "rnk", "cumw")
+        val ftot = li.groupBy("f").agg(sum("wt").as("tw"))
+        val off = ftot.as("a")
+          .join(broadcast(ftot.select(col("f").as("bf"), col("tw").as("btw"))),
+            col("bf") < col("f"), "left")
+          .groupBy(col("f"), col("tw"))
+          .agg(coalesce(sum("btw"), lit(0L)).as("off"))
+        cum.join(broadcast(off), "f")
+          .filter((col("cumw") - col("off")) * 2 >= col("tw"))
+          .groupBy(col("f"), col("tw"))
+          .agg(min("p").as("wmedian_price"))
+          .select(col("f").as("l_returnflag"), col("wmedian_price"),
+            col("tw").as("total_weight"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH w AS (SELECT l_returnflag AS f, l_extendedprice AS p,
+             |    CAST(l_quantity AS BIGINT) AS wt, l_orderkey, l_linenumber
+             |  FROM lineitem),
+             |tot AS (SELECT f, CAST(sum(wt) AS BIGINT) AS tw FROM w GROUP BY 1),
+             |c AS (SELECT f, p, CAST(sum(wt) OVER (PARTITION BY f
+             |    ORDER BY p, l_orderkey, l_linenumber
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+             |  FROM w)
+             |SELECT c.f AS l_returnflag, min(c.p) AS wmedian_price, t.tw AS total_weight
+             |FROM c JOIN tot t ON t.f = c.f WHERE c.cw * 2 >= t.tw
+             |GROUP BY 1, 3 ORDER BY 1""".stripMargin))
   )
 }
