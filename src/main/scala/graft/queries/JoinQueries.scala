@@ -435,6 +435,54 @@ object JoinQueries extends QueryCatalog {
              |dur AS (SELECT event_type, count(*) AS n_during FROM hits GROUP BY 1)
              |SELECT event_type, n_events, n_during,
              |  round(n_during / CAST(n_events AS DOUBLE), 6) AS during_rate
-             |FROM tot JOIN dur USING (event_type) ORDER BY 1""".stripMargin))
+             |FROM tot JOIN dur USING (event_type) ORDER BY 1""".stripMargin)),
+
+    // Engine-added — distance-band spatial self-join: all point pairs
+    // within eps, as a standalone op (the candidate-generation core of
+    // DBSCAN/LISA exposed directly). Spark side blocks by an eps-sized
+    // grid: each point probes its 3×3 neighbor cells (two explodes = 9
+    // offsets) through ONE equi-join on the cell key, then an exact
+    // distance recheck — candidates are bounded by local density, never
+    // n² (a pathological all-points-one-cell corner is what ops.GridGuard
+    // exists for). Cell width = eps guarantees no pair is missed. The
+    // oracle is the direct quadratic join — affordable at oracle SF,
+    // same exact IEEE distance filter.
+    "j14_distance_band_pairs" -> QueryDef(
+      (s, dir) => {
+        val eps = 0.05
+        val pts = Tables.withSyntheticPoint(
+            Tables.supplier(s, dir).select(col("s_suppkey").as("id")), "id")
+          .withColumn("cx", floor(col("lon") / eps))
+          .withColumn("cy", floor(col("lat") / eps))
+        val probe = pts
+          .withColumn("ox", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("oy", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .select(col("id").as("id_a"), col("lon").as("lon_a"), col("lat").as("lat_a"),
+            (col("cx") + col("ox")).as("cx"), (col("cy") + col("oy")).as("cy"))
+        val pairs = probe.join(pts, Seq("cx", "cy"))
+          .filter(col("id_a") < col("id"))
+          .withColumn("d2",
+            (col("lon_a") - col("lon")) * (col("lon_a") - col("lon"))
+              + (col("lat_a") - col("lat")) * (col("lat_a") - col("lat")))
+          .filter(col("d2") <= lit(eps * eps))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("id_a") + col("id")), lit(0L)).as("id_checksum"),
+          round(min(sqrt(col("d2"))), 6).as("min_dist"),
+          round(max(sqrt(col("d2"))), 6).as("max_dist"))
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("s_suppkey")
+        s"""WITH p AS (SELECT s_suppkey AS id, $lonSql AS lon, $latSql AS lat
+           |  FROM supplier),
+           |pr AS (SELECT a.id AS ia, b.id AS ib,
+           |    (a.lon - b.lon) * (a.lon - b.lon)
+           |      + (a.lat - b.lat) * (a.lat - b.lat) AS d2
+           |  FROM p a JOIN p b ON a.id < b.id)
+           |SELECT count(*) AS n_pairs,
+           |  CAST(coalesce(sum(ia + ib), 0) AS BIGINT) AS id_checksum,
+           |  round(min(sqrt(d2)), 6) AS min_dist,
+           |  round(max(sqrt(d2)), 6) AS max_dist
+           |FROM pr WHERE d2 <= 0.05 * 0.05""".stripMargin
+      })
   )
 }
