@@ -54,6 +54,40 @@ object CoreQueries extends QueryCatalog {
              |FROM lineitem WHERE l_returnflag = 'R'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S16 (engine-added) — schema-evolution scan: two parquet generations
+    // of the same table (the older one written BEFORE a column existed)
+    // read back as one frame via mergeSchema, missing values null-filled.
+    // This is the drift every long-lived 100 TB table accumulates; the
+    // merge is footer-level (schemas reconciled at planning, no data
+    // rewrite). Oracle: the same slices reconstructed from the source
+    // table with the late column nulled on the old generation.
+    "s16_schema_merge" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val path = graft.ops.Staged.appRoot(s) + "/schema-evo-" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        o.filter(pmod(col("o_orderkey"), lit(2L)) === 1)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(path + "/gen1")
+        o.filter(pmod(col("o_orderkey"), lit(2L)) === 0)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(path + "/gen2")
+        s.read.option("mergeSchema", "true")
+          .parquet(path + "/gen1", path + "/gen2")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("o_orderpriority")).as("n_with_priority"),
+            countDistinct(col("o_orderpriority")).as("n_priorities"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  count(*) FILTER (WHERE o_orderkey % 2 = 0) AS n_with_priority,
+             |  count(DISTINCT CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END)
+             |    AS n_priorities,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS total_cents
+             |FROM orders""".stripMargin)),
+
     // S15 (engine-added) — hive-partitioned layout + partition pruning:
     // lineitem is written partitioned by return flag, and the filtered
     // re-scan must touch ONE directory — the pruning shows up as
