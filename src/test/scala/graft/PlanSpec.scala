@@ -201,4 +201,29 @@ class PlanSpec extends SparkSpec {
     val p = plan("w17_funnel_stages")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("j14: distance-band pairs is a grid equi-join, never a cartesian product") {
+    val p = plan("j14_distance_band_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin"), p)
+    // the 3×3 neighbor fan-out is a native Generate, not a join
+    assert(p.contains("Generate"), p)
+  }
+
+  test("a22: weighted median has no unpartitioned window (Cumulative path)") {
+    val p = plan("a22_weighted_median")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("u8: merge/upsert is one equi-join over the change set, no nested loop") {
+    val p = plan("u8_merge_upsert")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("t12: zipf fit ranks only the top-k slice (TakeOrderedAndProject)") {
+    val p = plan("t12_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
