@@ -549,6 +549,44 @@ object AggQueries extends QueryCatalog {
              |  FROM w)
              |SELECT c.f AS l_returnflag, min(c.p) AS wmedian_price, t.tw AS total_weight
              |FROM c JOIN tot t ON t.f = c.f WHERE c.cw * 2 >= t.tw
-             |GROUP BY 1, 3 ORDER BY 1""".stripMargin))
+             |GROUP BY 1, 3 ORDER BY 1""".stripMargin)),
+
+    // Engine-added — EXACT Gini concentration of per-customer spend: how
+    // unequally revenue concentrates across customers, the curation
+    // diagnostic behind "does one key dominate the corpus" (complements the
+    // a21 count-of-counts entropy with the classic inequality index). Spend
+    // is integer cents (order-free exact sums, one map-side-combined
+    // shuffle); the sorted-rank term needs every row's global rank by spend,
+    // which comes from ops.Cumulative's range-partitioned prefix rank over
+    // the (cents, custkey) total order — never a global-order window. The
+    // formula G = (2·Σrnk·x − (n+1)·Σx) / (n·Σx) stays ALL-INTEGER until
+    // the final division (long holds to ~1e9 keys × ~5e7 cents; beyond
+    // that the two sums widen to decimal(38,0) with the same plan shape).
+    "a23_gini" -> QueryDef(
+      (s, dir) => {
+        val spend = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        val ranked = graft.ops.Cumulative.runningSum(
+          spend, Seq(col("cents"), col("o_custkey")), col("cents"), "rnk", "__cum")
+        ranked.agg(
+            count(lit(1)).as("n"),
+            sum("cents").as("tot"),
+            sum(col("rnk") * col("cents")).as("s1"))
+          .select(col("n").as("n_customers"), col("tot").as("total_cents"),
+            round((lit(2L) * col("s1") - (col("n") + lit(1L)) * col("tot")).cast("double")
+              / (col("n") * col("tot")).cast("double"), 6).as("gini"))
+      },
+      Some("""WITH spend AS (SELECT o_custkey,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT cents,
+             |    row_number() OVER (ORDER BY cents, o_custkey) AS rnk FROM spend),
+             |t AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS tot,
+             |    CAST(sum(rnk * cents) AS BIGINT) AS s1 FROM r)
+             |SELECT n AS n_customers, tot AS total_cents,
+             |  round(CAST(2 * s1 - (n + 1) * tot AS DOUBLE)
+             |    / CAST(n * tot AS DOUBLE), 6) AS gini
+             |FROM t""".stripMargin))
   )
 }

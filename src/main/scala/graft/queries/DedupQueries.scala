@@ -463,6 +463,61 @@ object DedupQueries extends QueryCatalog {
              |FROM inter
              |JOIN sizes sa ON sa.source = src_a
              |JOIN sizes sb ON sb.source = src_b
-             |ORDER BY src_a, src_b""".stripMargin))
+             |ORDER BY src_a, src_b""".stripMargin)),
+
+    // D10 — QUALITY-AWARE canonical selection: where d5 keeps the min-id
+    // survivor, production dedup keeps the BEST copy of each near-dup group
+    // (longest / highest-quality — the retention rule in large-corpus
+    // pipelines). Same staged pair set and star-contraction CC; the pick is
+    // a per-group argmax as a single max(struct(quality, -id)) hash
+    // aggregate — map-side combined, no per-group window, no second join
+    // back to find the winner. Reports the char mass dropped per group —
+    // the number a curation run actually reviews.
+    "d10_canonical_pick" -> QueryDef(
+      (s, dir) => {
+        val pairs = jaccardPairs(s, dir)
+        val comp = graft.graph.GraphOps.connectedComponents(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        val chars = Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), col("n_chars"))
+        comp.join(chars, "id")
+          .groupBy("component")
+          .agg(count(lit(1)).as("group_size"),
+            max(struct(col("n_chars").as("c"), (-col("id")).as("nid"))).as("best"),
+            sum("n_chars").as("total_chars"))
+          .select((-col("best.nid")).as("canonical_id"), col("group_size"),
+            col("best.c").as("canon_chars"),
+            (col("total_chars") - col("best.c")).as("dropped_chars"))
+          .orderBy("canonical_id")
+      },
+      Some(s"""WITH RECURSIVE
+             |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |${graft.ops.ShingleIndex.cappedSql},
+             |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+             |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b FROM inter
+             |  JOIN sizes sa ON sa.doc_id = id_a
+             |  JOIN sizes sb ON sb.doc_id = id_b
+             |  WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5),
+             |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |walk(a, b) AS (SELECT a, b FROM sym
+             |  UNION SELECT w.a, s.b FROM walk w JOIN sym s ON w.b = s.a),
+             |comp AS (SELECT a AS id, least(a, min(b)) AS component
+             |  FROM walk GROUP BY a),
+             |g AS (SELECT c.component, c.id, d.n_chars
+             |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+             |r AS (SELECT component, id, n_chars,
+             |    row_number() OVER (PARTITION BY component
+             |      ORDER BY n_chars DESC, id) AS rn,
+             |    CAST(sum(n_chars) OVER (PARTITION BY component) AS BIGINT)
+             |      AS total_chars,
+             |    count(*) OVER (PARTITION BY component) AS group_size
+             |  FROM g)
+             |SELECT id AS canonical_id, group_size, n_chars AS canon_chars,
+             |  total_chars - n_chars AS dropped_chars
+             |FROM r WHERE rn = 1 ORDER BY canonical_id""".stripMargin))
   )
 }

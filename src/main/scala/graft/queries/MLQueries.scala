@@ -543,6 +543,65 @@ object MLQueries extends QueryCatalog {
              |  round(geo_sigma, 6) AS geo_sigma,
              |  round(10.0 * (1.0 - (top20_share - 0.2) * 0.5
              |    - (1.0 - coverage) * 2.0 - abs(high_share - 0.5)), 4) AS bias_score
-             |FROM conc, cover, bal, disp""".stripMargin))
+             |FROM conc, cover, bal, disp""".stripMargin)),
+
+    // Engine-added — EXACT two-sample Kolmogorov–Smirnov drift statistic
+    // between the value distributions of two event cohorts (the data-drift
+    // check a training pipeline runs between ingestion shards before mixing
+    // them). Values bin to a FIXED literal grid (floor(value/5), capped at
+    // 99) so the per-cohort histograms are bounded ≤ 100 rows no matter the
+    // data volume: one map-side-combined shuffle builds them, and the ECDF
+    // cumulative runs over that bounded frame (constant-key window — never
+    // a global window over data-proportional rows). D's comparison is the
+    // integer cross-product |cumA·nB − cumB·nA| — no division until the one
+    // reported value — so the argmax is exact and the tie-break (smaller
+    // bin) is deterministic cross-engine.
+    "m23_ks_drift" -> QueryDef(
+      (s, dir) => {
+        val binned = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .withColumn("bin", least(floor(col("value") / lit(5.0)).cast("int"), lit(99)))
+          .groupBy("bin")
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cb"))
+        // ≤ 100 bins post-agg: the non-foldable constant key keeps WindowExec
+        // partitioned (lit(0) would fold away — see w13/w6).
+        val one = coalesce(pmod(col("bin"), lit(1)), lit(0))
+        val wCum = Window.partitionBy(one).orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(one)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        binned
+          .withColumn("cuma", sum("ca").over(wCum))
+          .withColumn("cumb", sum("cb").over(wCum))
+          .withColumn("na", sum("ca").over(wAll))
+          .withColumn("nb", sum("cb").over(wAll))
+          .withColumn("dnum", abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+          .orderBy(desc("dnum"), col("bin"))
+          .limit(1)
+          .select(col("bin").as("at_bin"), col("na").as("n_click"),
+            col("nb").as("n_purchase"),
+            round(col("dnum").cast("double")
+              / (col("na") * col("nb")).cast("double"), 6).as("ks_d"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    least(CAST(floor(value / 5.0) AS INT), 99) AS bin
+             |  FROM events WHERE event_type IN ('click', 'purchase')),
+             |b AS (SELECT bin,
+             |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM e GROUP BY 1),
+             |c AS (SELECT bin,
+             |    CAST(sum(ca) OVER (ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma,
+             |    CAST(sum(cb) OVER (ORDER BY bin
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb,
+             |    CAST(sum(ca) OVER () AS BIGINT) AS na,
+             |    CAST(sum(cb) OVER () AS BIGINT) AS nb
+             |  FROM b)
+             |SELECT bin AS at_bin, na AS n_click, nb AS n_purchase,
+             |  round(CAST(abs(cuma * nb - cumb * na) AS DOUBLE)
+             |    / CAST(na * nb AS DOUBLE), 6) AS ks_d
+             |FROM c ORDER BY abs(cuma * nb - cumb * na) DESC, bin LIMIT 1""".stripMargin))
   )
 }

@@ -238,6 +238,82 @@ object SetQueries extends QueryCatalog {
              |SELECT op, count(*) AS n_rows, CAST(sum(new_bal) AS BIGINT) AS bal_cents,
              |  count(DISTINCT new_seg) AS n_segments,
              |  min(mkey) AS min_key, max(mkey) AS max_key
-             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Engine-added — temperature-scaled source mixing (the q_s ∝ size_s^α
+    // rebalancing rule, α = 1/2: the knob multilingual / multi-domain
+    // pretraining mixes turn to damp dominant sources and boost the tail).
+    // Against u6's fixed CAP and u7's fixed RATES, the quota here is
+    // COMPUTED from corpus composition under a global budget. Everything
+    // deciding the mix is integer: per-source sqrt(chars) quantizes to
+    // micro-units (sqrt and × are single correctly-rounded IEEE ops —
+    // bit-identical per row cross-engine; floor makes them integers BEFORE
+    // the order-sensitive sum), quotas are truncating integer division with
+    // largest-remainder rounding on integer remainders, and doc selection
+    // ranks by the shared md5 hash through ops.Cumulative's global
+    // range-partitioned rank minus broadcast per-source offsets — no
+    // per-source window over data-proportional rows anywhere in the plan.
+    "u9_temperature_mix" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val budget = 24L
+        val d = Tables.documents(s, dir)
+        val sizes = d.groupBy("source")
+          .agg(sum("n_chars").as("chars"), count(lit(1)).as("n_docs"))
+          .withColumn("w",
+            floor(sqrt(col("chars").cast("double")) * lit(1000000.0)).cast("long"))
+        val tot = sizes.agg(sum("w").as("tw"))
+        val shared = sizes.crossJoin(broadcast(tot))
+          .withColumn("base", expr(s"($budget * w) div tw"))
+          .withColumn("rem", expr(s"($budget * w) % tw"))
+        val residual = shared.agg((lit(budget) - sum("base")).as("extra"))
+        // bounded post-agg frame (one row per source); non-foldable constant
+        // key keeps the WindowExec partitioned (w13/w6 pattern)
+        val one = coalesce(pmod(col("chars"), lit(1L)), lit(0L))
+        val quotas = shared
+          .withColumn("rr", row_number().over(
+            Window.partitionBy(one).orderBy(desc("rem"), col("source"))))
+          .crossJoin(broadcast(residual))
+          .withColumn("quota",
+            col("base") + when(col("rr") <= col("extra"), 1L).otherwise(0L))
+          .select("source", "quota", "n_docs")
+        val ranked = graft.ops.Cumulative.runningSum(
+          d.withColumn("hk", graft.functions.TextFunctions.hash64(
+            concat(lit("temp:"), col("doc_id").cast("string")))),
+          Seq(col("source"), col("hk"), col("doc_id")), lit(1L), "grnk", "__gc")
+        val offs = quotas
+          .join(broadcast(quotas.select(col("source").as("bs"), col("n_docs").as("bn"))),
+            col("bs") < col("source"), "left")
+          .groupBy(col("source"), col("quota"))
+          .agg(coalesce(sum("bn"), lit(0L)).as("off"))
+        ranked.join(broadcast(offs), "source")
+          .filter(col("grnk") - col("off") <= col("quota"))
+          .groupBy("source", "quota")
+          .agg(count(lit(1)).as("n_kept"), min("doc_id").as("first_kept"),
+            sum("doc_id").as("kept_checksum"))
+          .orderBy("source")
+      },
+      Some("""WITH sizes AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars,
+             |    count(*) AS n_docs FROM documents GROUP BY 1),
+             |wtd AS (SELECT source, n_docs,
+             |    CAST(floor(sqrt(CAST(chars AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+             |  FROM sizes),
+             |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wtd),
+             |shared AS (SELECT source, n_docs, (24 * w) // tw AS base,
+             |    (24 * w) % tw AS rem FROM wtd CROSS JOIN tot),
+             |resid AS (SELECT 24 - CAST(sum(base) AS BIGINT) AS extra FROM shared),
+             |quotas AS (SELECT source, n_docs,
+             |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+             |      <= extra THEN 1 ELSE 0 END AS quota
+             |  FROM shared CROSS JOIN resid),
+             |ranked AS (SELECT d.source, d.doc_id,
+             |    row_number() OVER (PARTITION BY d.source ORDER BY
+             |      CAST(('0x' || substr(md5('temp:' || d.doc_id), 1, 15)) AS BIGINT),
+             |      d.doc_id) AS rn
+             |  FROM documents d)
+             |SELECT q.source, q.quota, count(*) AS n_kept, min(r.doc_id) AS first_kept,
+             |  CAST(sum(r.doc_id) AS BIGINT) AS kept_checksum
+             |FROM ranked r JOIN quotas q ON q.source = r.source AND r.rn <= q.quota
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
   )
 }

@@ -226,4 +226,31 @@ class PlanSpec extends SparkSpec {
     val p = plan("t12_zipf_fit")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("a23: gini rank runs on the Cumulative path, no unpartitioned window") {
+    val p = plan("a23_gini")
+    // the terminal 1-row agg may exchange to SinglePartition, but every
+    // WINDOW (the rank scale-killer) must be the Cumulative __pid-partitioned
+    // one — an unpartitioned rank window would list an empty partition spec
+    val winLines = p.linesIterator.filter(_.contains("- Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__pid")), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_sum"), p) // cents agg is map-side combined
+  }
+
+  test("m23: KS drift argmax is TakeOrderedAndProject over the bounded bins") {
+    val p = plan("m23_ks_drift")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the histogram shuffle is map-side combined; the ECDF window runs on
+    // the bounded post-agg frame, never an unpartitioned sort of raw events
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("u9: temperature mix selects via equi-join on source, no nested loop over docs") {
+    val p = plan("u9_temperature_mix")
+    assert(!p.contains("CartesianProduct"), p)
+    // quota/offset frames ride broadcast into the doc-selection join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
