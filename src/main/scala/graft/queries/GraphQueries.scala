@@ -495,6 +495,53 @@ object GraphQueries extends QueryCatalog {
            |  (SELECT count(*) FROM und2) AS n_core_edges,
            |  (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) FROM (SELECT DISTINCT id FROM (
            |    SELECT a AS id FROM und2 UNION ALL SELECT b FROM und2))) AS node_checksum""".stripMargin
-      })
+      }),
+
+    // Engine-added — link prediction by common-neighbor / Jaccard scores:
+    // rank the non-adjacent node pairs most likely to be connected (the
+    // classic missing-road / recommendation primitive). Candidates come
+    // ONLY from the two-hop join keyed on the middle node — fanout is
+    // Σ deg(m)², bounded by the road graph's small max degree, never the
+    // n² of scoring all pairs. Direct edges leave via an anti join on the
+    // same (a,b) key; the Jaccard quantizes to integer micro-units
+    // (cn·10⁶ div (da+db−cn)) so ranking is exact, and the top-20 is a
+    // TakeOrderedAndProject — no global sort.
+    "g12_link_prediction" -> QueryDef(
+      (s, dir) => {
+        val e = edges(s, dir)
+        val sym = e.select(col("src"), col("dst"))
+          .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+          .filter(col("src") =!= col("dst")).distinct()
+        val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        val two = sym.select(col("src").as("a"), col("dst").as("m"))
+          .join(sym.select(col("src").as("m"), col("dst").as("b")), "m")
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+        two.join(sym.select(col("src").as("a"), col("dst").as("b")),
+            Seq("a", "b"), "left_anti")
+          .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+          .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+          .withColumn("jmic", expr("(cn * 1000000) div (da + db - cn)"))
+          .orderBy(desc("jmic"), desc("cn"), col("a"), col("b"))
+          .limit(20)
+          .select(col("a"), col("b"), col("cn"), col("da"), col("db"),
+            round(col("jmic").cast("double") / lit(1000000.0), 6).as("jaccard"))
+      },
+      Some(s"""WITH $edgesSql,
+              |sym AS (SELECT DISTINCT src, dst FROM (
+              |    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+              |  WHERE src <> dst),
+              |deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY 1),
+              |two AS (SELECT x.src AS a, y.dst AS b, count(*) AS cn
+              |  FROM sym x JOIN sym y ON x.dst = y.src
+              |  WHERE x.src < y.dst GROUP BY 1, 2),
+              |ne AS (SELECT a, b, cn FROM two
+              |  WHERE NOT EXISTS (SELECT 1 FROM sym WHERE src = a AND dst = b)),
+              |sc AS (SELECT a, b, cn, da.deg AS da, db.deg AS db,
+              |    (cn * 1000000) // (da.deg + db.deg - cn) AS jmic
+              |  FROM ne JOIN deg da ON da.id = a JOIN deg db ON db.id = b)
+              |SELECT a, b, cn, da, db,
+              |  round(CAST(jmic AS DOUBLE) / 1000000.0, 6) AS jaccard
+              |FROM sc ORDER BY jmic DESC, cn DESC, a, b LIMIT 20""".stripMargin))
   )
 }

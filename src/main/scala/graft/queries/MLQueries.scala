@@ -654,6 +654,61 @@ object MLQueries extends QueryCatalog {
              |    / (n * p), 6) AS chi2_term
              |FROM j ORDER BY digit""".stripMargin
         })
-    }
+    },
+
+    // Engine-added — market-basket association rules at the brand level:
+    // support / confidence / lift for brand pairs co-occurring in an order
+    // (the a-priori 2-itemset pass). The pair generation is a self-join on
+    // the ORDER key over per-order DISTINCT brands — fanout bounded by
+    // basket size (≤ items per order), never |brands|². Ranking uses the
+    // integer cross-product lift (n·nab·10⁶ div na·nb) so the top-15 is an
+    // exact TakeOrderedAndProject; the reported ratios are single IEEE
+    // divisions of identical integers. Long arithmetic holds to ~10⁹
+    // orders; beyond that the lift product widens to decimal with the same
+    // plan. Brand counts and the order total ride broadcast.
+    "m25_basket_lift" -> QueryDef(
+      (s, dir) => {
+        val ob = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+          .distinct()
+        val tot = ob.agg(countDistinct("ok").as("n"))
+        val bc = ob.groupBy("brand").agg(count(lit(1)).as("nb"))
+        val pairs = ob.select(col("ok"), col("brand").as("brand_a"))
+          .join(ob.select(col("ok"), col("brand").as("brand_b")), "ok")
+          .filter(col("brand_a") < col("brand_b"))
+          .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("nab"))
+        pairs
+          .join(broadcast(bc.select(col("brand").as("brand_a"), col("nb").as("na"))), "brand_a")
+          .join(broadcast(bc.select(col("brand").as("brand_b"), col("nb").as("nbb"))), "brand_b")
+          .crossJoin(broadcast(tot))
+          .withColumn("lmic", expr("(n * nab * 1000000) div (na * nbb)"))
+          .orderBy(desc("lmic"), desc("nab"), col("brand_a"), col("brand_b"))
+          .limit(15)
+          .select(col("brand_a"), col("brand_b"), col("nab").as("support_cnt"),
+            col("na"), col("nbb").as("nb"),
+            round(col("nab").cast("double") / col("n"), 6).as("support"),
+            round(col("nab").cast("double") / col("na"), 6).as("confidence"),
+            round((col("n") * col("nab")).cast("double")
+              / (col("na") * col("nbb")).cast("double"), 6).as("lift"))
+      },
+      Some("""WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |tot AS (SELECT count(DISTINCT ok) AS n FROM ob),
+             |bc AS (SELECT brand, count(*) AS nb FROM ob GROUP BY 1),
+             |pr AS (SELECT x.brand AS brand_a, y.brand AS brand_b, count(*) AS nab
+             |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.brand < y.brand
+             |  GROUP BY 1, 2),
+             |sc AS (SELECT brand_a, brand_b, nab, a.nb AS na, b.nb AS nbb, n,
+             |    (n * nab * 1000000) // (a.nb * b.nb) AS lmic
+             |  FROM pr JOIN bc a ON a.brand = brand_a
+             |  JOIN bc b ON b.brand = brand_b CROSS JOIN tot)
+             |SELECT brand_a, brand_b, nab AS support_cnt, na, nbb AS nb,
+             |  round(CAST(nab AS DOUBLE) / n, 6) AS support,
+             |  round(CAST(nab AS DOUBLE) / na, 6) AS confidence,
+             |  round(CAST(n * nab AS DOUBLE) / CAST(na * nbb AS DOUBLE), 6) AS lift
+             |FROM sc ORDER BY lmic DESC, nab DESC, brand_a, brand_b
+             |LIMIT 15""".stripMargin))
   )
 }

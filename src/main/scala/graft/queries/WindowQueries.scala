@@ -486,6 +486,60 @@ object WindowQueries extends QueryCatalog {
              |    / count(*) FILTER (WHERE hour_idx <= cph), 6) AS pre_mean,
              |  round(CAST(sum(cnt) FILTER (WHERE hour_idx > cph) AS DOUBLE)
              |    / count(*) FILTER (WHERE hour_idx > cph), 6) AS post_mean
-             |FROM h CROSS JOIN cp GROUP BY 1, 2""".stripMargin))
+             |FROM h CROSS JOIN cp GROUP BY 1, 2""".stripMargin)),
+
+    // Engine-added — seasonal-naive forecast backtest: predict week 4's
+    // hourly event counts as the mean of the same hour-of-week over weeks
+    // 1–3, and score the forecast (MAE / RMSE / mean bias) — the sanity
+    // baseline every capacity-planning forecast must beat. The error stays
+    // INTEGER by scoring 3·actual against Σtrain (avoiding the mean's
+    // division): err3 = |Σtrain − 3·actual|, so the sums are order-free
+    // exact and the final three divisions are single IEEE ops. Hours
+    // missing any of the 3 training weeks are excluded (nw = 3 guard) —
+    // deterministic in both engines. Bounded post-agg frames throughout:
+    // 720 hourly rows, then 168 scored hours.
+    "w24_seasonal_backtest" -> QueryDef(
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(expr(s"ts_ns div $hourNs").as("hour_idx"))
+          .agg(count(lit(1)).as("cnt"))
+        val base = hourly.agg(min("hour_idx").as("h0"))
+        val rel = hourly.crossJoin(broadcast(base))
+          .select(((col("hour_idx") - col("h0")) % 168).as("how"),
+            expr("(hour_idx - h0) div 168").as("week"),
+            col("cnt"))
+        val train = rel.filter(col("week") < 3)
+          .groupBy("how").agg(sum("cnt").as("strain"), count(lit(1)).as("nw"))
+          .filter(col("nw") === 3)
+        val test = rel.filter(col("week") === 3)
+          .select(col("how"), col("cnt").as("actual"))
+        train.join(test, "how")
+          .select(col("how"), col("strain"), col("actual"),
+            abs(col("strain") - lit(3L) * col("actual")).as("err3"),
+            (col("strain") - lit(3L) * col("actual")).as("bias3"))
+          .agg(count(lit(1)).as("n_hours"),
+            round(sum("err3").cast("double") / lit(3.0) / count(lit(1)), 4).as("mae"),
+            round(sqrt(sum(col("err3") * col("err3")).cast("double") / lit(9.0)
+              / count(lit(1))), 6).as("rmse"),
+            round(sum("bias3").cast("double") / lit(3.0) / count(lit(1)), 4).as("mean_bias"))
+      },
+      Some(s"""WITH h AS (SELECT epoch_ns(ts) // $hourNs AS hour_idx, count(*) AS cnt
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT min(hour_idx) AS h0 FROM h),
+             |rel AS (SELECT (hour_idx - h0) % 168 AS how,
+             |    (hour_idx - h0) // 168 AS week, cnt FROM h CROSS JOIN b),
+             |train AS (SELECT how, CAST(sum(cnt) AS BIGINT) AS strain,
+             |    count(*) AS nw FROM rel WHERE week < 3 GROUP BY 1
+             |  HAVING count(*) = 3),
+             |test AS (SELECT how, cnt AS actual FROM rel WHERE week = 3),
+             |e AS (SELECT t.how, strain, actual,
+             |    abs(strain - 3 * actual) AS err3,
+             |    strain - 3 * actual AS bias3
+             |  FROM train t JOIN test USING (how))
+             |SELECT count(*) AS n_hours,
+             |  round(CAST(sum(err3) AS DOUBLE) / 3.0 / count(*), 4) AS mae,
+             |  round(sqrt(CAST(sum(err3 * err3) AS DOUBLE) / 9.0 / count(*)), 6) AS rmse,
+             |  round(CAST(sum(bias3) AS DOUBLE) / 3.0 / count(*), 4) AS mean_bias
+             |FROM e""".stripMargin))
   )
 }

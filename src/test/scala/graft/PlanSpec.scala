@@ -288,4 +288,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("g12: link prediction candidates come from the two-hop equi-join, top-k bounded") {
+    val p = plan("g12_link_prediction")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("w24: backtest runs on bounded post-agg frames, no window at all") {
+    val p = plan("w24_seasonal_backtest")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("m25: basket pairs self-join on the order key; dims broadcast; top-k bounded") {
+    val p = plan("m25_basket_lift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
