@@ -615,6 +615,113 @@ object TextQueries extends QueryCatalog {
              |    AS n_flagged,
              |  round(CAST(sum(sq) AS DOUBLE) / CAST(sum(nb) AS DOUBLE) / 1000000.0, 6)
              |    AS mean_logprob
-             |FROM pm GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM pm GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // T15 — maximal-marginal-relevance (MMR) diverse selection: re-rank a
+    // retrieved candidate pool so each pick maximizes λ·relevance −
+    // (1−λ)·max-similarity-to-already-picked (λ = 0.7) — the standard
+    // diversity re-ranker for retrieval / training-subset selection. The
+    // production shape is pool-bounded: relevance (query-term density,
+    // integer micro-units) picks a TOP-50 pool via TakeOrdered, pairwise
+    // BIGRAM Jaccards (denser than 3-grams — the pool's near-dup pairs sit
+    // at sim ≈ 0.99, exactly what the penalty must demote) are computed
+    // ONCE over the pool's inverted shingle index (≤ pool² pairs — never corpus²), and the 5 greedy picks unroll
+    // with a lineage cut per round (each pick's 1-row frame re-enters the
+    // next round twice — anti-join + sim lookup — which would double the
+    // Catalyst plan per round unchecked). ALL scoring is integer: rel and
+    // sim in micro-units, score = (7·rel − 3·maxsim) div 10, truncation
+    // identical cross-engine — so every argmax is exact.
+    "t15_mmr_select" -> QueryDef(
+      (s, dir) => {
+        val qterms = Seq("spark", "table", "query")
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("t"))
+          .filter(size(col("t")) > 0)
+        val rel = toks.select(col("doc_id"),
+          expr(s"(size(filter(t, x -> x IN (${qterms.map("'" + _ + "'").mkString(",")})))" +
+            " * 1000000) div size(t)").as("rel"))
+        val pool = graft.core.Materialize.cut(
+          rel.orderBy(desc("rel"), col("doc_id")).limit(50))
+        val psh = toks.join(pool.select("doc_id"), "doc_id")
+          .select(col("doc_id"), explode(array_distinct(
+            graft.functions.ShingleExpr.shinglesNative(col("t"), 2))).as("sh"))
+        val sz = psh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = psh.select(col("doc_id").as("ia"), col("sh"))
+          .join(psh.select(col("doc_id").as("ib"), col("sh")), "sh")
+          .filter(col("ia") < col("ib"))
+          .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+        val simHalf = inter
+          .join(sz.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+          .join(sz.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+          .select(col("ia"), col("ib"), expr("(c * 1000000) div (na + nb - c)").as("smic"))
+        val sim = graft.core.Materialize.cut(simHalf.unionByName(
+          simHalf.select(col("ib").as("ia"), col("ia").as("ib"), col("smic"))))
+        val first = graft.core.Materialize.cut(
+          pool.select(col("doc_id"), col("rel"), lit(0L).as("maxsim"),
+              expr("(7 * rel) div 10").as("score"), lit(1).as("pick"))
+            .orderBy(desc("score"), col("doc_id")).limit(1))
+        val selected = (2 to 5).foldLeft(first) { (sel, i) =>
+          val cand = pool.join(sel.select("doc_id"), Seq("doc_id"), "left_anti")
+            .join(sim.join(sel.select(col("doc_id").as("ib")), "ib")
+                .groupBy("ia").agg(max("smic").as("ms")),
+              col("doc_id") === col("ia"), "left")
+            .select(col("doc_id"), col("rel"),
+              coalesce(col("ms"), lit(0L)).as("maxsim"))
+            .withColumn("score", expr("(7 * rel - 3 * maxsim) div 10"))
+            .withColumn("pick", lit(i))
+          graft.core.Materialize.cut(sel.unionByName(
+            cand.orderBy(desc("score"), col("doc_id")).limit(1)))
+        }
+        selected.select(col("pick"), col("doc_id"),
+            round(col("rel").cast("double") / 1e6, 6).as("rel"),
+            round(col("maxsim").cast("double") / 1e6, 6).as("max_sim"),
+            round(col("score").cast("double") / 1e6, 6).as("mmr_score"))
+          .orderBy("pick")
+      },
+      Some {
+        val q = "('spark', 'table', 'query')"
+        def candSql(i: Int): String = {
+          val prev = (1 until i).map(j => s"SELECT doc_id FROM s$j").mkString(" UNION ALL ")
+          s"""c$i AS (SELECT p.doc_id, p.rel, coalesce(mx.ms, 0) AS maxsim
+             |  FROM pool p
+             |  LEFT JOIN (SELECT a, max(smic) AS ms FROM sim
+             |      WHERE b IN ($prev) GROUP BY 1) mx ON mx.a = p.doc_id
+             |  WHERE p.doc_id NOT IN ($prev)),
+             |s$i AS MATERIALIZED (SELECT doc_id, rel, maxsim,
+             |    (7 * rel - 3 * maxsim) // 10 AS score, $i AS pick
+             |  FROM c$i ORDER BY score DESC, doc_id LIMIT 1)""".stripMargin
+        }
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           |    WHERE len(string_split(text, ' ')) > 0),
+           |rel AS (SELECT doc_id,
+           |    (len(list_filter(t, x -> x IN $q)) * 1000000) // len(t) AS rel
+           |  FROM toks),
+           |pool AS MATERIALIZED (SELECT doc_id, rel FROM rel
+           |  ORDER BY rel DESC, doc_id LIMIT 50),
+           |psh AS (SELECT toks.doc_id, unnest(list_distinct(
+           |    [t[i+1] || ' ' || t[i+2]
+           |     for i in generate_series(0, len(t) - 2)])) AS sh
+           |  FROM toks JOIN pool ON pool.doc_id = toks.doc_id WHERE len(t) >= 2),
+           |sz AS (SELECT doc_id, count(*) AS n FROM psh GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+           |  FROM psh a JOIN psh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |simh AS (SELECT ia, ib, (c * 1000000) // (sa.n + sb.n - c) AS smic
+           |  FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib),
+           |sim AS MATERIALIZED (SELECT ia AS a, ib AS b, smic FROM simh
+           |  UNION ALL SELECT ib, ia, smic FROM simh),
+           |s1 AS MATERIALIZED (SELECT doc_id, rel, CAST(0 AS BIGINT) AS maxsim,
+           |    (7 * rel) // 10 AS score, 1 AS pick
+           |  FROM pool ORDER BY score DESC, doc_id LIMIT 1),
+           |${(2 to 5).map(candSql).mkString(",\n")}
+           |SELECT pick, doc_id,
+           |  round(CAST(rel AS DOUBLE) / 1000000, 6) AS rel,
+           |  round(CAST(maxsim AS DOUBLE) / 1000000, 6) AS max_sim,
+           |  round(CAST(score AS DOUBLE) / 1000000, 6) AS mmr_score
+           |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+           |  UNION ALL SELECT * FROM s5)
+           |ORDER BY pick""".stripMargin
+      })
   )
 }

@@ -308,4 +308,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("t15: MMR rounds are lineage-cut; final plan is the bounded checkpoint scan") {
+    // The TakeOrdered pool/pick stages run inside per-round Materialize.cut
+    // boundaries (each pick re-enters the next round twice — uncut, the plan
+    // doubles per round), so the final plan must be a checkpoint-backed scan
+    // with no cartesian scoring anywhere.
+    val p = plan("t15_mmr_select")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
