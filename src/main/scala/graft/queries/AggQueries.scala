@@ -587,6 +587,66 @@ object AggQueries extends QueryCatalog {
              |SELECT n AS n_customers, tot AS total_cents,
              |  round(CAST(2 * s1 - (n + 1) * tot AS DOUBLE)
              |    / CAST(n * tot AS DOUBLE), 6) AS gini
-             |FROM t""".stripMargin))
+             |FROM t""".stripMargin)),
+
+    // Engine-added — full Pearson correlation matrix of the lineitem
+    // numeric columns in ONE aggregation pass: all 4 first moments, 4
+    // squares and 6 cross-products land in a single hash aggregate (15
+    // sums, one scan, map-side combined) — never a per-pair corr() that
+    // re-scans the fact table 6×. Inputs quantize to integers (quantity is
+    // integral; price to whole units, discount/tax to hundredths), the
+    // sums run in decimal(38,0) (sum(long) would WRAP silently at scale —
+    // DuckDB's HUGEINT sum is the same widening), and each r is a
+    // pure-IEEE chain over the exactly-summed moments cast once to double.
+    // The 1-row moment frame is lineage-cut and fanned to the 6 pair rows.
+    "a24_corr_matrix" -> {
+      val vars = Seq("q", "e", "d", "t")
+      val names = Map("q" -> "quantity", "e" -> "price_usd",
+        "d" -> "discount_pct", "t" -> "tax_pct")
+      val pairs = for { i <- vars.indices; j <- (i + 1) until vars.size }
+        yield (vars(i), vars(j))
+      QueryDef(
+        (s, dir) => {
+          val li = Tables.lineitem(s, dir).select(
+            col("l_quantity").cast("long").as("q"),
+            round(col("l_extendedprice")).cast("long").as("e"),
+            round(col("l_discount") * 100).cast("long").as("d"),
+            round(col("l_tax") * 100).cast("long").as("t"))
+          val sums = Seq(count(lit(1)).cast("double").as("n")) ++
+            vars.map(v => sum(col(v).cast("decimal(38,0)")).cast("double").as(s"s_$v")) ++
+            (for { i <- vars.indices; j <- i until vars.size } yield {
+              val (a, b) = (vars(i), vars(j))
+              sum((col(a) * col(b)).cast("decimal(38,0)")).cast("double").as(s"s_$a$b")
+            })
+          val m = graft.core.Materialize.cut(li.agg(sums.head, sums.tail: _*))
+          pairs.map { case (a, b) =>
+            m.select(lit(names(a)).as("col_a"), lit(names(b)).as("col_b"),
+              round((col("n") * col(s"s_$a$b") - col(s"s_$a") * col(s"s_$b"))
+                / (sqrt(col("n") * col(s"s_$a$a") - col(s"s_$a") * col(s"s_$a"))
+                  * sqrt(col("n") * col(s"s_$b$b") - col(s"s_$b") * col(s"s_$b"))), 6)
+                .as("corr"))
+          }.reduce(_ unionByName _).orderBy("col_a", "col_b")
+        },
+        Some {
+          val mom = vars.map(v => s"CAST(sum($v) AS DOUBLE) AS s_$v") ++
+            (for { i <- vars.indices; j <- i until vars.size } yield {
+              val (a, b) = (vars(i), vars(j))
+              s"CAST(sum($a * $b) AS DOUBLE) AS s_$a$b"
+            })
+          val rows = pairs.map { case (a, b) =>
+            s"""SELECT '${names(a)}' AS col_a, '${names(b)}' AS col_b,
+               |  round((n * s_$a$b - s_$a * s_$b)
+               |    / (sqrt(n * s_$a$a - s_$a * s_$a)
+               |      * sqrt(n * s_$b$b - s_$b * s_$b)), 6) AS corr FROM m""".stripMargin
+          }.mkString("\nUNION ALL\n")
+          s"""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+             |    CAST(round(l_extendedprice) AS BIGINT) AS e,
+             |    CAST(round(l_discount * 100) AS BIGINT) AS d,
+             |    CAST(round(l_tax * 100) AS BIGINT) AS t
+             |  FROM lineitem),
+             |m AS (SELECT CAST(count(*) AS DOUBLE) AS n, ${mom.mkString(", ")} FROM li)
+             |SELECT * FROM ($rows) ORDER BY col_a, col_b""".stripMargin
+        })
+    }
   )
 }

@@ -267,6 +267,53 @@ object FuncQueries extends QueryCatalog {
              |  FROM s a JOIN s b ON a.blk = b.blk AND a.s_suppkey < b.s_suppkey)
              |SELECT blk, count(*) AS n_close_pairs FROM pairs
              |WHERE levenshtein(n1, n2) <= 1
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // F11 — true geohash-12 encoding as composed native expressions: the
+    // standard 60-bit geohash IS floor-quantization of lon/lat to 30 bits
+    // each + bit interleave (lon in the higher positions) + base-32 — so it
+    // reuses ZOrder's plan-time-unrolled interleave and 12 substr picks on
+    // the alphabet; zero UDFs, all integer/IEEE-exact. Geohash prefixes
+    // are THE exchange format for geo bucketing (cell = prefix truncation),
+    // complementing the engine's internal Z-order key with the
+    // interoperable textual form. One map-side-combined rollup per
+    // 4-char cell.
+    "f11_geohash" -> QueryDef(
+      (s, dir) => {
+        val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+        val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
+          .withColumn("lonq",
+            floor((col("lon") + 180.0) / 360.0 * 1073741824.0).cast("long"))
+          .withColumn("latq",
+            floor((col("lat") + 90.0) / 180.0 * 1073741824.0).cast("long"))
+          .withColumn("z", graft.spatial.ZOrder.zIndex(col("latq"), col("lonq"), 30))
+        val gh = (0 until 12).map { i =>
+          val sh = 60 - 5 * (i + 1)
+          expr(s"substr('$alpha', cast((z >> $sh) % 32 + 1 as int), 1)")
+        }
+        pts.withColumn("geohash", concat(gh: _*))
+          .groupBy(substring(col("geohash"), 1, 4).as("prefix"))
+          .agg(count(lit(1)).as("n_points"),
+            min("geohash").as("first_hash"), max("geohash").as("last_hash"))
+          .orderBy("prefix")
+      },
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+        val alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+        val chars = (0 until 12).map { i =>
+          val sh = 60 - 5 * (i + 1)
+          s"substr('$alpha', CAST((z >> $sh) % 32 + 1 AS INT), 1)"
+        }.mkString(" || ")
+        s"""WITH pts AS (SELECT $lonSql AS lon, $latSql AS lat FROM customer),
+           |q AS (SELECT
+           |    CAST(floor((lon + 180.0) / 360.0 * 1073741824.0) AS BIGINT) AS lonq,
+           |    CAST(floor((lat + 90.0) / 180.0 * 1073741824.0) AS BIGINT) AS latq
+           |  FROM pts),
+           |z AS (SELECT ${graft.spatial.ZOrder.zIndexSql("latq", "lonq", 30)} AS z FROM q),
+           |g AS (SELECT $chars AS geohash FROM z)
+           |SELECT substr(geohash, 1, 4) AS prefix, count(*) AS n_points,
+           |  min(geohash) AS first_hash, max(geohash) AS last_hash
+           |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 }

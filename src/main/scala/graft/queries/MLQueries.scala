@@ -709,6 +709,47 @@ object MLQueries extends QueryCatalog {
              |  round(CAST(nab AS DOUBLE) / na, 6) AS confidence,
              |  round(CAST(n * nab AS DOUBLE) / CAST(na * nbb AS DOUBLE), 6) AS lift
              |FROM sc ORDER BY lmic DESC, nab DESC, brand_a, brand_b
-             |LIMIT 15""".stripMargin))
+             |LIMIT 15""".stripMargin)),
+
+    // Engine-added — chi-square test of independence between two
+    // categorical columns (order priority × order status): the contingency
+    // table is one map-side-combined hash aggregate; row totals, column
+    // totals and the grand total are derived from the SAME bounded table
+    // (≤ |priorities|·|statuses| rows) and ride broadcast back onto the
+    // cells. Expected counts r_i·c_j/n and each cell's chi-square term are
+    // pure-IEEE chains over exact integers — bit-identical cross-engine.
+    // The per-cell contributions expose WHERE the dependence lives, which
+    // is the part a data-quality audit actually reads.
+    "m26_chi2_independence" -> QueryDef(
+      (s, dir) => {
+        val ct = graft.core.Materialize.cut(
+          Tables.orders(s, dir)
+            .groupBy(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"))
+            .agg(count(lit(1)).as("nij")))
+        val r = ct.groupBy("prio").agg(sum("nij").as("ri"))
+        val c = ct.groupBy("status").agg(sum("nij").as("cj"))
+        val n = ct.agg(sum("nij").as("n"))
+        ct.join(broadcast(r), "prio").join(broadcast(c), "status")
+          .crossJoin(broadcast(n))
+          .withColumn("expected", (col("ri") * col("cj")).cast("double") / col("n"))
+          .select(col("prio"), col("status"), col("nij"),
+            round(col("expected"), 4).as("expected"),
+            round((col("nij").cast("double") - col("expected"))
+              * (col("nij").cast("double") - col("expected")) / col("expected"), 6)
+              .as("chi2_term"))
+          .orderBy("prio", "status")
+      },
+      Some("""WITH ct AS (SELECT o_orderpriority AS prio, o_orderstatus AS status,
+             |    count(*) AS nij FROM orders GROUP BY 1, 2),
+             |r AS (SELECT prio, CAST(sum(nij) AS BIGINT) AS ri FROM ct GROUP BY 1),
+             |c AS (SELECT status, CAST(sum(nij) AS BIGINT) AS cj FROM ct GROUP BY 1),
+             |t AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM ct),
+             |e AS (SELECT prio, status, nij,
+             |    CAST(ri * cj AS DOUBLE) / n AS expected
+             |  FROM ct JOIN r USING (prio) JOIN c USING (status) CROSS JOIN t)
+             |SELECT prio, status, nij, round(expected, 4) AS expected,
+             |  round((CAST(nij AS DOUBLE) - expected) * (CAST(nij AS DOUBLE) - expected)
+             |    / expected, 6) AS chi2_term
+             |FROM e ORDER BY prio, status""".stripMargin))
   )
 }

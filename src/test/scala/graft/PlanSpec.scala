@@ -309,6 +309,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("a24: corr matrix is ONE aggregation pass (single scan, 15 partial sums)") {
+    val p = plan("a24_corr_matrix")
+    // the 6 pair rows fan out from the lineage-cut 1-row moment frame; the
+    // fact table must appear in exactly one scan (inside the cut), so the
+    // FINAL plan has no parquet scan at all — only the checkpoint fan-out
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("m26: chi-square contingency riders broadcast back onto the cells") {
+    val p = plan("m26_chi2_independence")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("f11: geohash encode is pure projection + one bounded rollup") {
+    val p = plan("f11_geohash")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("t15: MMR rounds are lineage-cut; final plan is the bounded checkpoint scan") {
     // The TakeOrdered pool/pick stages run inside per-round Materialize.cut
     // boundaries (each pick re-enters the next round twice — uncut, the plan
