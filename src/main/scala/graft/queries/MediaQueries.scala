@@ -116,6 +116,72 @@ object MediaQueries extends QueryCatalog {
              |SELECT count(*) AS n_images, CAST(sum(w) AS BIGINT) AS sum_width,
              |  CAST(sum(h) AS BIGINT) AS sum_height,
              |  CAST(sum(pix_sum) AS BIGINT) AS sum_pix
-             |FROM ps""".stripMargin))
+             |FROM ps""".stripMargin)),
+
+    // MM4 — audio feature extraction through a REAL WAV container: the
+    // audio-kind media (id % 3 = 1, mm1's assignment) synthesize
+    // closed-form 16-bit PCM, wrap it in a standard RIFF/WAVE container
+    // (AudioSynth.wav), parse it BACK (AudioSynth.pcmSamples — the same
+    // chunk-walk discipline as the metadata decoder), and compute windowed
+    // RMS energy + zero-crossing rate per 256-sample window — the
+    // mapInPandas-shaped DSP step of a multimodal pipeline, batched per
+    // partition, never collected. The oracle recomputes the samples from
+    // the closed form WITHOUT the container, so any header/byte-order/
+    // chunk-walk bug shifts the samples and fails the hash. Aggregates are
+    // integer (Σs², flip counts); the two reported rates divide exact
+    // integers once.
+    "mm4_audio_features" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ids = Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(3L)) === 1)
+          .select(col("doc_id")).as[Long]
+        val feats = ids.mapPartitions { it =>
+          it.flatMap { id =>
+            val (_, smp) = graft.sources.AudioSynth.pcmSamples(
+              graft.sources.AudioSynth.wav(id))
+            val nwin = smp.length / 256
+            (0 until nwin).iterator.map { w =>
+              var sumsq = 0L; var flips = 0L; var k = 0
+              while (k < 256) {
+                val v = smp(w * 256 + k).toLong
+                sumsq += v * v
+                if (k < 255 && v * smp(w * 256 + k + 1) < 0) flips += 1
+                k += 1
+              }
+              (id, w.toLong, sumsq, flips)
+            }
+          }
+        }.toDF("media_id", "win_idx", "sumsq", "flips")
+        feats.groupBy("win_idx")
+          .agg(count(lit(1)).as("n_windows"),
+            sum("sumsq").as("energy"),
+            sum("flips").as("zero_crossings"),
+            round(sqrt(sum("sumsq").cast("double") / (count(lit(1)) * lit(256))), 6)
+              .as("pooled_rms"),
+            round(sum("flips").cast("double") / (count(lit(1)) * lit(255)), 6)
+              .as("zcr_rate"))
+          .orderBy("win_idx")
+      },
+      Some("""WITH ids AS (SELECT doc_id AS id,
+             |    CAST(1024 + doc_id % 512 AS BIGINT) AS n
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |wins AS (SELECT id, unnest(generate_series(0, n // 256 - 1)) AS w
+             |  FROM ids),
+             |kk AS (SELECT id, w, unnest(generate_series(0, 255)) AS k FROM wins),
+             |smp AS (SELECT id, w, k,
+             |    ((id * 31 + (w * 256 + k) * 17) % 4096) - 2048 AS s,
+             |    CASE WHEN k < 255
+             |      THEN ((id * 31 + (w * 256 + k + 1) * 17) % 4096) - 2048 END AS s2
+             |  FROM kk),
+             |pw AS (SELECT id, w, CAST(sum(s * s) AS BIGINT) AS sumsq,
+             |    CAST(sum(CASE WHEN s * s2 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS flips
+             |  FROM smp GROUP BY 1, 2)
+             |SELECT w AS win_idx, count(*) AS n_windows,
+             |  CAST(sum(sumsq) AS BIGINT) AS energy,
+             |  CAST(sum(flips) AS BIGINT) AS zero_crossings,
+             |  round(sqrt(CAST(sum(sumsq) AS DOUBLE) / (count(*) * 256)), 6) AS pooled_rms,
+             |  round(CAST(sum(flips) AS DOUBLE) / (count(*) * 255), 6) AS zcr_rate
+             |FROM pw GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

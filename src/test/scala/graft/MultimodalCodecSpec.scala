@@ -132,4 +132,27 @@ class MultimodalCodecSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("AudioSynth WAV round-trips its PCM bit-exactly and parses as a valid WAV") {
+    import graft.sources.AudioSynth
+    for (id <- Seq(0L, 1L, 511L, 97L)) {
+      val bytes = AudioSynth.wav(id)
+      val (rate, smp) = AudioSynth.pcmSamples(bytes)
+      assert(rate == 8000)
+      assert(smp.sameElements(AudioSynth.pcm(id, AudioSynth.nSamples(id))))
+      // the metadata decoder agrees on the frame count (WAV maps rate and
+      // channels into the width/height slots)
+      val meta = Multimodal.UncompressedCodec
+        .decodeBatch(Iterator(MediaRecord(id, "audio", bytes))).next()
+      assert(meta.n_frames == smp.length && meta.width == 8000 && meta.height == 1)
+    }
+  }
+
+  test("AudioSynth rejects a truncated container instead of spinning") {
+    import graft.sources.AudioSynth
+    val bytes = AudioSynth.wav(7L)
+    intercept[IllegalArgumentException] {
+      AudioSynth.pcmSamples(java.util.Arrays.copyOf(bytes, bytes.length - 3))
+    }
+  }
 }
