@@ -518,6 +518,79 @@ object DedupQueries extends QueryCatalog {
              |  FROM g)
              |SELECT id AS canonical_id, group_size, n_chars AS canon_chars,
              |  total_chars - n_chars AS dropped_chars
-             |FROM r WHERE rn = 1 ORDER BY canonical_id""".stripMargin))
+             |FROM r WHERE rn = 1 ORDER BY canonical_id""".stripMargin)),
+
+    // D11 — sketch calibration: MinHash estimate vs EXACT Jaccard, grouped
+    // by signature match count m (estimate = m/16). The table a pipeline
+    // owner reads before trusting d3's thresholds: for each m, how far is
+    // the estimator from truth on THIS corpus? Pairs come from the same
+    // staged capped index (bounded fanout), the exact side is integer
+    // micro-Jaccard, the error |m·10⁶/16 − jmic| stays integer until the
+    // two reported divisions. Output is ≤ 17 bounded rows.
+    "d11_minhash_calibration" -> QueryDef(
+      (s, dir) => {
+        val k = 16
+        val sh = graft.ops.ShingleIndex.capped(s, dir)
+        val hashed = sh.withColumn("h", hash64(col("sh")))
+        val sigCols = (0 until k).map(i => min(seededFromBase(i, col("h"))).as(s"s$i"))
+        val sigs = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+          .withColumn("sig", array((0 until k).map(i => col(s"s$i")): _*))
+          .select("doc_id", "sig")
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        val inter = sh.select(col("doc_id").as("id_a"), col("sh"))
+          .join(sh.select(col("doc_id").as("id_b"), col("sh")), "sh")
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
+          .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sa")), "id_a")
+          .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sb")), "id_b")
+          .withColumn("matches", expr(
+            "aggregate(zip_with(sa, sb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END)," +
+              " 0L, (acc, v) -> acc + v)"))
+          .withColumn("jmic", expr("(inter * 1000000) div (na + nb - inter)"))
+          .withColumn("emic", expr(s"(matches * 1000000) div $k"))
+          .groupBy("matches")
+          .agg(count(lit(1)).as("n_pairs"),
+            round(min(col("matches")).cast("double") / k, 6).as("est"),
+            round(sum("jmic").cast("double") / count(lit(1)) / 1e6, 6).as("avg_exact"),
+            round(sum(abs(col("emic") - col("jmic"))).cast("double")
+              / count(lit(1)) / 1e6, 6).as("mean_abs_err"))
+          .orderBy("matches")
+      },
+      Some {
+        val p = 2147483647L
+        val sigMins = (0 until 16).map(i =>
+          s"min(((h % $p) * (${2 * i + 3}) + (${i * 12345 + 67891})) % $p) AS s$i")
+          .mkString(",\n           |    ")
+        val sigArr = (0 until 16).map(i => s"s$i").mkString("[", ", ", "]")
+        s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |${graft.ops.ShingleIndex.cappedSql},
+           |hs AS (SELECT doc_id, sh, ${h64("sh")} AS h FROM sh),
+           |sigs AS (SELECT doc_id, $sigMins FROM hs GROUP BY doc_id),
+           |sigarr AS (SELECT doc_id, $sigArr AS sig FROM sigs),
+           |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |pr AS (SELECT id_a, id_b, inter, sa.n_sh AS na, sb.n_sh AS nb,
+           |    ga.sig AS sa_sig, gb.sig AS sb_sig
+           |  FROM inter
+           |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+           |  JOIN sigarr ga ON ga.doc_id = id_a JOIN sigarr gb ON gb.doc_id = id_b),
+           |sc AS (SELECT
+           |    CAST(list_sum([ CASE WHEN sa_sig[i+1] = sb_sig[i+1] THEN 1 ELSE 0 END
+           |      for i in generate_series(0, 15) ]) AS BIGINT) AS matches,
+           |    (inter * 1000000) // (na + nb - inter) AS jmic
+           |  FROM pr),
+           |b AS (SELECT matches, jmic, (matches * 1000000) // 16 AS emic FROM sc)
+           |SELECT matches, count(*) AS n_pairs,
+           |  round(CAST(min(matches) AS DOUBLE) / 16, 6) AS est,
+           |  round(CAST(sum(jmic) AS DOUBLE) / count(*) / 1000000, 6) AS avg_exact,
+           |  round(CAST(sum(abs(emic - jmic)) AS DOUBLE) / count(*) / 1000000, 6)
+           |    AS mean_abs_err
+           |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+      })
   )
 }

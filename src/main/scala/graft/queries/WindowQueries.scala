@@ -540,6 +540,77 @@ object WindowQueries extends QueryCatalog {
              |  round(CAST(sum(err3) AS DOUBLE) / 3.0 / count(*), 4) AS mae,
              |  round(sqrt(CAST(sum(err3 * err3) AS DOUBLE) / 9.0 / count(*)), 6) AS rmse,
              |  round(CAST(sum(bias3) AS DOUBLE) / 3.0 / count(*), 4) AS mean_bias
-             |FROM e""".stripMargin))
+             |FROM e""".stripMargin)),
+
+    // Engine-added — position-based multi-touch attribution (the 40/20/40
+    // U-shape rule): each purchase distributes 1000 milli-credits over the
+    // clicks in its preceding 24 h — first touch 400, last touch 400,
+    // middles split 200 by truncating division with the remainder going to
+    // the EARLIEST middles (an explicit deterministic rule, because 200
+    // rarely divides evenly). Credits are integers end-to-end, so per-
+    // channel totals are order-free exact. The click↔purchase match is a
+    // per-user equi-join (clicks per user bounded); the position rank runs
+    // PARTITIONED BY PURCHASE — never an unpartitioned window. Channels
+    // derive from the JSON props (the f5 path).
+    "w25_attribution" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_ns").as("cts"), col("event_id").as("cid"),
+            element_at(array(lit("ads"), lit("email"), lit("search"), lit("social")),
+              (pmod(col("k"), lit(4L)) + 1).cast("int")).as("channel"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ns").as("pts"), col("event_id").as("pid"))
+        val touches = purchases.join(clicks, "user_id")
+          .filter(col("cts") <= col("pts") && col("cts") > col("pts") - lit(86400L * 1000000000L))
+        val wRank = Window.partitionBy("pid").orderBy(col("cts"), col("cid"))
+        val wCnt = Window.partitionBy("pid")
+        val credited = touches
+          .withColumn("pos", row_number().over(wRank))
+          .withColumn("ntouch", count(lit(1)).over(wCnt))
+          .withColumn("credit",
+            when(col("ntouch") === 1, 1000L)
+              .when(col("ntouch") === 2, 500L)
+              .when(col("pos") === 1, 400L)
+              .when(col("pos") === col("ntouch"), 400L)
+              .otherwise(expr("200 div (ntouch - 2)") +
+                when(col("pos") - 1 <= expr("200 % (ntouch - 2)"), 1L).otherwise(0L)))
+        credited.groupBy("channel")
+          .agg(count(lit(1)).as("n_touches"),
+            countDistinct("pid").as("n_purchases"),
+            sum("credit").as("credit_milli"))
+          .withColumn("credit", round(col("credit_milli").cast("double") / 1000.0, 3))
+          .drop("credit_milli")
+          .orderBy("channel")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type, epoch_ns(ts) AS ts_ns,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |  FROM events),
+             |clicks AS (SELECT user_id, ts_ns AS cts, event_id AS cid,
+             |    (['ads', 'email', 'search', 'social'])[CAST(k % 4 AS INT) + 1] AS channel
+             |  FROM ev WHERE event_type = 'click'),
+             |purch AS (SELECT user_id, ts_ns AS pts, event_id AS pid
+             |  FROM ev WHERE event_type = 'purchase'),
+             |touches AS (SELECT pid, cid, cts, channel
+             |  FROM purch JOIN clicks USING (user_id)
+             |  WHERE cts <= pts AND cts > pts - 86400000000000),
+             |ranked AS (SELECT pid, channel,
+             |    row_number() OVER (PARTITION BY pid ORDER BY cts, cid) AS pos,
+             |    count(*) OVER (PARTITION BY pid) AS ntouch
+             |  FROM touches),
+             |cr AS (SELECT pid, channel,
+             |    CASE WHEN ntouch = 1 THEN 1000
+             |         WHEN ntouch = 2 THEN 500
+             |         WHEN pos = 1 THEN 400
+             |         WHEN pos = ntouch THEN 400
+             |         ELSE 200 // (ntouch - 2)
+             |           + CASE WHEN pos - 1 <= 200 % (ntouch - 2) THEN 1 ELSE 0 END
+             |    END AS credit
+             |  FROM ranked)
+             |SELECT channel, count(*) AS n_touches,
+             |  count(DISTINCT pid) AS n_purchases,
+             |  round(CAST(sum(credit) AS DOUBLE) / 1000.0, 3) AS credit
+             |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

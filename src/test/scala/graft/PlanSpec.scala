@@ -331,6 +331,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p)
   }
 
+  test("w25: attribution rank windows are purchase-partitioned, never global") {
+    val p = plan("w25_attribution")
+    val winLines = p.linesIterator.filter(_.contains("- Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("pid")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d11: calibration pairs ride the staged index equi-join") {
+    val p = plan("d11_minhash_calibration")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("mm4: audio features aggregate map-side after the partition-batched decode") {
+    val p = plan("mm4_audio_features")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("t15: MMR rounds are lineage-cut; final plan is the bounded checkpoint scan") {
     // The TakeOrdered pool/pick stages run inside per-round Materialize.cut
     // boundaries (each pick re-enters the next round twice — uncut, the plan
