@@ -750,6 +750,158 @@ object MLQueries extends QueryCatalog {
              |SELECT prio, status, nij, round(expected, 4) AS expected,
              |  round((CAST(nij AS DOUBLE) - expected) * (CAST(nij AS DOUBLE) - expected)
              |    / expected, 6) AS chi2_term
-             |FROM e ORDER BY prio, status""".stripMargin))
+             |FROM e ORDER BY prio, status""".stripMargin)),
+
+    // Engine-added — Mann-Whitney U rank test between two cohorts' value
+    // distributions (the nonparametric complement to m23's KS): operates on
+    // the DISTINCT-VALUE histogram, never per-row ranks — tie groups give
+    // their members the average rank, which over the histogram is pure
+    // integer arithmetic (doubled ranks r2 = 2·cumBefore + cnt + 1, so
+    // half-ranks stay integral). The cumulative count over the value order
+    // runs on ops.Cumulative's range-partitioned path (the distinct-value
+    // frame shrinks with quantization but is still data-dependent — no
+    // constant-key window allowed). U, the tie-correction Σ(t³−t) and all
+    // moments stay integer; z is one IEEE chain over them. Long holds to
+    // ~10⁹ rows (R₂ₐ ≈ n·2n); decimal(38,0) widens it beyond, same plan.
+    "m27_mann_whitney" -> QueryDef(
+      (s, dir) => {
+        val byV = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "signup"))
+          .select(col("event_type").as("g"),
+            round(col("value") * 100).cast("long").as("v"))
+          .groupBy("v")
+          .agg(sum(when(col("g") === "click", 1L).otherwise(0L)).as("nav"),
+            sum(when(col("g") === "signup", 1L).otherwise(0L)).as("nbv"))
+        val ranked = graft.ops.Cumulative.runningSum(
+          byV, Seq(col("v")), col("nav") + col("nbv"), "rnk", "cum")
+        val m = ranked
+          .select(col("nav"), col("nbv"), (col("nav") + col("nbv")).as("cnt"), col("cum"))
+          .withColumn("r2", lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L)
+          .agg(sum("nav").as("na"), sum("nbv").as("nb"),
+            sum(col("nav") * col("r2")).as("r2a"),
+            sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("sumt"))
+        m.select(col("na").as("n_click"), col("nb").as("n_signup"),
+            ((col("r2a") - col("na") * (col("na") + 1L)).cast("double") / 2).as("u"),
+            col("sumt").as("tie_mass"),
+            (col("na") + col("nb")).as("n"))
+          .select(col("n_click"), col("n_signup"),
+            round(col("u"), 1).as("u_stat"), col("tie_mass"),
+            round(((col("u") - col("n_click").cast("double") * col("n_signup") / 2))
+              / sqrt(col("n_click").cast("double") * col("n_signup")
+                * ((col("n") + 1) - col("tie_mass").cast("double")
+                  / (col("n") * (col("n") - lit(1.0)))) / 12), 6).as("z"))
+      },
+      Some("""WITH e AS (SELECT event_type AS g,
+             |    CAST(round(value * 100) AS BIGINT) AS v
+             |  FROM events WHERE event_type IN ('click', 'signup')),
+             |h AS (SELECT v,
+             |    CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nav,
+             |    CAST(sum(CASE WHEN g = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS nbv
+             |  FROM e GROUP BY 1),
+             |c AS (SELECT nav, nbv, nav + nbv AS cnt,
+             |    CAST(sum(nav + nbv) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |  FROM h),
+             |r AS (SELECT nav, nbv, cnt, 2 * (cum - cnt) + cnt + 1 AS r2 FROM c),
+             |m AS (SELECT CAST(sum(nav) AS BIGINT) AS na, CAST(sum(nbv) AS BIGINT) AS nb,
+             |    CAST(sum(nav * r2) AS BIGINT) AS r2a,
+             |    CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS sumt
+             |  FROM r),
+             |u AS (SELECT na AS n_click, nb AS n_signup,
+             |    CAST(r2a - na * (na + 1) AS DOUBLE) / 2 AS u, sumt AS tie_mass,
+             |    na + nb AS n
+             |  FROM m)
+             |SELECT n_click, n_signup, round(u, 1) AS u_stat, tie_mass,
+             |  round((u - CAST(n_click AS DOUBLE) * n_signup / 2)
+             |    / sqrt(CAST(n_click AS DOUBLE) * n_signup
+             |      * ((n + 1) - CAST(tie_mass AS DOUBLE) / (n * (n - 1.0))) / 12), 6) AS z
+             |FROM u""".stripMargin)),
+
+    // Engine-added — Kaplan-Meier conversion curve: time from first signup
+    // to first subsequent purchase per user, RIGHT-CENSORED at the corpus
+    // horizon for users who never convert — the estimator that handles
+    // "hasn't converted YET" correctly where a naive mean drops it. Per-user
+    // durations are one aggregation; the day-level table is bounded by the
+    // corpus time span (≤ 30 rows — bounded by time range, not volume, so
+    // the constant-key window is legitimate: the w13 argument). At-risk
+    // counts derive from cumulative integer counts; each survival factor
+    // ln((n−e)/n) quantizes to integer micro-units before the cumulative
+    // sum (t12 discipline), with an explicit −20·10⁶ floor when an event
+    // day empties the risk set (ln 0). S(d) = exp(cum/10⁶), one libm call
+    // per row on identical inputs, absorbed by round 6.
+    "m28_kaplan_meier" -> QueryDef(
+      (s, dir) => {
+        val dayNs = 86400000000000L
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_ns"))
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts_ns").as("sts"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ns").as("pts"))
+        val firstP = su.join(pu, Seq("user_id"), "left")
+          .groupBy("user_id", "sts")
+          .agg(min(when(col("pts") >= col("sts"), col("pts"))).as("fp"))
+        val mx = ev.agg(max("ts_ns").as("mx"))
+        val dur = firstP.crossJoin(broadcast(mx))
+          .select(
+            when(col("fp").isNotNull, expr(s"(fp - sts) div $dayNs"))
+              .otherwise(expr(s"(mx - sts) div $dayNs")).as("d"),
+            when(col("fp").isNotNull, 1L).otherwise(0L).as("event"))
+        val byD = dur.groupBy("d")
+          .agg(sum("event").as("e"), sum(lit(1L) - col("event")).as("c"))
+        val one = coalesce(pmod(col("d"), lit(1L)), lit(0L))
+        val wAll = Window.partitionBy(one)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val wPrior = Window.partitionBy(one).orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.partitionBy(one).orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byD
+          .withColumn("n_risk",
+            sum(col("e") + col("c")).over(wAll)
+              - coalesce(sum(col("e") + col("c")).over(wPrior), lit(0L)))
+          .withColumn("lf",
+            when(col("e") === 0, 0L)
+              .when(col("n_risk") > col("e"),
+                round(log((col("n_risk") - col("e")).cast("double")
+                  / col("n_risk").cast("double")) * 1000000).cast("long"))
+              .otherwise(lit(-20000000L)))
+          .withColumn("survival", round(exp(sum("lf").over(wCum) / lit(1000000.0)), 6))
+          .select(col("d").as("day"), col("n_risk"), col("e").as("n_events"),
+            col("c").as("n_censored"), col("survival"))
+          .orderBy("day")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+             |su AS (SELECT user_id, min(ts_ns) AS sts FROM ev
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |pu AS (SELECT user_id, ts_ns AS pts FROM ev WHERE event_type = 'purchase'),
+             |fp AS (SELECT su.user_id, su.sts,
+             |    min(CASE WHEN pts >= sts THEN pts END) AS fp
+             |  FROM su LEFT JOIN pu ON pu.user_id = su.user_id GROUP BY 1, 2),
+             |mx AS (SELECT max(ts_ns) AS mx FROM ev),
+             |dur AS (SELECT
+             |    CASE WHEN fp IS NOT NULL THEN (fp - sts) // 86400000000000
+             |         ELSE (mx - sts) // 86400000000000 END AS d,
+             |    CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS event
+             |  FROM fp CROSS JOIN mx),
+             |byd AS (SELECT d, CAST(sum(event) AS BIGINT) AS e,
+             |    CAST(sum(1 - event) AS BIGINT) AS c FROM dur GROUP BY 1),
+             |r AS (SELECT d, e, c,
+             |    CAST(sum(e + c) OVER () AS BIGINT)
+             |      - CAST(coalesce(sum(e + c) OVER (ORDER BY d
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS n_risk
+             |  FROM byd),
+             |lf AS (SELECT d, e, c, n_risk,
+             |    CASE WHEN e = 0 THEN 0
+             |         WHEN n_risk > e THEN CAST(round(ln(CAST(n_risk - e AS DOUBLE)
+             |           / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)
+             |         ELSE -20000000 END AS lf
+             |  FROM r)
+             |SELECT d AS day, n_risk, e AS n_events, c AS n_censored,
+             |  round(exp(CAST(sum(lf) OVER (ORDER BY d
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    / 1000000.0), 6) AS survival
+             |FROM lf ORDER BY day""".stripMargin))
   )
 }

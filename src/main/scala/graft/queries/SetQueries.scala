@@ -354,6 +354,66 @@ object SetQueries extends QueryCatalog {
            |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
            |  CAST(sum(doc_id) AS BIGINT) AS doc_checksum
            |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // Engine-added — deterministic negative sampling for recommender /
+    // contrastive training: each purchasing customer gets k = 3 brands they
+    // did NOT buy, picked by hash rank over the (customer, brand) pair —
+    // reproducible across runs and engines (seeded RNG streams are not),
+    // and shuffle-free per row like every sampling op here. Candidates are
+    // customer × the TINY brand dim (broadcast nested-loop over 25 rows —
+    // a literal-dim fanout, not a data×data cartesian), positives leave by
+    // anti join, and the pick is a rank window PARTITIONED BY CUSTOMER
+    // (≤ |brands| candidate rows each). Output: the 25-row per-brand
+    // positive/negative exposure audit a sampler must pass before training.
+    "u12_negative_sampling" -> QueryDef(
+      (s, dir) => {
+        val pos = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("o_custkey").as("cust"), col("p_brand").as("brand"))
+          .distinct()
+        val brands = Tables.part(s, dir).select(col("p_brand").as("brand")).distinct()
+        val negs = pos.select("cust").distinct()
+          .crossJoin(broadcast(brands))
+          .join(pos, Seq("cust", "brand"), "left_anti")
+          .withColumn("h", graft.functions.TextFunctions.hash64(
+            concat(lit("neg:"), col("cust").cast("string"), lit(":"), col("brand"))))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("cust").orderBy(desc("h"), col("brand"))))
+          .filter(col("rn") <= 3)
+        val posAgg = pos.groupBy("brand").agg(count(lit(1)).as("n_pos"))
+        val negAgg = negs.groupBy("brand")
+          .agg(count(lit(1)).as("n_neg"), sum("cust").as("neg_checksum"))
+        posAgg.join(negAgg, Seq("brand"), "full_outer")
+          .select(col("brand"), coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+            coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+            coalesce(col("neg_checksum"), lit(0L)).as("neg_checksum"))
+          .orderBy("brand")
+      },
+      Some("""WITH pos AS (SELECT DISTINCT o_custkey AS cust, p_brand AS brand
+             |  FROM lineitem
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN part ON l_partkey = p_partkey),
+             |brands AS (SELECT DISTINCT p_brand AS brand FROM part),
+             |cand AS (SELECT c.cust, b.brand
+             |  FROM (SELECT DISTINCT cust FROM pos) c CROSS JOIN brands b),
+             |neg0 AS (SELECT cand.cust, cand.brand,
+             |    CAST(('0x' || substr(md5('neg:' || cand.cust || ':' || cand.brand),
+             |      1, 15)) AS BIGINT) AS h
+             |  FROM cand ANTI JOIN pos ON pos.cust = cand.cust AND pos.brand = cand.brand),
+             |negs AS (SELECT cust, brand FROM neg0
+             |  QUALIFY row_number() OVER (PARTITION BY cust ORDER BY h DESC, brand) <= 3),
+             |pa AS (SELECT brand, count(*) AS n_pos FROM pos GROUP BY 1),
+             |na AS (SELECT brand, count(*) AS n_neg, CAST(sum(cust) AS BIGINT)
+             |    AS neg_checksum FROM negs GROUP BY 1)
+             |SELECT coalesce(pa.brand, na.brand) AS brand,
+             |  coalesce(n_pos, 0) AS n_pos, coalesce(n_neg, 0) AS n_neg,
+             |  coalesce(neg_checksum, 0) AS neg_checksum
+             |FROM pa FULL JOIN na ON pa.brand = na.brand
+             |ORDER BY 1""".stripMargin))
   )
 }

@@ -350,6 +350,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("m27: Mann-Whitney ranks run on the Cumulative path, no unpartitioned window") {
+    val p = plan("m27_mann_whitney")
+    val winLines = p.linesIterator.filter(_.contains("- Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__pid")), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("u12: negative sampling fans out only the literal brand dim; rank per customer") {
+    val p = plan("u12_negative_sampling")
+    assert(!p.contains("CartesianProduct"), p)
+    val winLines = p.linesIterator.filter(_.contains("- Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("cust")), p)
+  }
+
+  test("m28: Kaplan-Meier windows run over the bounded day table only") {
+    val p = plan("m28_kaplan_meier")
+    assert(!p.contains("CartesianProduct"), p)
+    // every window is the constant-key bounded-series one (coalesce(pmod..))
+    val winLines = p.linesIterator.filter(_.contains("- Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("_w0")), p)
+  }
+
   test("t15: MMR rounds are lineage-cut; final plan is the bounded checkpoint scan") {
     // The TakeOrdered pool/pick stages run inside per-round Materialize.cut
     // boundaries (each pick re-enters the next round twice — uncut, the plan
