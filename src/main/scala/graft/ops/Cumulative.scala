@@ -54,4 +54,32 @@ object Cumulative {
       .withColumn(cumName, col("__cum_in") + col("__osum"))
       .drop("__pid", "__rnk_in", "__cum_in", "__osum", "__ocnt")
   }
+
+  /** Adds `maxName`: the EXCLUSIVE prefix max of `valueCol` over the total
+    * `sortCols` order (max of all STRICTLY earlier rows; null on the global
+    * first row) — same range-partition + broadcast-offset shape as
+    * [[runningSum]], so no unpartitioned window anywhere. The skyline /
+    * dominance primitive: a row beats the running max iff nothing before it
+    * dominates on `valueCol`. */
+  def runningMaxExclusive(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+                          maxName: String): DataFrame = {
+    val parts = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("__mx_in", max(valueCol).over(w))
+    val ptot = local.groupBy("__pid").agg(max(valueCol).as("__pmax"))
+    val offsets = ptot.as("a")
+      .join(broadcast(ptot.select(col("__pid").as("__bpid"), col("__pmax").as("__bmax"))),
+        col("__bpid") < col("__pid"), "left")
+      .groupBy(col("__pid"))
+      .agg(max("__bmax").as("__omax"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(maxName,
+        when(col("__mx_in").isNull, col("__omax"))
+          .when(col("__omax").isNull, col("__mx_in"))
+          .otherwise(greatest(col("__mx_in"), col("__omax"))))
+      .drop("__pid", "__mx_in", "__omax")
+  }
 }

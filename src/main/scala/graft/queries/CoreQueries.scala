@@ -323,6 +323,94 @@ object CoreQueries extends QueryCatalog {
       Some("""SELECT l_linestatus,
              |round(sum(coalesce(l_extendedprice / nullif(l_quantity - 25.0, 0.0), 0.0)), 2) AS sum_ratio,
              |count(*) AS n
-             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Engine-added — 2-D skyline (Pareto front): the parts no other part
+    // beats on BOTH price (minimize) and size (maximize). The classic
+    // nested-loop dominance test is O(n²); sorted by (price asc, size desc,
+    // key), a point is on the front iff its size strictly exceeds the
+    // EXCLUSIVE prefix max of size — one ops.Cumulative.runningMaxExclusive
+    // pass (range-partitioned, broadcast offsets — no unpartitioned window,
+    // no pair join). Duplicate dominant points keep their first
+    // representative by key (deterministic variant). Integer cents/sizes,
+    // so dominance is exact; the front is at most |distinct sizes| rows.
+    "o6_skyline" -> QueryDef(
+      (s, dir) => {
+        val pts = Tables.part(s, dir).select(
+          col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("price"),
+          col("p_size").cast("long").as("size"))
+        graft.ops.Cumulative.runningMaxExclusive(
+            pts, Seq(col("price"), col("size").desc, col("p_partkey")), col("size"), "mx")
+          .filter(col("size") > coalesce(col("mx"), lit(-1L)))
+          .select(round(col("price").cast("double") / 100, 2).as("price_usd"),
+            col("size"), col("p_partkey").as("partkey"))
+          .orderBy("price_usd")
+      },
+      Some("""WITH p AS (SELECT p_partkey,
+             |    CAST(round(p_retailprice * 100) AS BIGINT) AS price,
+             |    CAST(p_size AS BIGINT) AS size
+             |  FROM part),
+             |m AS (SELECT p_partkey, price, size,
+             |    max(size) OVER (ORDER BY price, size DESC, p_partkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+             |  FROM p)
+             |SELECT round(CAST(price AS DOUBLE) / 100, 2) AS price_usd, size,
+             |  p_partkey AS partkey
+             |FROM m WHERE size > coalesce(mx, -1)
+             |ORDER BY price_usd""".stripMargin)),
+
+    // S17 — tolerant CSV scan with quarantine accounting (the CSV sibling
+    // of S3's JSON-lines tolerance): a deterministically-poisoned CSV
+    // (every orderkey ≡ 0 mod 13 writes an unparseable value in the cents
+    // column) reads back under PERMISSIVE with an explicit schema +
+    // _corrupt_record capture; clean rows keep their parsed fields,
+    // malformed rows carry the raw line AND their parseable prefix fields —
+    // so the quarantine report can still say WHICH keys went bad. Two
+    // Spark CSV subtleties are load-bearing here and documented by the
+    // oracle: (a) a record with FEWER tokens than the schema is padded
+    // with nulls, NOT flagged corrupt; (b) required-column pruning means a
+    // bad value only flags when the query actually reads that column — so
+    // the poison sits in `cents`, which the aggregate reads. The oracle
+    // computes the same split from the injection arithmetic, so a reader
+    // that silently drops or mis-flags rows fails the hash. At scale this
+    // is the ingest-edge pattern: never fail the scan, account for every
+    // row.
+    "s17_csv_quarantine" -> QueryDef(
+      (s, dir) => {
+        val lines = Tables.orders(s, dir)
+          .select(when(pmod(col("o_orderkey"), lit(13L)) === 0,
+              concat_ws(",", col("o_orderkey"), col("o_custkey"), lit("NOT_A_NUMBER")))
+            .otherwise(concat_ws(",", col("o_orderkey"), col("o_custkey"),
+              round(col("o_totalprice") * 100).cast("long"))).as("line"))
+        val path = graft.ops.Staged.appRoot(s) + "/csvq-" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        lines.select("line").as(org.apache.spark.sql.Encoders.STRING)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).text(path)
+        s.read
+          .schema("o_orderkey LONG, o_custkey LONG, cents LONG, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(path)
+          .agg(
+            sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_clean"),
+            sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+              .as("n_quarantined"),
+            sum(when(col("_corrupt_record").isNull, col("cents"))).as("clean_cents"),
+            sum(when(col("_corrupt_record").isNotNull, col("o_orderkey")))
+              .as("bad_key_checksum"))
+      },
+      Some("""SELECT
+             |  CAST(sum(CASE WHEN o_orderkey % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_clean,
+             |  CAST(sum(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_quarantined,
+             |  CAST(sum(CASE WHEN o_orderkey % 13 <> 0
+             |    THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+             |    AS clean_cents,
+             |  CAST(sum(CASE WHEN o_orderkey % 13 = 0 THEN o_orderkey END) AS BIGINT)
+             |    AS bad_key_checksum
+             |FROM orders""".stripMargin))
   )
 }

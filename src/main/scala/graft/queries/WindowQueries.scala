@@ -611,6 +611,63 @@ object WindowQueries extends QueryCatalog {
              |SELECT channel, count(*) AS n_touches,
              |  count(DISTINCT pid) AS n_purchases,
              |  round(CAST(sum(credit) AS DOUBLE) / 1000.0, 3) AS credit
-             |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Engine-added — stream-completeness gap detection: which (event_type,
+    // hour) cells inside the corpus time span saw ZERO events, and how long
+    // are the silent runs — the monitor a pipeline owner checks before
+    // trusting any downstream hourly metric. The expected grid explodes
+    // from the 1-row bounds frame (≤ span-hours × |types| — bounded by TIME
+    // RANGE, not volume), observed cells leave via anti join, and runs
+    // group by the classic h − row_number() island key, windowed PER TYPE
+    // over grid-bounded rows. Types with no gaps still report (zeros, −1).
+    "w27_gap_detection" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type").as("t"), expr(s"ts_ns div $hourNs").as("h"))
+        val obs = ev.distinct()
+        val bounds = ev.agg(min("h").as("h0"), max("h").as("h1"))
+        val hours = bounds.select(explode(sequence(col("h0"), col("h1"))).as("h"), col("h0"))
+        val types = ev.select("t").distinct()
+        val missing = hours.crossJoin(broadcast(types))
+          .join(obs, Seq("t", "h"), "left_anti")
+        val wrn = Window.partitionBy("t").orderBy("h")
+        val runs = missing
+          .withColumn("grp", col("h") - row_number().over(wrn))
+          .groupBy("t", "grp")
+          .agg(count(lit(1)).as("len"), min(col("h") - col("h0")).as("start"))
+        val agg = runs.groupBy("t")
+          .agg(sum("len").as("n_missing"), count(lit(1)).as("n_runs"),
+            max("len").as("longest_run"), min("start").as("first_missing"))
+        types.join(agg, Seq("t"), "left")
+          .select(col("t").as("event_type"),
+            coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+            coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+            coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+            coalesce(col("first_missing"), lit(-1L)).as("first_missing"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH ev AS (SELECT event_type AS t, epoch_ns(ts) // $hourNs AS h
+             |  FROM events),
+             |obs AS (SELECT DISTINCT t, h FROM ev),
+             |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+             |hours AS (SELECT unnest(generate_series(h0, h1)) AS h, h0 FROM b),
+             |types AS (SELECT DISTINCT t FROM ev),
+             |miss AS (SELECT g.t, g.h, g.h0
+             |  FROM (SELECT t, h, h0 FROM hours CROSS JOIN types) g
+             |  ANTI JOIN obs ON obs.t = g.t AND obs.h = g.h),
+             |runs AS (SELECT t, h - row_number() OVER (PARTITION BY t ORDER BY h) AS grp,
+             |    h, h0 FROM miss),
+             |ra AS (SELECT t, grp, count(*) AS len, min(h - h0) AS start
+             |  FROM runs GROUP BY 1, 2),
+             |agg AS (SELECT t, CAST(sum(len) AS BIGINT) AS n_missing,
+             |    count(*) AS n_runs, CAST(max(len) AS BIGINT) AS longest_run,
+             |    min(start) AS first_missing
+             |  FROM ra GROUP BY 1)
+             |SELECT types.t AS event_type, coalesce(n_missing, 0) AS n_missing,
+             |  coalesce(n_runs, 0) AS n_runs, coalesce(longest_run, 0) AS longest_run,
+             |  coalesce(first_missing, -1) AS first_missing
+             |FROM types LEFT JOIN agg ON agg.t = types.t
+             |ORDER BY 1""".stripMargin))
   )
 }

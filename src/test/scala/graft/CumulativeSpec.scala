@@ -43,4 +43,19 @@ class CumulativeSpec extends SparkSpec {
     assert(Cumulative.runningSum(empty, Seq(col("v"), col("id")), col("v"), "rnk", "cum")
       .count() === 0L)
   }
+
+  test("runningMaxExclusive matches the single-partition exclusive window") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map(i => (i, rnd.nextInt(50).toLong))
+    val df = rows.toDF("id", "v").repartition(8)
+    val got = Cumulative.runningMaxExclusive(df, Seq(col("id")), col("v"), "mx")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2)))
+    val expected = rows.scanLeft((0L, -1L)) { case ((_, mx), (id, v)) =>
+      (id, math.max(mx, v))
+    }.sliding(2).map { case Seq((_, prevMx), (id, _)) => (id, prevMx) }.toSeq
+    assert(got.toSeq === expected)
+    // the first row has no predecessor: null prefix max
+    assert(got.head === (1L, -1L))
+  }
 }

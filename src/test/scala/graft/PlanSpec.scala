@@ -372,6 +372,20 @@ class PlanSpec extends SparkSpec {
     assert(winLines.nonEmpty && winLines.forall(_.contains("_w0")), p)
   }
 
+  test("o6: skyline runs on the range-partitioned prefix-max, no pair join") {
+    val p = plan("o6_skyline")
+    val winLines = p.linesIterator.filter(_.contains("- Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__pid")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("w27: gap-detection windows run per type over the grid-bounded frame") {
+    val p = plan("w27_gap_detection")
+    val winLines = p.linesIterator.filter(_.contains("- Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("t#")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t15: MMR rounds are lineage-cut; final plan is the bounded checkpoint scan") {
     // The TakeOrdered pool/pick stages run inside per-round Materialize.cut
     // boundaries (each pick re-enters the next round twice — uncut, the plan
