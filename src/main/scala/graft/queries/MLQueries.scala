@@ -902,6 +902,57 @@ object MLQueries extends QueryCatalog {
              |  round(exp(CAST(sum(lf) OVER (ORDER BY d
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              |    / 1000000.0), 6) AS survival
-             |FROM lf ORDER BY day""".stripMargin))
+             |FROM lf ORDER BY day""".stripMargin)),
+
+    // Engine-added — ROC-AUC for a binary classifier, computed EXACTLY via
+    // the rank-sum identity AUC = U/(n₊·n₋) (the m27 Mann-Whitney
+    // machinery): ties between scores get average ranks, and the whole
+    // statistic reduces to integer sums over the DISTINCT-SCORE histogram —
+    // never a per-row global sort, never a threshold sweep. Task: does
+    // order value (integer cents — exact) separate fulfilled ('F') orders
+    // from the rest? Cumulative ranks ride the range-partitioned prefix-sum
+    // path; doubled ranks keep everything integral until the single
+    // reported division. Gini = 2·AUC − 1 falls out for free.
+    "m29_auc" -> QueryDef(
+      (s, dir) => {
+        val byV = Tables.orders(s, dir)
+          .select((col("o_orderstatus") === "F").cast("long").as("pos"),
+            round(col("o_totalprice") * 100).cast("long").as("v"))
+          .groupBy("v")
+          .agg(sum("pos").as("nav"), sum(lit(1L) - col("pos")).as("nbv"))
+        val ranked = graft.ops.Cumulative.runningSum(
+          byV, Seq(col("v")), col("nav") + col("nbv"), "rnk", "cum")
+        ranked
+          .select(col("nav"), col("nbv"), (col("nav") + col("nbv")).as("cnt"), col("cum"))
+          .withColumn("r2", lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1L)
+          .agg(sum("nav").as("na"), sum("nbv").as("nb"),
+            sum(col("nav") * col("r2")).as("r2a"))
+          .select(col("na").as("n_pos"), col("nb").as("n_neg"),
+            round((col("r2a") - col("na") * (col("na") + 1L)).cast("double") / 2
+              / (col("na") * col("nb")).cast("double"), 6).as("auc"),
+            round(lit(2.0) * ((col("r2a") - col("na") * (col("na") + 1L)).cast("double")
+              / 2 / (col("na") * col("nb")).cast("double")) - lit(1.0), 6).as("gini"))
+      },
+      Some("""WITH o AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+             |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+             |  FROM orders),
+             |h AS (SELECT v, CAST(sum(pos) AS BIGINT) AS nav,
+             |    CAST(sum(1 - pos) AS BIGINT) AS nbv
+             |  FROM o GROUP BY 1),
+             |c AS (SELECT nav, nbv, nav + nbv AS cnt,
+             |    CAST(sum(nav + nbv) OVER (ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |  FROM h),
+             |r AS (SELECT nav, nbv, cnt, 2 * (cum - cnt) + cnt + 1 AS r2 FROM c),
+             |m AS (SELECT CAST(sum(nav) AS BIGINT) AS na,
+             |    CAST(sum(nbv) AS BIGINT) AS nb,
+             |    CAST(sum(nav * r2) AS BIGINT) AS r2a
+             |  FROM r)
+             |SELECT na AS n_pos, nb AS n_neg,
+             |  round(CAST(r2a - na * (na + 1) AS DOUBLE) / 2
+             |    / CAST(na * nb AS DOUBLE), 6) AS auc,
+             |  round(2.0 * (CAST(r2a - na * (na + 1) AS DOUBLE) / 2
+             |    / CAST(na * nb AS DOUBLE)) - 1.0, 6) AS gini
+             |FROM m""".stripMargin))
   )
 }

@@ -722,6 +722,70 @@ object TextQueries extends QueryCatalog {
            |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
            |  UNION ALL SELECT * FROM s5)
            |ORDER BY pick""".stripMargin
-      })
+      }),
+
+    // T16 — BM25 ranked retrieval (Okapi k1 = 1.2, b = 0.75): the lexical
+    // scorer behind every retrieval-based curation / RAG pre-filter. Doc
+    // lengths and term frequencies are hash aggregates over the exploded
+    // token stream; the query-term filter lands BEFORE the tf aggregation so
+    // the scored side is |terms|-bounded, and df/corpus stats ride in as
+    // broadcast one-row frames. FP discipline: idf = ln((N−df+½)/(df+½)+1)
+    // is the one libm call — quantized to integer micro-units (t11 rule);
+    // the tf-saturation fraction is a pure-IEEE chain written in the same
+    // association both engines; each per-term score rounds to integer
+    // micro-units BEFORE the per-doc sum, so the sum is order-free and the
+    // top-10 argmax exact. Top-10 via TakeOrderedAndProject, never a global
+    // sort.
+    "t16_bm25" -> QueryDef(
+      (s, dir) => {
+        val terms = Seq("spark", "window", "merge", "vector")
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val st = dl.agg(count(lit(1)).as("nd"), sum("dl").as("tot"))
+        val tf = toks.filter(col("tok").isin(terms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfreq), "tok").join(dl, "doc_id").crossJoin(broadcast(st))
+          .withColumn("idf_micro",
+            round(log((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+              + lit(1.0)) * lit(1000000.0)).cast("long"))
+          .withColumn("term_micro",
+            round(col("idf_micro") * (col("tf") * lit(2.2))
+              / (col("tf") + lit(1.2) * (lit(0.25)
+                + lit(0.75) * (col("dl") * col("nd")).cast("double") / col("tot"))))
+              .cast("long"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"), sum("term_micro").as("score_micro"))
+          .orderBy(desc("score_micro"), col("doc_id")).limit(10)
+          .select(col("doc_id"), col("n_terms"),
+            round(col("score_micro").cast("double") / 1000000, 6).as("bm25"))
+          .orderBy(desc("bm25"), col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+             |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+             |  WHERE tok IN ('spark', 'window', 'merge', 'vector') GROUP BY 1, 2),
+             |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc_id,
+             |    CAST(round(ln((nd - df + 0.5) / (df + 0.5) + 1.0) * 1000000.0)
+             |      AS BIGINT) AS idf_micro,
+             |    tf.tf, dl.dl, st.nd, st.tot
+             |  FROM tf JOIN dfreq USING (tok) JOIN dl ON dl.doc_id = tf.doc_id
+             |  CROSS JOIN st),
+             |tm AS (SELECT doc_id,
+             |    CAST(round(idf_micro * (tf * 2.2)
+             |      / (tf + 1.2 * (0.25 + 0.75 * CAST(dl * nd AS DOUBLE) / tot)))
+             |      AS BIGINT) AS term_micro
+             |  FROM sc),
+             |agg AS (SELECT doc_id, count(*) AS n_terms,
+             |    CAST(sum(term_micro) AS BIGINT) AS score_micro
+             |  FROM tm GROUP BY 1
+             |  ORDER BY score_micro DESC, doc_id LIMIT 10)
+             |SELECT doc_id, n_terms,
+             |  round(CAST(score_micro AS DOUBLE) / 1000000, 6) AS bm25
+             |FROM agg ORDER BY bm25 DESC, doc_id""".stripMargin))
   )
 }

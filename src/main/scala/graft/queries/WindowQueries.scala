@@ -668,6 +668,62 @@ object WindowQueries extends QueryCatalog {
              |  coalesce(n_runs, 0) AS n_runs, coalesce(longest_run, 0) AS longest_run,
              |  coalesce(first_missing, -1) AS first_missing
              |FROM types LEFT JOIN agg ON agg.t = types.t
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // Engine-added — EWMA smoothing + deviation alerts over the hourly
+    // event-rate series (the monitoring primitive behind every ops
+    // dashboard): ŝᵢ = (7·ŝᵢ₋₁ + 1000·xᵢ) div 8 — α = ⅛ as EXACT
+    // truncating integer arithmetic in milli-units, so the inherently
+    // sequential recurrence is bit-reproducible cross-engine (no float
+    // accumulation drift, ever). The series spine (zero-filled from the
+    // bounds frame) is bounded by TIME RANGE, not event volume — so folding
+    // it through one `aggregate` HOF on a single row is the legitimate
+    // bounded-series move (the w13 argument), while the data-proportional
+    // work stays in the hash aggregate below it. Alert when the raw rate
+    // deviates from the prior smoothed baseline by more than 50%
+    // (2·|xᵢ·1000 − ŝᵢ₋₁| > ŝᵢ₋₁). Oracle: the same recurrence as a
+    // DuckDB recursive CTE over the row-indexed spine.
+    "w28_ewma" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(expr(s"ts_ns div $hourNs").as("h"))
+        val hourly = ev.groupBy("h").agg(count(lit(1)).as("cnt"))
+        val b = ev.agg(min("h").as("h0"), max("h").as("h1"))
+        val ser = b.select(explode(sequence(col("h0"), col("h1"))).as("h"))
+          .join(hourly, Seq("h"), "left")
+          .select(col("h"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        ser.agg(sort_array(collect_list(struct(col("h"), col("cnt")))).as("xs"))
+          .select(explode(expr(
+            """aggregate(xs,
+              |  cast(array() as array<struct<h:bigint,cnt:bigint,ew:bigint,prev:bigint>>),
+              |  (acc, x) -> array_append(acc,
+              |    if(size(acc) = 0,
+              |      named_struct('h', x.h, 'cnt', x.cnt,
+              |        'ew', x.cnt * 1000L, 'prev', x.cnt * 1000L),
+              |      named_struct('h', x.h, 'cnt', x.cnt,
+              |        'ew', (7L * element_at(acc, -1).ew + x.cnt * 1000L) div 8L,
+              |        'prev', element_at(acc, -1).ew))))""".stripMargin)).as("y"))
+          .select((col("y.h") * 3600L).as("hour_epoch"), col("y.cnt").as("cnt"),
+            col("y.ew").as("ew_milli"),
+            (col("y.cnt") * 1000L - col("y.prev")).as("resid_milli"),
+            when(abs(col("y.cnt") * 1000L - col("y.prev")) * 2 > col("y.prev"), 1L)
+              .otherwise(0L).as("alert"))
+          .orderBy("hour_epoch")
+      },
+      Some(s"""WITH RECURSIVE ev AS (SELECT epoch_ns(ts) // $hourNs AS h FROM events),
+             |hourly AS (SELECT h, count(*) AS cnt FROM ev GROUP BY 1),
+             |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+             |spine AS (SELECT unnest(generate_series(h0, h1)) AS h, h0 FROM b),
+             |ser AS (SELECT spine.h, coalesce(cnt, 0) AS cnt, spine.h - h0 + 1 AS i
+             |  FROM spine LEFT JOIN hourly ON hourly.h = spine.h),
+             |ew AS (SELECT i, h, cnt, cnt * 1000 AS ew, cnt * 1000 AS prev
+             |    FROM ser WHERE i = 1
+             |  UNION ALL
+             |  SELECT s.i, s.h, s.cnt, (7 * e.ew + s.cnt * 1000) // 8, e.ew
+             |    FROM ser s JOIN ew e ON s.i = e.i + 1)
+             |SELECT h * 3600 AS hour_epoch, cnt, ew AS ew_milli,
+             |  cnt * 1000 - prev AS resid_milli,
+             |  CAST(CASE WHEN 2 * abs(cnt * 1000 - prev) > prev
+             |    THEN 1 ELSE 0 END AS BIGINT) AS alert
+             |FROM ew ORDER BY 1""".stripMargin))
   )
 }

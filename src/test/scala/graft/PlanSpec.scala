@@ -386,6 +386,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t16: BM25 top-10 is a TakeOrdered, query-term filter lands before the tf agg") {
+    val p = plan("t16_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // The |terms|-bounded side filters on the scan/explode, not post-agg.
+    assert(p.contains("tok#"), p)
+  }
+
+  test("m29: AUC ranks ride the Cumulative range-partitioned path") {
+    val p = plan("m29_auc")
+    val winLines = p.linesIterator.filter(_.contains("- Window [")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__pid")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("w28: EWMA plan has no window operator and no cartesian product") {
+    // The sequential recurrence folds inside one bounded-series HOF call;
+    // the data-proportional work is the hourly hash aggregate below it.
+    val p = plan("w28_ewma")
+    assert(!p.contains("- Window ["), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t15: MMR rounds are lineage-cut; final plan is the bounded checkpoint scan") {
     // The TakeOrdered pool/pick stages run inside per-round Materialize.cut
     // boundaries (each pick re-enters the next round twice — uncut, the plan
