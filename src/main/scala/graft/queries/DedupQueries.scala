@@ -591,6 +591,78 @@ object DedupQueries extends QueryCatalog {
            |  round(CAST(sum(abs(emic - jmic)) AS DOUBLE) / count(*) / 1000000, 6)
            |    AS mean_abs_err
            |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
-      })
+      }),
+
+    // D12 — EXACT-SUBSTRING duplicated-span detection (the seed-and-extend
+    // dedup of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    // Models Better", relationally): candidate pairs come from the df-capped
+    // inverted index (≥ 4 shared distinct 3-grams), then for each pair the
+    // POSITIONAL 3-gram lists align on shingle value; matches on the same
+    // diagonal (pb − pa) with consecutive a-positions form maximal runs
+    // (pa − row_number island key), and a run of L consecutive 3-grams is a
+    // verbatim-shared span of L + 2 tokens. Reports the longest shared span
+    // and total duplicated tokens per pair (spans ≥ 8 tokens).
+    //
+    // Scale posture: the pair set is bounded by the df cap (never n²); the
+    // positional join fans out per shared shingle VALUE as (occurrences in
+    // A) × (occurrences in B) — bounded by document lengths, never corpus
+    // size; every window is partitioned by (pair, diagonal).
+    "d12_dup_spans" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sh = graft.ops.ShingleIndex.capped(s, dir)
+        val pairs = sh.as("a").join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("inter")).filter(col("inter") >= 4)
+          .select("id_a", "id_b")
+        val pos = Tables.documents(s, dir).select(col("doc_id"),
+          posexplode(graft.functions.ShingleExpr.shinglesNative(
+            tokens(col("text")), 3)).as(Seq("pos", "sh")))
+        // One row per aligned position pair: exactly one shingle value sits
+        // at a given (pa, pb), so the join output needs no distinct.
+        val m = pairs
+          .join(pos.select(col("doc_id").as("id_a"), col("pos").as("pa"),
+            col("sh")), "id_a")
+          .join(pos.select(col("doc_id").as("id_b"), col("pos").as("pb"),
+            col("sh")), Seq("id_b", "sh"))
+          .withColumn("d", col("pb") - col("pa"))
+        val w = Window.partitionBy("id_a", "id_b", "d").orderBy("pa")
+        val runs = m.withColumn("isl", col("pa") - row_number().over(w))
+          .groupBy("id_a", "id_b", "d", "isl").agg(count(lit(1)).as("rl"))
+        runs.groupBy("id_a", "id_b")
+          .agg((max("rl") + lit(2)).as("longest_span"),
+            count(when(col("rl") >= 6, 1)).as("n_spans"),
+            sum(when(col("rl") >= 6, col("rl") + lit(2))).as("dup_tokens"))
+          .filter(col("longest_span") >= 8)
+          .orderBy(desc("longest_span"), col("id_a"), col("id_b")).limit(20)
+          .orderBy(desc("longest_span"), col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |${graft.ops.ShingleIndex.cappedSql},
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 4),
+             |pos AS (SELECT doc_id, u.pos AS pos, u.sh AS sh FROM (
+             |  SELECT doc_id, unnest([{'pos': i,
+             |      'sh': t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]}
+             |      for i in generate_series(0, len(t) - 3)]) AS u
+             |  FROM toks WHERE len(t) >= 3)),
+             |m AS (SELECT p.id_a, p.id_b, pa.pos AS pa, pb.pos AS pb
+             |  FROM pairs p
+             |  JOIN pos pa ON pa.doc_id = p.id_a
+             |  JOIN pos pb ON pb.doc_id = p.id_b AND pb.sh = pa.sh),
+             |diag AS (SELECT id_a, id_b, pb - pa AS d, pa,
+             |    pa - row_number() OVER (
+             |      PARTITION BY id_a, id_b, pb - pa ORDER BY pa) AS isl
+             |  FROM m),
+             |runs AS (SELECT id_a, id_b, d, isl, count(*) AS rl
+             |  FROM diag GROUP BY 1, 2, 3, 4)
+             |SELECT id_a, id_b, max(rl) + 2 AS longest_span,
+             |  count(*) FILTER (rl >= 6) AS n_spans,
+             |  CAST(sum(rl + 2) FILTER (rl >= 6) AS BIGINT) AS dup_tokens
+             |FROM runs GROUP BY 1, 2 HAVING max(rl) + 2 >= 8
+             |ORDER BY longest_span DESC, id_a, id_b LIMIT 20""".stripMargin),
+      headline = true)
   )
 }
