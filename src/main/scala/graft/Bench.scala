@@ -71,16 +71,20 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Totals exclude error sentinels (-1) so a broken query can't deflate
+    // the wall-clock figure; errCount makes the exclusion visible downstream.
+    val okResults = results.filter(_._2 >= 0.0)
+    val errCount = results.size - okResults.size
+    val total = if (okResults.nonEmpty) okResults.values.sum else 0.0
     // The driver tail-captures stdout: one giant line risks losing its head
     // (round-1 BENCH parsed:null). Keep the parseable line SMALL — total +
     // headline per-query times — and put the full per-query map in a file;
     // emit the line both before and after spark.stop so either capture wins.
     val headlineTimes = fmt(results.view.filterKeys(SparkEntry.headline.toSet).toMap)
     val compact =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir","reps":$reps,"errors":$errCount}"""
     val detail =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","reps":$reps}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","reps":$reps,"errors":$errCount}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()

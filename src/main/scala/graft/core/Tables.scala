@@ -21,16 +21,27 @@ object Tables {
     if (name == "events") normalizeEvents(df) else df
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong=true it scans as exact int64
-    * nanoseconds since the epoch. We keep the exact value as `ts_ns` (the
-    * engine's canonical event-time: integer arithmetic on it is
-    * bit-reproducible across engines) and derive a microsecond-precision
-    * `ts` TimestampType column for window/streaming operators.
+  /** The engine's canonical event-time is `ts_ns`: int64 nanoseconds since
+    * the epoch (integer arithmetic on it is bit-reproducible across engines),
+    * plus a microsecond-precision `ts` TimestampType column for
+    * window/streaming operators. The physical `events.ts` dtype has varied
+    * across testdata generations — TIMESTAMP(NANOS) (scanned as int64 under
+    * spark.sql.legacy.parquet.nanosAsLong=true) and plain timestamp[us] —
+    * so branch on the scanned dtype rather than assuming one. Both paths
+    * yield identical `ts_ns` integer values (the data is micro-precision),
+    * so every `ts_ns div …` query and DuckDB `epoch_ns(ts)` oracle agrees.
     */
   def normalizeEvents(df: DataFrame): DataFrame =
-    df.withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // TimestampType / TimestampNTZType scan (timestamp[us] parquet)
+        // Cast ts itself to TIMESTAMP (identity under the UTC session tz):
+        // watermarks (EventTimeWatermark) reject TIMESTAMP_NTZ event time.
+        df.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
