@@ -442,29 +442,67 @@ object AggQueries extends QueryCatalog {
 
     // A13b — sketch-based distinct counting (the 100 TB path for A13:
     // HyperLogLog++ partial aggregates merge without holding the distinct
-    // set). No SQL oracle — HLL estimates are engine-specific; ApproxSpec
-    // pins the estimate within 5% of exact.
+    // set). Raw HLL estimates are engine-specific, so — like a7b and d11 —
+    // the query VERIFIES the sketch in-engine instead of hashing it: emit
+    // the exact per-group distinct count (oracle-recomputable) plus a flag
+    // that the estimate landed within the 2.5× rsd envelope (rsd 0.02 →
+    // |err| ≤ 5%). A sketch regression flips the flag and hash-mismatches.
     "a13b_coverage_approx" -> QueryDef(
       (s, dir) => Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(approx_count_distinct("user_id", 0.02).as("n_users_approx"),
+        .agg(approx_count_distinct("user_id", 0.02).as("approx"),
+          countDistinct("user_id").as("n_users"),
           count(lit(1)).as("n_events"))
-        .orderBy("event_type")),
+        .select(col("event_type"), col("n_users"), col("n_events"),
+          (abs(col("approx") - col("n_users")).cast("double") / col("n_users")
+            <= lit(0.05)).as("within_envelope"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users,
+             |  count(*) AS n_events, true AS within_envelope
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // A7b — sketch quantiles: approx_percentile (Greenwald-Khanna) as the
     // 100 TB path for A7's exact percentile — the exact form buffers every
     // value per group; GK keeps a bounded summary and merges map-side.
-    // Merge order makes the estimate partitioning-dependent → no SQL oracle;
-    // ApproxSpec pins the estimates inside the accuracy envelope vs exact.
+    // Merge order makes the raw estimates partitioning-dependent, so instead
+    // of hashing them the query VERIFIES the GK rank guarantee in-engine:
+    // for each q, the estimate's achieved rank must lie within ±εn
+    // (ε = 1/accuracy) of qn — #{x ≤ e} ≥ ⌊(q−ε)n⌋ and #{x < e} ≤ ⌈(q+ε)n⌉.
+    // The emitted row is (n_rows, n_quantiles, n_within): n_rows is
+    // independently recomputed by the oracle and n_within = n_quantiles pins
+    // the guarantee — any sketch regression hash-mismatches. The bound check
+    // is one extra scan (broadcast of the 1-row estimate frame), which is
+    // exactly the calibration-query shape d11 already uses.
     "a7b_approx_quantiles" -> QueryDef(
-      (s, dir) => Tables.lineitem(s, dir)
-        .agg(
-          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
-            .as("q"))
-        .select(
-          round(element_at(col("q"), 1), 4).as("q1_price"),
-          round(element_at(col("q"), 2), 4).as("median_price"),
-          round(element_at(col("q"), 3), 4).as("q3_price"))),
+      (s, dir) => {
+        val acc = 10000
+        val eps = 1.0 / acc
+        val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("p"))
+        val est = li
+          .agg(expr(s"approx_percentile(p, array(0.25, 0.5, 0.75), $acc)").as("q"))
+          .select(
+            element_at(col("q"), 1).as("e1"),
+            element_at(col("q"), 2).as("e2"),
+            element_at(col("q"), 3).as("e3"))
+        val counted = li.crossJoin(broadcast(est)).agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("p") <= col("e1"), 1L).otherwise(0L)).as("le1"),
+          sum(when(col("p") < col("e1"), 1L).otherwise(0L)).as("lt1"),
+          sum(when(col("p") <= col("e2"), 1L).otherwise(0L)).as("le2"),
+          sum(when(col("p") < col("e2"), 1L).otherwise(0L)).as("lt2"),
+          sum(when(col("p") <= col("e3"), 1L).otherwise(0L)).as("le3"),
+          sum(when(col("p") < col("e3"), 1L).otherwise(0L)).as("lt3"))
+        def within(q: Double, le: String, lt: String) =
+          when(col(le) >= floor((lit(q) - lit(eps)) * col("n_rows")) &&
+            col(lt) <= ceil((lit(q) + lit(eps)) * col("n_rows")), 1L).otherwise(0L)
+        counted.select(
+          col("n_rows"),
+          lit(3L).as("n_quantiles"),
+          (within(0.25, "le1", "lt1") + within(0.50, "le2", "lt2") +
+            within(0.75, "le3", "lt3")).as("n_within"))
+      },
+      Some("""SELECT count(*) AS n_rows, CAST(3 AS BIGINT) AS n_quantiles,
+             |  CAST(3 AS BIGINT) AS n_within FROM lineitem""".stripMargin)),
 
     // A14 — weighted composite score (reference sentiment*0.7 + stars/5*0.3,
     // 实习四/…ipynb:908-911).

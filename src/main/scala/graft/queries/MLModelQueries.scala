@@ -128,17 +128,10 @@ object MLModelQueries extends QueryCatalog {
              |  CAST(coalesce(max(CASE WHEN label >= 0 THEN n END), 0) AS BIGINT) AS max_cluster_size
              |FROM sizes""".stripMargin)),
 
-    // M3 — K-Means zoning (k=10, seeded); output = zone sizes sorted desc
-    // (zone ids are permutation-arbitrary, sizes are not).
-    "m3_kmeans_zones" -> QueryDef(
-      (s, dir) => {
-        val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
-          .select(col("c_custkey").as("id"), col("lon").as("x"), col("lat").as("y"))
-        MlPipelines.kmeansZones(pts, k = 10)
-          .groupBy("zone").agg(count(lit(1)).as("n"))
-          .select(col("n")).orderBy(desc("n"))
-      }),
-
+    // M3's MLlib KMeans fit lives in MlPipelines.kmeansZones, exercised by
+    // MlLibPipelineSpec — the seeded kmeans|| init is partitioning-dependent,
+    // so it carries no SQL oracle; the exact, oracle-checked form of the
+    // operator is m3b below (and the embedding-space variant v6).
     // M3b — Lloyd's K-Means relationally (fixed 3 iterations, k=8,
     // deterministic init = the k lowest-id points): every step is a
     // broadcast nearest-center join + one hash agg, so — unlike the MLlib
@@ -200,18 +193,10 @@ object MLModelQueries extends QueryCatalog {
            |  round(list_sum(list_sort(list(sil))) / count(*), 6) AS mean_sil
            |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // M4 — PCA of the 64-dim embeddings to 2 components; output per-label
-    // mean |pc1|, |pc2| (abs kills the sign indeterminacy of eigenvectors).
-    "m4_pca_embeddings" -> QueryDef(
-      (s, dir) => {
-        val (proj, _) = MlPipelines.pcaProject(Tables.embeddings(s, dir), "embedding", 2)
-        proj.groupBy("label")
-          .agg(round(avg(abs(col("pc1"))), 4).as("avg_abs_pc1"),
-            round(avg(abs(col("pc2"))), 4).as("avg_abs_pc2"),
-            count(lit(1)).as("n"))
-          .orderBy("label")
-      }),
-
+    // M4's MLlib PCA fit lives in MlPipelines.pcaProject, exercised by
+    // MlLibPipelineSpec — eigenvector sign/rotation is solver-dependent, so
+    // it carries no SQL oracle; the exact, oracle-checked form of the
+    // operator is m4b below.
     // M4b — PCA relationally, exactly: covariance-free power iteration over
     // the (id, dim, value) layout (w ← normalize(Xᵀ(Xw)), fixed 3
     // iterations, deterministic inits: uniform for PC1, alternating-sign for
