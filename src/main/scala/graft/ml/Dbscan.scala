@@ -25,13 +25,28 @@ import org.apache.spark.storage.StorageLevel
 object Dbscan {
 
   /** `points` must have columns (id: long, x: double, y: double).
-    * Returns (id, x, y, label, is_core) with label = −1 for noise. */
+    * Returns (id, x, y, label, is_core) with label = −1 for noise.
+    *
+    * Coincident-point collapse (the dense-cell fallback): points sharing an
+    * exact coordinate have identical ε-neighborhoods, so DBSCAN over
+    * (distinct location, multiplicity) with weighted neighbor counts is
+    * EXACTLY the clustering of the original multiset — representative id =
+    * min id per location keeps the min-core-id labels unchanged, and every
+    * point inherits its location's (label, is_core) on the way out. This
+    * removes the realistic quadratic pathology (geocoding defaults, stuck
+    * sensors: millions of rows at one coordinate become ONE grid row); the
+    * loud GridGuard cap now applies to DISTINCT locations per cell, where
+    * exceeding it means the pair join is genuinely quadratic in distinct
+    * near-coincident coordinates and the job is better failed. */
   def run(points: DataFrame, eps: Double, minPts: Int, maxIters: Int = 30,
           maxCellCount: Int = graft.ops.GridGuard.DefaultMaxCellCount): DataFrame = {
-    val pts = points.select(col("id"), col("x"), col("y"),
+    val locs = points.groupBy("x", "y")
+      .agg(min("id").as("id"), count(lit(1)).as("w"))
+    val pts = locs.select(col("id"), col("x"), col("y"), col("w"),
         floor(col("x") / eps).as("cx"), floor(col("y") / eps).as("cy"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // One dense cell makes the pair join below quadratic — fail loudly first.
+    // One cell dense in DISTINCT locations makes the pair join quadratic —
+    // fail loudly first (coincident mass was already collapsed above).
     graft.ops.GridGuard.requireBoundedCells(pts, Seq("cx", "cy"), maxCellCount, "DBSCAN")
 
     // 3×3 neighborhood expansion on the left side, equi-join on cells.
@@ -40,19 +55,22 @@ object Dbscan {
       .withColumn("ncx", explode(array(col("cx") - 1, col("cx"), col("cx") + 1)))
       .withColumn("ncy", explode(array(col("cy") - 1, col("cy"), col("cy") + 1)))
     val right = pts.select(col("id").as("bid"), col("x").as("bx"), col("y").as("by"),
-      col("cx").as("ncx"), col("cy").as("ncy"))
+      col("w").as("bw"), col("cx").as("ncx"), col("cy").as("ncy"))
     val pairs = left.join(right, Seq("ncx", "ncy"))
       .filter(pow(col("ax") - col("bx"), 2) + pow(col("ay") - col("by"), 2) <= eps * eps)
-      .select("aid", "bid")
+      .select("aid", "bid", "bw")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val cores = pairs.groupBy("aid").agg(count(lit(1)).as("n_nbr"))
+    // Weighted neighbor count: every point at a within-ε location counts
+    // (self included via the aid==bid self-pair, whose bw is the full
+    // multiplicity — sklearn's self-inclusive semantics).
+    val cores = pairs.groupBy("aid").agg(sum("bw").as("n_nbr"))
       .filter(col("n_nbr") >= minPts)
       .select(col("aid").as("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Core-core edges (both directions present since pairs is symmetric).
-    val coreEdges = pairs
+    val coreEdges = pairs.select("aid", "bid")
       .join(cores.withColumnRenamed("id", "aid"), "aid", "left_semi")
       .join(cores.withColumnRenamed("id", "bid"), "bid", "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -73,9 +91,16 @@ object Dbscan {
       .groupBy(col("aid").as("id")).agg(min("label").as("label"))
     val labeled = labels.withColumn("is_core", lit(true))
       .unionByName(borderLabels.withColumn("is_core", lit(false)))
-    val out = pts.select("id", "x", "y")
+    // Location-level labeling, then expand back to every original point by
+    // coordinate (coincident points share their location's label/is_core —
+    // exactly the per-id result, since their neighborhoods are identical).
+    val locLabeled = pts.select("id", "x", "y")
       .join(labeled, Seq("id"), "left")
       .na.fill(Map("label" -> -1L, "is_core" -> false))
+      .select("x", "y", "label", "is_core")
+    val out = points.select("id", "x", "y")
+      .join(locLabeled, Seq("x", "y"))
+      .select("id", "x", "y", "label", "is_core")
       // Materialize BEFORE releasing the intermediates: `out` is lazy, so
       // unpersisting first would silently re-run the grid pair join when the
       // caller evaluates the result (measured as the round-1 m1 bench

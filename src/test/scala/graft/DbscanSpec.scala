@@ -62,10 +62,28 @@ class DbscanSpec extends SparkSpec {
     assert(one === 1)
   }
 
-  test("dense-cell guard fails loudly on an all-points-one-cell pathology") {
-    // every point at the same coordinate -> one grid cell -> the pair join
-    // would be exactly n²; the guard must refuse before running it
-    val pathological = (1L to 50L).map(i => (i, 3.14, 2.71)).toDF("id", "x", "y")
+  test("coincident collapse handles an all-points-one-coordinate pathology without blowup") {
+    // every point at the SAME coordinate: pre-collapse this was the n² pair
+    // join pathology; post-collapse it is ONE weighted grid row, so even a
+    // cap of 1 admits it and the result is exact (all mutually at d=0,
+    // >= minPts coincident -> one cluster labeled by the min id, all core)
+    val coincident = (1L to 50L).map(i => (i, 3.14, 2.71)).toDF("id", "x", "y")
+    val out = Dbscan.run(coincident, eps = 0.017, minPts = 5, maxCellCount = 1)
+    assert(out.count() === 50L)
+    assert(out.filter(col("label") === 1L && col("is_core")).count() === 50L)
+    // kNN: each point's k neighbors are its k smallest-id coincident siblings
+    val nn = graft.ml.Knn.neighbors(coincident, k = 3, cellSize = 0.017, maxCellCount = 1)
+    assert(nn.count() === 150L)
+    assert(nn.filter(col("d2") =!= 0.0).count() === 0L)
+    val nbrsOf7 = nn.filter(col("aid") === 7L).orderBy("rn")
+      .select("bid").as[Long].collect().toSeq
+    assert(nbrsOf7 === Seq(1L, 2L, 3L))
+  }
+
+  test("dense-cell guard fails loudly on a distinct-points-one-cell pathology") {
+    // 50 DISTINCT coordinates inside one eps-cell cannot be collapsed — the
+    // pair join would be genuinely quadratic; the guard must refuse first
+    val pathological = (1L to 50L).map(i => (i, 3.0 + i * 1e-4, 2.71)).toDF("id", "x", "y")
     val e = intercept[IllegalArgumentException] {
       Dbscan.run(pathological, eps = 0.017, minPts = 5, maxCellCount = 40)
     }
