@@ -65,6 +65,73 @@ object Bench {
     }
     val results = minima.view
       .mapValues(v => if (v == Double.MaxValue) -1.0 else v).toMap
+
+    // Floor protocol (BASELINE_floors.json): per-query best-ever minimum at
+    // the canonical bench point (sf0.1, reps>=3). Any query >1.5x its floor
+    // (with a 0.2 s absolute guard so 60 ms queries can't flag on jitter) is
+    // a named regression in the bench tail; any NEW minimum rewrites the
+    // floor file so the record stays machine-readable round over round.
+    val floorsPath = "BASELINE_floors.json"
+    val atCanonicalPoint = sfDir.endsWith("sf0.1") && reps >= 3 &&
+      nameFilter.isEmpty
+    val floorRx = """"([A-Za-z0-9_]+)":\s*\{\s*"sec":\s*([0-9.Ee+-]+)""".r
+    val floors: Map[String, Double] =
+      if (new java.io.File(floorsPath).isFile) {
+        val txt = scala.io.Source.fromFile(floorsPath)
+        try floorRx.findAllMatchIn(txt.mkString)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        finally txt.close()
+      } else Map.empty
+    val regressions =
+      if (atCanonicalPoint && floors.nonEmpty)
+        results.toSeq.collect {
+          case (q, v) if v >= 0.0 && floors.contains(q) &&
+            v > floors(q) * 1.5 && v > floors(q) + 0.2 => (q, v, floors(q))
+        }.sortBy { case (_, v, fl) => fl / v }
+      else Seq.empty
+    regressions.foreach { case (q, v, fl) =>
+      System.err.println(f"[bench] FLOOR-REGRESSION $q: $v%.3f s vs floor $fl%.3f s (${v / fl}%.2fx)")
+    }
+    if (atCanonicalPoint) {
+      val newFloors = results.filter { case (q, v) =>
+        v >= 0.0 && floors.get(q).forall(v < _)
+      }
+      if (newFloors.nonEmpty) {
+        val today = java.time.LocalDate.now().toString
+        val merged = (floors.keySet ++ newFloors.keySet).toSeq.sorted.map { q =>
+          val (sec, src, date) = newFloors.get(q)
+            .map(v => (v, "bench", today))
+            .getOrElse((floors(q), "prior", "prior"))
+          (q, sec, src, date)
+        }
+        // "prior" source/date entries re-read the old file's fields so a new
+        // minimum on one query can't erase another query's provenance.
+        val oldFull = if (new java.io.File(floorsPath).isFile) {
+          val s = scala.io.Source.fromFile(floorsPath)
+          try s.mkString finally s.close()
+        } else ""
+        val provRx = (q: String) =>
+          (""""""" + q + """":\s*\{\s*"sec":\s*[0-9.Ee+-]+,\s*"source":\s*"([^"]*)",\s*"date":\s*"([^"]*)"""").r
+        val rows = merged.map { case (q, secV, src, date) =>
+          val (s2, d2) =
+            if (src == "prior") provRx(q).findFirstMatchIn(oldFull)
+              .map(m => (m.group(1), m.group(2))).getOrElse(("prior", today))
+            else (src, date)
+          f""" "$q": {"sec": $secV%.3f, "source": "$s2", "date": "$d2"}"""
+        }
+        val w = new java.io.PrintWriter(floorsPath)
+        try {
+          w.println("{")
+          w.println(s""" "sf": "/root/testdata/sf0.1",""")
+          w.println(""" "note": "per-query minimum wall-clock (sec) ever recorded at sf0.1 local[32], reps>=3; Bench flags any run >1.5x its floor and rewrites this file when a new floor is set",""")
+          w.println(s""" "updated": "${java.time.LocalDate.now()}",""")
+          w.println(""" "floors": {""")
+          w.println(rows.mkString(",\n"))
+          w.println(" }\n}")
+        } finally w.close()
+        System.err.println(s"[bench] ${newFloors.size} new floors recorded in $floorsPath")
+      }
+    }
     // Locale.ROOT: a comma-decimal default locale would break the driver's
     // JSON parse of this line.
     def sec(v: Double): String =
@@ -82,9 +149,9 @@ object Bench {
     // emit the line both before and after spark.stop so either capture wins.
     val headlineTimes = fmt(results.view.filterKeys(SparkEntry.headline.toSet).toMap)
     val compact =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir","reps":$reps,"errors":$errCount}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size}}"""
     val detail =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","reps":$reps,"errors":$errCount}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size}}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detail) finally w.close()

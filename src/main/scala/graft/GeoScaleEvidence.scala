@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence harness for the geo grid operators (m1 DBSCAN, m2 grid
+  * kNN, j14 distance band) on the round-5 collapse+pruning path
+  * (ml/Dbscan.scala:43-62, ml/Knn.scala:39-95).
+  *
+  * The 100 TB argument for the grid family is: candidate pairs come from a
+  * 3×3 cell equi-join, so at FIXED LOCAL DENSITY (the realistic growth
+  * regime — a bigger corpus covers more area, it doesn't stack the same
+  * city 50× deeper) pair volume grows ~linearly with point count; exactly
+  * coincident mass collapses to one weighted location before the join
+  * (so the geocoding-default pathology costs ~nothing extra); and the one
+  * genuinely quadratic shape — thousands of DISTINCT locations inside one
+  * cell — is refused loudly by ops.GridGuard rather than run. This main
+  * MEASURES all three claims on deterministic generated corpora and prints
+  * one JSON line per (regime, scale):
+  *   points, distinct locations, DBSCAN candidate pairs + full-run seconds,
+  *   kNN location-candidates / kept-after-pruning / expanded-ids /
+  *   fallback-probes + full-run seconds, distance-band pairs + seconds.
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.GeoScaleEvidence"
+  * (results land in BASELINE.md's geo scale section by hand).
+  */
+object GeoScaleEvidence {
+
+  val Eps = 0.005    // DBSCAN eps == grid cell size; ~4 mean neighbors at base density
+  val K = 4          // m2's k (4th-NN elbow)
+  val BaseN = 15000L // sf0.1 customer-scale point count
+
+  /** Fixed-density spread corpus: n points hashed uniformly over a region
+    * whose WIDTH scales with n (height fixed 0.5°), so per-cell occupancy is
+    * scale-invariant — the realistic 100 TB growth regime. xxhash64 keeps it
+    * deterministic and distributed (no driver-side generation). */
+  def spread(s: SparkSession, n: Long): DataFrame = {
+    val widthMicro = (600000L * n) / BaseN // 0.6° at 1×, 30° at 50×
+    s.range(n).toDF("id")
+      .withColumn("x", lit(-74.3) +
+        (pmod(xxhash64(col("id"), lit(1)), lit(widthMicro)) / 1e6))
+      .withColumn("y", lit(40.5) +
+        (pmod(xxhash64(col("id"), lit(2)), lit(500000L)) / 1e6))
+  }
+
+  /** Coincident-mass corpus: 90% of points sit on 20 EXACT coordinates (the
+    * stuck-sensor / geocoding-default pathology), 10% spread at base extent.
+    * The collapse path must make this cost ~the 10% tail, not the 90%. */
+  def coincident(s: SparkSession, n: Long): DataFrame = {
+    val base = spread(s, n)
+    val heavy = pmod(xxhash64(col("id"), lit(3)), lit(10L)) < 9
+    val slot = pmod(xxhash64(col("id"), lit(4)), lit(20L))
+    base.select(col("id"),
+      when(heavy, lit(-74.3) + slot * 0.03).otherwise(col("x")).as("x"),
+      when(heavy, lit(40.5) + slot * 0.02).otherwise(col("y")).as("y"))
+  }
+
+  /** Adversarial corpus: n DISTINCT locations packed inside ONE eps-cell
+    * (nanodegree spacing). The pair join here is genuinely quadratic in
+    * distinct coordinates; GridGuard must refuse, not run. */
+  def adversarial(s: SparkSession, n: Long): DataFrame =
+    s.range(n).toDF("id")
+      .withColumn("x", lit(-74.3) + col("id") / 1e9)
+      .withColumn("y", lit(40.5) + pmod(col("id"), lit(1000L)) / 1e9)
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = graft.core.GraftSession.local(cpus)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    def sec(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+    def measure(regime: String, scale: Long, pts0: DataFrame): String = {
+      val pts = graft.core.Materialize.cut(pts0)
+      val n = pts.count()
+
+      // Mirror of Dbscan.run's candidate generation (ml/Dbscan.scala:43-62):
+      // collapse to weighted distinct locations, 3×3 cell equi-join, ε filter.
+      val locs = pts.groupBy("x", "y")
+        .agg(min("id").as("id"), count(lit(1)).as("w"))
+        .withColumn("cx", floor(col("x") / Eps))
+        .withColumn("cy", floor(col("y") / Eps))
+      val nLocs = locs.count()
+      val left = locs.select(col("id").as("aid"), col("x").as("ax"),
+          col("y").as("ay"), col("cx"), col("cy"))
+        .withColumn("ncx", explode(array(col("cx") - 1, col("cx"), col("cx") + 1)))
+        .withColumn("ncy", explode(array(col("cy") - 1, col("cy"), col("cy") + 1)))
+      val right = locs.select(col("id").as("bid"), col("x").as("bx"),
+        col("y").as("by"), col("cx").as("ncx"), col("cy").as("ncy"))
+      val (dbPairs, _) = timed {
+        left.join(right, Seq("ncx", "ncy"))
+          .filter(pow(col("ax") - col("bx"), 2)
+            + pow(col("ay") - col("by"), 2) <= Eps * Eps)
+          .count()
+      }
+      val (dbSummary, tDb) = timed {
+        graft.ml.Dbscan.summary(
+          graft.ml.Dbscan.run(pts, eps = Eps, minPts = 5)).head()
+      }
+
+      // Mirror of Knn.neighbors' funnel (ml/Knn.scala:57-95): location-level
+      // 3×3 candidates → strict-closer-pruned survivors → id expansion size.
+      val probesL = locs.select(col("id").as("la"), col("x").as("ax"),
+          col("y").as("ay"), col("w").as("wa"), col("cx"), col("cy"))
+        .withColumn("ncx", explode(array(col("cx") - 1, col("cx"), col("cx") + 1)))
+        .withColumn("ncy", explode(array(col("cy") - 1, col("cy"), col("cy") + 1)))
+      val targetsL = locs.select(col("id").as("lb"), col("x").as("bx"),
+        col("y").as("by"), col("w").as("wb"), col("cx").as("ncx"), col("cy").as("ncy"))
+      val candL = probesL.join(targetsL, Seq("ncx", "ncy"))
+        .select(col("la"), col("lb"),
+          (pow(col("ax") - col("bx"), 2) + pow(col("ay") - col("by"), 2)).as("d2"),
+          when(col("la") === col("lb"), col("wa") - 1).otherwise(col("wb")).as("cw"))
+      val nCandL = candL.count()
+      val byDist = candL.groupBy("la", "d2").agg(sum("cw").as("gw"))
+        .withColumn("cumStrict", coalesce(sum("gw").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("la").orderBy("d2")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .filter(col("cumStrict") < K).select("la", "d2")
+      val nKeptL = candL.join(byDist, Seq("la", "d2"), "left_semi").count()
+      val ((nExpanded, nFallback, knnRows), tKnn) = timed {
+        val nbrs = graft.ml.Knn.neighbors(pts, k = K, cellSize = Eps)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rows = nbrs.count()
+        // expanded = id-level top-k rows actually emitted; fallback = probes
+        // whose k-th neighbor escaped the 3×3 window (Phase B scans).
+        val fb = nbrs.groupBy("aid").agg(max("d2").as("mx"))
+          .filter(col("mx") > lit(Eps * Eps)).count()
+        nbrs.unpersist()
+        (rows, fb, rows)
+      }
+
+      // j14's distance-band aggregate shape (JoinQueries.scala:450-478) on
+      // the same corpus: 3×3 grid join, id_a < id_b, exact ε recheck.
+      val ((bandPairs), tBand) = timed {
+        val gp = pts
+          .withColumn("cx", floor(col("x") / Eps))
+          .withColumn("cy", floor(col("y") / Eps))
+        val probe = gp
+          .withColumn("ox", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("oy", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+            (col("cx") + col("ox")).as("cx"), (col("cy") + col("oy")).as("cy"))
+        probe.join(gp, Seq("cx", "cy"))
+          .filter(col("id_a") < col("id"))
+          .filter(pow(col("xa") - col("x"), 2)
+            + pow(col("ya") - col("y"), 2) <= Eps * Eps)
+          .count()
+      }
+
+      graft.core.GraftSession.releaseTransientBlocks(spark)
+      val line =
+        s"""{"regime":"$regime","scale":$scale,"points":$n,"locations":$nLocs,""" +
+          s""""dbscan_pairs":$dbPairs,"dbscan_clusters":${dbSummary.getLong(0)},""" +
+          s""""dbscan_sec":${sec(tDb)},""" +
+          s""""knn_cand_locs":$nCandL,"knn_kept_locs":$nKeptL,""" +
+          s""""knn_rows":$knnRows,"knn_fallback_probes":$nFallback,""" +
+          s""""knn_sec":${sec(tKnn)},""" +
+          s""""band_pairs":$bandPairs,"band_sec":${sec(tBand)}}"""
+      println(s"[geoscale] $line")
+      line
+    }
+
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (scale <- Seq(1L, 10L, 50L))
+      lines += measure("spread", scale, spread(spark, BaseN * scale))
+    for (scale <- Seq(1L, 10L, 50L))
+      lines += measure("coincident", scale, coincident(spark, BaseN * scale))
+
+    // Adversarial regime: expect the loud refusal, not a measurement — call
+    // the guarded operators directly (the mirror joins above would run the
+    // quadratic single-cell join the guard exists to prevent).
+    def refusal(op: String)(f: => Unit): String =
+      try { f; s"""{"regime":"adversarial","op":"$op","refused":false}""" }
+      catch {
+        case e: IllegalArgumentException =>
+          val msg = e.getMessage.replace("\"", "'").take(160)
+          s"""{"regime":"adversarial","op":"$op","refused":true,"message":"$msg"}"""
+      }
+    val advPts = graft.core.Materialize.cut(adversarial(spark, BaseN))
+    val advDb = refusal("dbscan") {
+      graft.ml.Dbscan.run(advPts, eps = Eps, minPts = 5).count(); ()
+    }
+    val advKnn = refusal("knn") {
+      graft.ml.Knn.neighbors(advPts, k = K, cellSize = Eps).count(); ()
+    }
+    println(s"[geoscale] $advDb")
+    println(s"[geoscale] $advKnn")
+    lines += advDb; lines += advKnn
+
+    println("[geoscale] ALL " + lines.mkString("[", ",", "]"))
+    spark.stop()
+  }
+}
