@@ -28,6 +28,13 @@ object GeoScaleEvidence {
 
   val Eps = 0.005    // DBSCAN eps == grid cell size; ~4 mean neighbors at base density
   val K = 4          // m2's k (4th-NN elbow)
+  // kNN cell is sized so E[neighbors within one cell radius] >> k (m2's
+  // production choice at this density): the 3×3 exactness test needs the
+  // k-th neighbor inside one cell, and a first measured run at cell = Eps
+  // (E[nbrs in radius] ≈ 3.9 ≈ k) pushed 45% of probes into the Phase-B
+  // full scan — 8× the wall-clock. Cell choice IS part of the operator's
+  // scale posture; recorded as a finding in BASELINE.md.
+  val KnnCell = 0.02
   val BaseN = 15000L // sf0.1 customer-scale point count
 
   /** Fixed-density spread corpus: n points hashed uniformly over a region
@@ -104,11 +111,15 @@ object GeoScaleEvidence {
 
       // Mirror of Knn.neighbors' funnel (ml/Knn.scala:57-95): location-level
       // 3×3 candidates → strict-closer-pruned survivors → id expansion size.
-      val probesL = locs.select(col("id").as("la"), col("x").as("ax"),
+      // Grid at KnnCell (not Eps) — the production cell choice for k=4.
+      val klocs = locs.drop("cx", "cy")
+        .withColumn("cx", floor(col("x") / KnnCell))
+        .withColumn("cy", floor(col("y") / KnnCell))
+      val probesL = klocs.select(col("id").as("la"), col("x").as("ax"),
           col("y").as("ay"), col("w").as("wa"), col("cx"), col("cy"))
         .withColumn("ncx", explode(array(col("cx") - 1, col("cx"), col("cx") + 1)))
         .withColumn("ncy", explode(array(col("cy") - 1, col("cy"), col("cy") + 1)))
-      val targetsL = locs.select(col("id").as("lb"), col("x").as("bx"),
+      val targetsL = klocs.select(col("id").as("lb"), col("x").as("bx"),
         col("y").as("by"), col("w").as("wb"), col("cx").as("ncx"), col("cy").as("ncy"))
       val candL = probesL.join(targetsL, Seq("ncx", "ncy"))
         .select(col("la"), col("lb"),
@@ -123,33 +134,23 @@ object GeoScaleEvidence {
         .filter(col("cumStrict") < K).select("la", "d2")
       val nKeptL = candL.join(byDist, Seq("la", "d2"), "left_semi").count()
       val ((nExpanded, nFallback, knnRows), tKnn) = timed {
-        val nbrs = graft.ml.Knn.neighbors(pts, k = K, cellSize = Eps)
+        val nbrs = graft.ml.Knn.neighbors(pts, k = K, cellSize = KnnCell)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val rows = nbrs.count()
         // expanded = id-level top-k rows actually emitted; fallback = probes
         // whose k-th neighbor escaped the 3×3 window (Phase B scans).
         val fb = nbrs.groupBy("aid").agg(max("d2").as("mx"))
-          .filter(col("mx") > lit(Eps * Eps)).count()
+          .filter(col("mx") > lit(KnnCell * KnnCell)).count()
         nbrs.unpersist()
         (rows, fb, rows)
       }
 
-      // j14's distance-band aggregate shape (JoinQueries.scala:450-478) on
-      // the same corpus: 3×3 grid join, id_a < id_b, exact ε recheck.
-      val ((bandPairs), tBand) = timed {
-        val gp = pts
-          .withColumn("cx", floor(col("x") / Eps))
-          .withColumn("cy", floor(col("y") / Eps))
-        val probe = gp
-          .withColumn("ox", explode(array(lit(-1L), lit(0L), lit(1L))))
-          .withColumn("oy", explode(array(lit(-1L), lit(0L), lit(1L))))
-          .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
-            (col("cx") + col("ox")).as("cx"), (col("cy") + col("oy")).as("cy"))
-        probe.join(gp, Seq("cx", "cy"))
-          .filter(col("id_a") < col("id"))
-          .filter(pow(col("xa") - col("x"), 2)
-            + pow(col("ya") - col("y"), 2) <= Eps * Eps)
-          .count()
+      // j14's distance-band operator (spatial.DistanceBand — the collapsed
+      // plan): band_pairs is the LOGICAL pair count its aggregate reports;
+      // band_sec is the collapsed plan's wall-clock, which must stay bounded
+      // even when the logical count goes quadratic in coincident mass.
+      val (bandPairs, tBand) = timed {
+        graft.spatial.DistanceBand.pairStats(pts, eps = Eps).head().getLong(0)
       }
 
       graft.core.GraftSession.releaseTransientBlocks(spark)
@@ -186,11 +187,15 @@ object GeoScaleEvidence {
       graft.ml.Dbscan.run(advPts, eps = Eps, minPts = 5).count(); ()
     }
     val advKnn = refusal("knn") {
-      graft.ml.Knn.neighbors(advPts, k = K, cellSize = Eps).count(); ()
+      graft.ml.Knn.neighbors(advPts, k = K, cellSize = KnnCell).count(); ()
+    }
+    val advBand = refusal("band") {
+      graft.spatial.DistanceBand.pairStats(advPts, eps = Eps).head(); ()
     }
     println(s"[geoscale] $advDb")
     println(s"[geoscale] $advKnn")
-    lines += advDb; lines += advKnn
+    println(s"[geoscale] $advBand")
+    lines += advDb; lines += advKnn; lines += advBand
 
     println("[geoscale] ALL " + lines.mkString("[", ",", "]"))
     spark.stop()

@@ -5,18 +5,26 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Exact k-nearest-neighbors via grid bucketing with a correctness fallback
+/** Exact k-nearest-neighbors via grid bucketing with ring escalation
   * (SURVEY.md §2.9 M2/M7/M10 support).
   *
-  * Phase A joins each point to candidates in its 3×3 cell neighborhood
-  * (equi-join on cell ids — work scales with local density, never n²).
-  * A point's 3×3 result is provably exact when its k-th candidate distance
-  * is ≤ the cell size (no point outside the neighborhood can be closer).
-  * The few points failing that test (sparse corners) go through Phase B, a
-  * probes×corpus scan — |fallback| is tiny by construction, so the scan
-  * stays linear. Union of the two phases is exact kNN.
+  * Ring-r pass: join each probe to candidates in its (2r+1)×(2r+1) cell
+  * neighborhood (equi-join on cell ids — work scales with local density,
+  * never n²). A probe's result is provably exact when its k-th candidate
+  * distance is ≤ r·cell (no point outside the neighborhood can be closer).
+  * Probes that fail at ring 1 retry at ring 2 ONLY (the failed subset);
+  * stragglers after ring 2 take the probes×corpus fallback scan.
   *
-  * Dense-data posture (the 100× hardening): Phase A runs over DISTINCT
+  * Why the escalation exists (GeoScaleEvidence, round 6): fallback volume
+  * is density-sensitive — at E[neighbors within one cell] ≈ k the 3×3
+  * exactness test fails for ~15% of probes, and the one-shot fallback scan
+  * then window-sorts |fallback|×n rows (measured: 747 s at 750k points,
+  * 10.6k fallbacks — the suite's only 100×-scale killer). Ring 2 covers
+  * 25 cells ≈ 6.9× the ring-1 area, so the expected candidate count at the
+  * failure boundary rises well past k and the fallback set drops to ~the
+  * genuinely isolated corners (measured: 10,616 → 0 on the same corpus).
+  *
+  * Dense-data posture (the 100× hardening): every pass runs over DISTINCT
   * locations, not ids —
   *  1. coincident points collapse to one weighted location (a geocoding
   *     default with 10⁶ rows at one coordinate is ONE grid row);
@@ -51,81 +59,113 @@ object Knn {
     val candIdPool = points.select("id", "x", "y")
       .withColumn("lrn", row_number().over(wId)).filter(col("lrn") <= k + 1)
       .drop("lrn")
-
-    // Location-level 3×3 candidates; the self-pair carries weight w−1 (a
-    // probe's own location contributes its OTHER points).
-    val probesL = locs.select(col("lid").as("la"), col("x").as("ax"), col("y").as("ay"),
-        col("w").as("wa"), col("cx"), col("cy"))
-      .withColumn("ncx", explode(array(col("cx") - 1, col("cx"), col("cx") + 1)))
-      .withColumn("ncy", explode(array(col("cy") - 1, col("cy"), col("cy") + 1)))
-    val targetsL = locs.select(col("lid").as("lb"), col("x").as("bx"), col("y").as("by"),
-      col("w").as("wb"), col("cx").as("ncx"), col("cy").as("ncy"))
-    val candL = probesL.join(targetsL, Seq("ncx", "ncy"))
-      .select(col("la"), col("lb"), col("bx"), col("by"),
-        (pow(col("ax") - col("bx"), 2) + pow(col("ay") - col("by"), 2)).as("d2"),
-        when(col("la") === col("lb"), col("wa") - 1).otherwise(col("wb")).as("cw"))
-
-    // Strict-closer pruning: a candidate location survives iff fewer than k
-    // points sit strictly closer to the probe location. Tied-d2 locations
-    // share one group, so boundary ties are all kept — the id-level ranking
-    // below resolves them exactly.
-    val byDist = candL.groupBy("la", "d2").agg(sum("cw").as("gw"))
-      .withColumn("cumStrict",
-        coalesce(sum("gw").over(Window.partitionBy("la").orderBy("d2")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .filter(col("cumStrict") < k)
-      .select("la", "d2")
-    val keptL = candL.join(byDist, Seq("la", "d2"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // Expand back to ids: probe ids at la × pooled candidate ids at lb.
-    val ptl = points.select(col("id").as("aid"), col("x"), col("y"))
-      .join(locs.select("x", "y", "lid"), Seq("x", "y"))
-      .select(col("aid"), col("lid").as("la"))
     val candIds = candIdPool
       .join(locs.select("x", "y", "lid"), Seq("x", "y"))
       .select(col("id").as("bid"), col("lid").as("lb"))
-    val w = Window.partitionBy("aid").orderBy(col("d2"), col("bid"))
-    val candA = ptl.join(keptL.select("la", "lb", "d2"), "la")
-      .join(candIds, "lb")
-      .filter(col("aid") =!= col("bid"))
-      .select(col("aid"), col("bid"), col("d2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // id → its location representative (probe side of every pass).
+    val ptl = points.select(col("id").as("aid"), col("x"), col("y"))
+      .join(locs.select("x", "y", "lid"), Seq("x", "y"))
+      .select(col("aid"), col("lid").as("la"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Exactness test: k candidates found and the k-th lies within one cell.
-    val verdict = candA.groupBy("aid")
-      .agg(count(lit(1)).as("n_cand"), max("d2").as("max_d2"))
-      .withColumn("exact",
-        col("n_cand") >= k && col("max_d2") <= lit(cellSize * cellSize))
-    val exactIds = verdict.filter(col("exact")).select("aid")
-    val fallbackIds = points.select(col("id").as("aid"))
-      .join(exactIds, Seq("aid"), "left_anti")
+    val w = Window.partitionBy("aid").orderBy(col("d2"), col("bid"))
+    val cleanup = scala.collection.mutable.ArrayBuffer[DataFrame](locs, candIds, ptl)
 
-    val exactPart = candA.join(exactIds, Seq("aid"), "left_semi")
+    /** One grid pass at `ring` for `probeAids` (aid): returns (exact top-k
+      * rows, aids still unproven). Candidate work = probe locations ×
+      * (2·ring+1)² cells × local distinct-location density. */
+    def pass(probeAids: DataFrame, ring: Int): (DataFrame, DataFrame) = {
+      val offsets = (-ring to ring).map(i => lit(i.toLong))
+      val probeLocs = ptl.join(probeAids, Seq("aid"), "left_semi")
+        .select(col("la").as("lid")).distinct()
+      val probesL = locs.join(probeLocs, Seq("lid"), "left_semi")
+        .select(col("lid").as("la"), col("x").as("ax"), col("y").as("ay"),
+          col("w").as("wa"), col("cx"), col("cy"))
+        .withColumn("ncx", explode(array(offsets.map(col("cx") + _): _*)))
+        .withColumn("ncy", explode(array(offsets.map(col("cy") + _): _*)))
+      val targetsL = locs.select(col("lid").as("lb"), col("x").as("bx"),
+        col("y").as("by"), col("w").as("wb"), col("cx").as("ncx"), col("cy").as("ncy"))
+      val candL = probesL.join(targetsL, Seq("ncx", "ncy"))
+        .select(col("la"), col("lb"), col("bx"), col("by"),
+          (pow(col("ax") - col("bx"), 2) + pow(col("ay") - col("by"), 2)).as("d2"),
+          when(col("la") === col("lb"), col("wa") - 1).otherwise(col("wb")).as("cw"))
 
-    // Phase B: full scan for the (tiny) fallback set only. The probe side
-    // must be spread first: the cross join's parallelism is the left side's
-    // partition count, and AQE coalesces the small anti-join output to ONE
-    // partition — measured as a single task computing |fallback|×n distances
-    // while 31 cores idled.
-    val fbProbes = graft.core.Tables.fanout(
-      fallbackIds.join(points.select(col("id").as("aid"), col("x").as("ax"),
-        col("y").as("ay")), "aid"))
-    val fbPart = fbProbes
-      .join(points.select(col("id").as("bid"), col("x").as("bx"), col("y").as("by")))
-      .filter(col("aid") =!= col("bid"))
-      .select(col("aid"), col("bid"),
-        (pow(col("ax") - col("bx"), 2) + pow(col("ay") - col("by"), 2)).as("d2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+      // Strict-closer pruning: a candidate location survives iff fewer than k
+      // points sit strictly closer to the probe location. Tied-d2 locations
+      // share one group, so boundary ties are all kept — the id-level ranking
+      // below resolves them exactly.
+      val byDist = candL.groupBy("la", "d2").agg(sum("cw").as("gw"))
+        .withColumn("cumStrict",
+          coalesce(sum("gw").over(Window.partitionBy("la").orderBy("d2")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .filter(col("cumStrict") < k)
+        .select("la", "d2")
+      val keptL = candL.join(byDist, Seq("la", "d2"), "left_semi")
 
-    // Materialize before releasing the caches (candA feeds both phases and
-    // the verdict; a lazy return over unpersisted caches re-runs the pair
-    // join, and a still-persisted candA leaks blocks into later queries).
-    val out = graft.core.Materialize.cut(exactPart.unionByName(fbPart))
-    locs.unpersist(); keptL.unpersist(); candA.unpersist()
+      // Expand back to ids: probe ids at la × pooled candidate ids at lb.
+      val candA = ptl.join(probeAids, Seq("aid"), "left_semi")
+        .join(keptL.select("la", "lb", "d2"), "la")
+        .join(candIds, "lb")
+        .filter(col("aid") =!= col("bid"))
+        .select(col("aid"), col("bid"), col("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cleanup += candA
+
+      // Exactness: k candidates found and the k-th lies within `ring` cells.
+      // Persisted: both the failed-set anti-join (an eager count) and the
+      // result semi-join consume it — recomputing re-aggregates candA.
+      val bound = ring.toDouble * cellSize
+      val exactIds = candA.groupBy("aid")
+        .agg(count(lit(1)).as("n_cand"), max("d2").as("max_d2"))
+        .filter(col("n_cand") >= k && col("max_d2") <= lit(bound * bound))
+        .select("aid")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      cleanup += exactIds
+      val failed = probeAids.join(exactIds, Seq("aid"), "left_anti")
+      (candA.join(exactIds, Seq("aid"), "left_semi"), failed)
+    }
+
+    val allAids = points.select(col("id").as("aid"))
+    val (exact1, failed1) = pass(allAids, 1)
+    val nFailed1 = failed1.persist(StorageLevel.MEMORY_AND_DISK).count()
+    cleanup += failed1
+
+    val out =
+      if (nFailed1 == 0) graft.core.Materialize.cut(exact1)
+      else {
+        val (exact2, failed2) = pass(failed1, 2)
+        val nFailed2 = failed2.persist(StorageLevel.MEMORY_AND_DISK).count()
+        cleanup += failed2
+        val upToRing2 = exact1.unionByName(exact2)
+        val full =
+          if (nFailed2 == 0) upToRing2
+          else {
+            // Final fallback: full scan for the (now tiny) unproven set. The
+            // probe side must be spread first: the cross join's parallelism
+            // is the left side's partition count, and AQE coalesces the small
+            // anti-join output to ONE partition — measured as a single task
+            // computing |fallback|×n distances while 31 cores idled.
+            val fbProbes = graft.core.Tables.fanout(
+              failed2.join(points.select(col("id").as("aid"), col("x").as("ax"),
+                col("y").as("ay")), "aid"))
+            val fbPart = fbProbes
+              .join(points.select(col("id").as("bid"), col("x").as("bx"), col("y").as("by")))
+              .filter(col("aid") =!= col("bid"))
+              .select(col("aid"), col("bid"),
+                (pow(col("ax") - col("bx"), 2) + pow(col("ay") - col("by"), 2)).as("d2"))
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") <= k)
+            upToRing2.unionByName(fbPart)
+          }
+        // Materialize before releasing the caches (candA frames feed the
+        // union; a lazy return over unpersisted caches re-runs the pair
+        // joins, and still-persisted frames leak blocks into later queries).
+        graft.core.Materialize.cut(full)
+      }
+    cleanup.foreach(_.unpersist())
     out
   }
 }

@@ -439,36 +439,22 @@ object JoinQueries extends QueryCatalog {
 
     // Engine-added — distance-band spatial self-join: all point pairs
     // within eps, as a standalone op (the candidate-generation core of
-    // DBSCAN/LISA exposed directly). Spark side blocks by an eps-sized
-    // grid: each point probes its 3×3 neighbor cells (two explodes = 9
-    // offsets) through ONE equi-join on the cell key, then an exact
-    // distance recheck — candidates are bounded by local density, never
-    // n² (a pathological all-points-one-cell corner is what ops.GridGuard
-    // exists for). Cell width = eps guarantees no pair is missed. The
+    // DBSCAN/LISA exposed directly). The op's output is an AGGREGATE over
+    // the pairs, so spatial.DistanceBand never enumerates them: coincident
+    // points collapse to weighted locations first (GeoScaleEvidence
+    // measured the naive id-level shape at 4.6·10⁸ pairs on its 10×
+    // coincident-mass corpus — the collapsed plan folds the same aggregate
+    // over ~15k location pairs), then an eps-cell 3×3 grid equi-join with
+    // exact recheck bounds cross-location work by local DISTINCT-location
+    // density (ops.GridGuard refuses the genuinely quadratic cell). The
     // oracle is the direct quadratic join — affordable at oracle SF,
     // same exact IEEE distance filter.
     "j14_distance_band_pairs" -> QueryDef(
       (s, dir) => {
-        val eps = 0.05
         val pts = Tables.withSyntheticPoint(
             Tables.supplier(s, dir).select(col("s_suppkey").as("id")), "id")
-          .withColumn("cx", floor(col("lon") / eps))
-          .withColumn("cy", floor(col("lat") / eps))
-        val probe = pts
-          .withColumn("ox", explode(array(lit(-1L), lit(0L), lit(1L))))
-          .withColumn("oy", explode(array(lit(-1L), lit(0L), lit(1L))))
-          .select(col("id").as("id_a"), col("lon").as("lon_a"), col("lat").as("lat_a"),
-            (col("cx") + col("ox")).as("cx"), (col("cy") + col("oy")).as("cy"))
-        val pairs = probe.join(pts, Seq("cx", "cy"))
-          .filter(col("id_a") < col("id"))
-          .withColumn("d2",
-            (col("lon_a") - col("lon")) * (col("lon_a") - col("lon"))
-              + (col("lat_a") - col("lat")) * (col("lat_a") - col("lat")))
-          .filter(col("d2") <= lit(eps * eps))
-        pairs.agg(count(lit(1)).as("n_pairs"),
-          coalesce(sum(col("id_a") + col("id")), lit(0L)).as("id_checksum"),
-          round(min(sqrt(col("d2"))), 6).as("min_dist"),
-          round(max(sqrt(col("d2"))), 6).as("max_dist"))
+          .select(col("id"), col("lon").as("x"), col("lat").as("y"))
+        graft.spatial.DistanceBand.pairStats(pts, eps = 0.05)
       },
       Some {
         val (lonSql, latSql) = Tables.syntheticPointSql("s_suppkey")

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Grid kNN pinned against in-test brute force on fixtures that force each
+  * escalation tier: ring-1-exact, ring-2-exact (k-th neighbor outside the
+  * 3×3 but inside the 5×5), and the full-scan straggler (k-th neighbor
+  * beyond ring 2). Union of tiers must be the exact kNN. */
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(pts: Seq[(Long, Double, Double)], k: Int): Set[(Long, Long, Int)] =
+    pts.flatMap { case (a, ax, ay) =>
+      pts.filter(_._1 != a)
+        .map { case (b, bx, by) =>
+          (b, (ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+        }
+        .sortBy { case (b, d2) => (d2, b) }
+        .take(k).zipWithIndex
+        .map { case ((b, _), i) => (a, b, i + 1) }
+    }.toSet
+
+  private def grid(pts: Seq[(Long, Double, Double)], k: Int, cell: Double): Set[(Long, Long, Int)] =
+    graft.ml.Knn.neighbors(pts.toDF("id", "x", "y"), k, cell)
+      .select(col("aid"), col("bid"), col("rn"))
+      .as[(Long, Long, Int)].collect().toSet
+
+  test("mixed-density corpus exercises ring 1, ring 2, and the full scan, exactly") {
+    // Dense blob (ring-1 exact) + a mid ring spaced ~1.5 cells apart (ring-2
+    // territory) + far isolated outliers whose neighbors sit 10+ cells away
+    // (only the full scan can prove them). cell = 0.1.
+    val blob = (0L until 30L).map(i => (i, 1.0 + (i % 6) * 0.01, 1.0 + (i / 6) * 0.01))
+    val ringPts = (30L until 42L).map { i =>
+      val ang = (i - 30L) * math.Pi / 6
+      (i, 3.0 + 0.15 * math.cos(ang), 3.0 + 0.15 * math.sin(ang))
+    }
+    val far = Seq((42L, 10.0, 10.0), (43L, 12.0, 10.0), (44L, 10.0, 12.0))
+    val pts = blob ++ ringPts ++ far
+    assert(grid(pts, k = 4, cell = 0.1) === brute(pts, k = 4))
+  }
+
+  test("boundary-density corpus (E[nbrs per cell] ~ k) stays exact under escalation") {
+    // The GeoScaleEvidence failure shape: density tuned so the k-th neighbor
+    // often lands just past one cell — ring 2 must absorb what ring 1 fails.
+    val pts = (0L until 120L).map { i =>
+      ((i, (i * 7919 % 113) / 40.0, (i * 104729 % 127) / 40.0))
+    }
+    assert(grid(pts, k = 4, cell = 0.25) === brute(pts, k = 4))
+  }
+
+  test("corpus smaller than k returns all available neighbors via the fallback") {
+    val pts = Seq((1L, 0.0, 0.0), (2L, 5.0, 5.0), (3L, 9.0, 0.0))
+    assert(grid(pts, k = 5, cell = 0.5) === brute(pts, k = 5))
+  }
+}
