@@ -103,11 +103,12 @@ object Multimodal {
   }
 
   /** REAL compressed-image decoding: PNG (DEFLATE from `java.util.zip` +
-    * scanline unfiltering, see [[Png]]) decodes fully — dimensions from a
-    * verified pixel-exact decode, not header sniffing. Uncompressed
-    * containers fall through to [[UncompressedCodec]]. JPEG/MP3/H.264
-    * genuinely need codec libraries this container does not ship and fail
-    * loudly by name — a boundary, not a silent skip. */
+    * scanline unfiltering, see [[Png]]) and baseline JPEG (Huffman + IDCT,
+    * see [[Jpeg]]) decode fully — dimensions from a verified pixel decode,
+    * not header sniffing. Uncompressed containers fall through to
+    * [[UncompressedCodec]]. MP3/H.264 genuinely need codec libraries this
+    * container does not ship and fail loudly by name — a boundary, not a
+    * silent skip. */
   object RealCodec extends MediaCodec {
     def decodeBatch(batch: Iterator[MediaRecord]): Iterator[DecodedMedia] =
       batch.map { r =>
@@ -115,10 +116,10 @@ object Multimodal {
         if (Png.isPng(b)) {
           val img = Png.decode(b)
           DecodedMedia(r.media_id, r.kind, b.length, 1, img.width, img.height)
-        } else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
-          throw new UnsupportedOperationException(
-            s"media ${r.media_id}: JPEG needs a codec library this build does not ship")
-        else if (b.length >= 3 && b.startsWith("ID3".getBytes))
+        } else if (Jpeg.isJpeg(b)) {
+          val img = Jpeg.decode(b)
+          DecodedMedia(r.media_id, r.kind, b.length, 1, img.width, img.height)
+        } else if (b.length >= 3 && b.startsWith("ID3".getBytes))
           throw new UnsupportedOperationException(
             s"media ${r.media_id}: MP3 needs a codec library this build does not ship")
         else UncompressedCodec.decodeBatch(Iterator(r)).next()

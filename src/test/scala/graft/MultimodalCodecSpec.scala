@@ -93,26 +93,33 @@ class MultimodalCodecSpec extends SparkSpec {
     }
   }
 
-  test("RealCodec decodes PNG, falls through to WAV, rejects JPEG by name") {
-    import graft.sources.Png
+  test("RealCodec decodes PNG and baseline JPEG, falls through to WAV") {
+    import graft.sources.{Jpeg, Png}
     val spark0 = spark
     import spark0.implicits._
     val png = Png.encode(Png.Image(17, 5, 3,
       Array.tabulate(17 * 5 * 3)(i => (i % 256).toByte)))
+    val jpg = Jpeg.encode(Png.Image(21, 9, 3,
+      Array.tabulate(21 * 9 * 3)(i => ((i * 5) % 256).toByte)), quality = 85)
     val media = Seq(
       MediaRecord(11L, "image", png),
-      MediaRecord(12L, "audio", wav(rate = 8000, channels = 1, bits = 16, frames = 100)))
+      MediaRecord(12L, "audio", wav(rate = 8000, channels = 1, bits = 16, frames = 100)),
+      MediaRecord(13L, "image", jpg))
       .toDS()
     val out = Multimodal.decode(media, Multimodal.RealCodec)
       .collect().map(d => d.media_id -> d).toMap
     assert(out(11L).width === 17 && out(11L).height === 5)
     assert(out(12L).width === 8000 && out(12L).n_frames === 100)
-    val jpeg = Seq(MediaRecord(13L, "image",
+    assert(out(13L).width === 21 && out(13L).height === 9)
+    // Truncated JPEG still fails loudly, never a silent skip.
+    val broken = Seq(MediaRecord(14L, "image",
       Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte))).toDS()
     val e = intercept[Exception] {
-      Multimodal.decode(jpeg, Multimodal.RealCodec).collect()
+      Multimodal.decode(broken, Multimodal.RealCodec).collect()
     }
-    assert(e.getMessage.contains("JPEG") || e.getCause.getMessage.contains("JPEG"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("JPEG") || m.contains("truncated")))
   }
 
   test("truncated PNG fails loudly, not silently") {
