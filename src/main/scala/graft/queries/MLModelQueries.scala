@@ -20,11 +20,6 @@ object MLModelQueries extends QueryCatalog {
 
   private val Dim64 = 64 // embeddings table dimension
 
-  /** Order-free exact mean: sorted sequential fold over the collected
-    * values (≡ DuckDB list_sum(list_sort(list(x)))). */
-  private def sortedMean(c: org.apache.spark.sql.Column) =
-    graft.functions.VectorExpr.vecSeqSumD(sort_array(collect_list(c))) / count(lit(1))
-
   /** The m3b relational Lloyd loop, shared with m22: k lowest-id seeds,
     * `iters` argmin-assign + sorted-mean-recenter rounds, all deterministic.
     * Returns (assigned(id, x, y, cid), centers(cid, cx, cy)). */
@@ -51,8 +46,13 @@ object MLModelQueries extends QueryCatalog {
           pow(col("x") - col("cx"), 2) + pow(col("y") - col("cy"), 2))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select("id", "x", "y", "cid")
-      centers = assigned.groupBy("cid")
-        .agg(sortedMean(col("x")).as("cx"), sortedMean(col("y")).as("cy"))
+      // Two-level fold (ops.SortedFold): cluster membership is
+      // corpus-proportional, so the single-level sorted mean's per-cluster
+      // array was a latent OOM at scale; the bucketed form keeps the
+      // cross-engine bit-exactness with bounded arrays.
+      centers = graft.ops.SortedFold.means(
+          assigned, Seq("cid"), col("id"), Seq("x" -> "cx", "y" -> "cy"))
+        .select("cid", "cx", "cy")
     }
     (assigned, centers)
   }
@@ -61,14 +61,19 @@ object MLModelQueries extends QueryCatalog {
     * `a<iters>` (assignments) and `c<iters>` (centers). */
   private def lloydSqlPrelude(k: Int, iters: Int): String = {
     val (lonSql, latSql) = Tables.syntheticPointSql("c_custkey")
+    val cap = graft.ops.SortedFold.BucketCap
     val steps = (1 to iters).map { i =>
       s"""a$i AS (SELECT p.id, p.x, p.y, c.cid FROM pts p CROSS JOIN c${i - 1} c
          |  QUALIFY row_number() OVER (PARTITION BY p.id
          |    ORDER BY power(p.x-c.cx, 2) + power(p.y-c.cy, 2), c.cid) = 1),
+         |cp$i AS (SELECT cid, id // $cap AS bkt,
+         |    list_sum(list_sort(list(x))) AS sx,
+         |    list_sum(list_sort(list(y))) AS sy, count(*) AS n
+         |  FROM a$i GROUP BY 1, 2),
          |c$i AS (SELECT cid,
-         |    list_sum(list_sort(list(x))) / count(*) AS cx,
-         |    list_sum(list_sort(list(y))) / count(*) AS cy
-         |  FROM a$i GROUP BY 1)""".stripMargin
+         |    list_sum(list_sort(list(sx))) / sum(n) AS cx,
+         |    list_sum(list_sort(list(sy))) / sum(n) AS cy
+         |  FROM cp$i GROUP BY 1)""".stripMargin
     }.mkString(",\n")
     s"""pts AS (SELECT c_custkey AS id, $lonSql AS x, $latSql AS y FROM customer),
        |c0 AS (SELECT CAST(rn AS BIGINT) AS cid, x AS cx, y AS cy FROM
@@ -173,10 +178,11 @@ object MLModelQueries extends QueryCatalog {
         val ab = d.groupBy("id", "cid")
           .agg(min(when(col("ocid") === col("cid"), col("dist"))).as("a_dist"),
             min(when(col("ocid") =!= col("cid"), col("dist"))).as("b_dist"))
-        ab.withColumn("sil",
-            (col("b_dist") - col("a_dist")) / greatest(col("a_dist"), col("b_dist")))
-          .groupBy("cid")
-          .agg(count(lit(1)).as("n"), round(sortedMean(col("sil")), 6).as("mean_sil"))
+        val sil = ab.withColumn("sil",
+          (col("b_dist") - col("a_dist")) / greatest(col("a_dist"), col("b_dist")))
+        graft.ops.SortedFold.means(sil, Seq("cid"), col("id"), Seq("sil" -> "mean_sil"))
+          .select(col("cid"), col("n_fold").as("n"),
+            round(col("mean_sil"), 6).as("mean_sil"))
           .orderBy("cid")
       },
       Some(s"""WITH ${lloydSqlPrelude(k = 8, iters = 3)},
@@ -187,11 +193,14 @@ object MLModelQueries extends QueryCatalog {
            |    min(CASE WHEN ocid = cid THEN dist END) AS a_dist,
            |    min(CASE WHEN ocid <> cid THEN dist END) AS b_dist
            |  FROM d GROUP BY 1, 2),
-           |sil AS (SELECT cid,
-           |    (b_dist - a_dist) / greatest(a_dist, b_dist) AS sil FROM ab)
-           |SELECT cid, count(*) AS n,
-           |  round(list_sum(list_sort(list(sil))) / count(*), 6) AS mean_sil
-           |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin)),
+           |sil AS (SELECT id, cid,
+           |    (b_dist - a_dist) / greatest(a_dist, b_dist) AS sil FROM ab),
+           |sp AS (SELECT cid, id // ${graft.ops.SortedFold.BucketCap} AS bkt,
+           |    list_sum(list_sort(list(sil))) AS ss, count(*) AS n
+           |  FROM sil GROUP BY 1, 2)
+           |SELECT cid, CAST(sum(n) AS BIGINT) AS n,
+           |  round(list_sum(list_sort(list(ss))) / sum(n), 6) AS mean_sil
+           |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // M4's MLlib PCA fit lives in MlPipelines.pcaProject, exercised by
     // MlLibPipelineSpec — eigenvector sign/rotation is solver-dependent, so
@@ -205,7 +214,9 @@ object MLModelQueries extends QueryCatalog {
     // bit-reproducible and DuckDB replays it exactly — the same trick that
     // made m3b/v6 exact, applied to the spectral op the MLlib-backed m4
     // could only pin rows-only. Scale: X stays distributed; w is a 64-row
-    // broadcast; each iteration is two broadcast joins + two hash aggs.
+    // broadcast; each iteration is two broadcast joins + two hash aggs, and
+    // the corpus-sized folds (mu, u, label means) run two-level
+    // (ops.SortedFold) so no collected array grows with the corpus.
     "m4b_pca_power" -> QueryDef(
       (s, dir) => {
         val iters = 3
@@ -215,7 +226,11 @@ object MLModelQueries extends QueryCatalog {
           .select(col("vec_id"), col("label"), posexplode(col("embedding")))
           .select(col("vec_id"), col("label"), col("pos").as("dim"),
             col("col").cast("double").as("v"))
-        val mu = comps.groupBy("dim").agg((ssum(col("v")) / count(lit(1))).as("mu"))
+        // Corpus-sized groups (per-dim over every vector, per-label over
+        // every point) go through the two-level fold — see ops.SortedFold.
+        val mu = graft.ops.SortedFold.means(
+            comps, Seq("dim"), col("vec_id"), Seq("v" -> "mu"))
+          .select("dim", "mu")
         val cx = comps.join(broadcast(mu), "dim")
           .select(col("vec_id"), col("label"), col("dim"), (col("v") - col("mu")).as("x"))
           .persist()
@@ -225,8 +240,9 @@ object MLModelQueries extends QueryCatalog {
           for (_ <- 1 to iters) {
             val t = cx.join(broadcast(w), "dim")
               .groupBy("vec_id").agg(ssum(col("x") * col("w")).as("t"))
-            var u = cx.join(t, "vec_id")
-              .groupBy("dim").agg(ssum(col("x") * col("t")).as("u"))
+            var u = graft.ops.SortedFold.sums(
+              cx.join(t, "vec_id").withColumn("xt", col("x") * col("t")),
+              Seq("dim"), col("vec_id"), Seq("xt" -> "u"))
             deflateAgainst.foreach { prev =>
               val withPrev = u.join(broadcast(prev.select(col("dim"), col("w").as("wp"))), "dim")
               val dot = withPrev.agg(ssum(col("u") * col("wp")).as("d"))
@@ -252,13 +268,12 @@ object MLModelQueries extends QueryCatalog {
           .groupBy("vec_id", "label").agg(ssum(col("x") * col("w")).as("pc1"))
         val pc2 = cx.join(broadcast(w2), "dim")
           .groupBy("vec_id").agg(ssum(col("x") * col("w")).as("pc2"))
-        val result = pc1.join(pc2, "vec_id")
-          .groupBy("label")
-          .agg((ssum(abs(col("pc1"))) / count(lit(1))).as("raw1"),
-            (ssum(abs(col("pc2"))) / count(lit(1))).as("raw2"),
-            count(lit(1)).as("n"))
+        val result = graft.ops.SortedFold.means(
+            pc1.join(pc2, "vec_id")
+              .withColumn("a1", abs(col("pc1"))).withColumn("a2", abs(col("pc2"))),
+            Seq("label"), col("vec_id"), Seq("a1" -> "raw1", "a2" -> "raw2"))
           .select(col("label"), round(col("raw1"), 6).as("avg_abs_pc1"),
-            round(col("raw2"), 6).as("avg_abs_pc2"), col("n"))
+            round(col("raw2"), 6).as("avg_abs_pc2"), col("n_fold").as("n"))
           .orderBy("label")
         graft.QueryDef.materialized(result, cx)
       },
@@ -273,11 +288,15 @@ object MLModelQueries extends QueryCatalog {
                  |  FROM ur${p}_$i u JOIN w1_3 w1 USING (dim))""".stripMargin
             else ""
             val uSrc = if (deflate) s"ur${p}_$i" else s"u${p}_$i"
+            val cap = graft.ops.SortedFold.BucketCap
             s"""t${p}_$i AS MATERIALIZED (SELECT vec_id,
                |    list_sum(list_sort(list(c.x * w.w))) AS t
                |  FROM cx c JOIN w${p}_${i - 1} w USING (dim) GROUP BY 1),
-               |$uSrc AS MATERIALIZED (SELECT dim, list_sum(list_sort(list(c.x * t.t))) AS u
-               |  FROM cx c JOIN t${p}_$i t USING (vec_id) GROUP BY 1)$defl,
+               |up${p}_$i AS MATERIALIZED (SELECT dim, c.vec_id // $cap AS bkt,
+               |    list_sum(list_sort(list(c.x * t.t))) AS su
+               |  FROM cx c JOIN t${p}_$i t USING (vec_id) GROUP BY 1, 2),
+               |$uSrc AS MATERIALIZED (SELECT dim, list_sum(list_sort(list(su))) AS u
+               |  FROM up${p}_$i GROUP BY 1)$defl,
                |w${p}_$i AS MATERIALIZED (SELECT dim,
                |    u / (SELECT sqrt(list_sum(list_sort(list(u * u)))) FROM u${p}_$i) AS w
                |  FROM u${p}_$i)""".stripMargin
@@ -286,8 +305,11 @@ object MLModelQueries extends QueryCatalog {
            |    generate_subscripts(embedding, 1) - 1 AS dim,
            |    unnest(embedding)::DOUBLE AS v
            |  FROM embeddings),
-           |mu AS (SELECT dim, list_sum(list_sort(list(v))) / count(*) AS mu
-           |  FROM comps GROUP BY 1),
+           |mup AS (SELECT dim, vec_id // ${graft.ops.SortedFold.BucketCap} AS bkt,
+           |    list_sum(list_sort(list(v))) AS sv, count(*) AS n
+           |  FROM comps GROUP BY 1, 2),
+           |mu AS (SELECT dim, list_sum(list_sort(list(sv))) / sum(n) AS mu
+           |  FROM mup GROUP BY 1),
            |cx AS MATERIALIZED (SELECT vec_id, label, dim, v - mu AS x
            |  FROM comps JOIN mu USING (dim)),
            |w1_0 AS (SELECT DISTINCT dim, 0.125 AS w FROM cx),
@@ -299,13 +321,16 @@ object MLModelQueries extends QueryCatalog {
            |    list_sum(list_sort(list(c.x * w.w))) AS pc1
            |  FROM cx c JOIN w1_3 w USING (dim) GROUP BY vec_id),
            |pc2 AS (SELECT vec_id, list_sum(list_sort(list(c.x * w.w))) AS pc2
-           |  FROM cx c JOIN w2_3 w USING (dim) GROUP BY vec_id)
+           |  FROM cx c JOIN w2_3 w USING (dim) GROUP BY vec_id),
+           |lp AS (SELECT label, vec_id // ${graft.ops.SortedFold.BucketCap} AS bkt,
+           |    list_sum(list_sort(list(abs(pc1)))) AS s1,
+           |    list_sum(list_sort(list(abs(pc2)))) AS s2, count(*) AS n
+           |  FROM pc1 JOIN pc2 USING (vec_id) GROUP BY 1, 2)
            |SELECT label,
-           |  round(list_sum(list_sort(list(abs(pc1)))) / count(*), 6) AS avg_abs_pc1,
-           |  round(list_sum(list_sort(list(abs(pc2)))) / count(*), 6) AS avg_abs_pc2,
-           |  count(*) AS n
-           |FROM pc1 JOIN pc2 USING (vec_id)
-           |GROUP BY label ORDER BY label""".stripMargin
+           |  round(list_sum(list_sort(list(s1))) / sum(n), 6) AS avg_abs_pc1,
+           |  round(list_sum(list_sort(list(s2))) / sum(n), 6) AS avg_abs_pc2,
+           |  CAST(sum(n) AS BIGINT) AS n
+           |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
     // M12+M13 — GBT regression with the hyperparameter grid (reference's

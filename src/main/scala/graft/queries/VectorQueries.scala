@@ -45,9 +45,13 @@ object VectorQueries extends QueryCatalog {
       val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
       assigned = d2.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1).select("vec_id", "cid")
-      centers = assigned.join(rows, "vec_id")
-        .groupBy("cid", "dim")
-        .agg((ssum(col("v")) / count(lit(1))).as("cv"))
+      // Two-level fold (ops.SortedFold): (cid, dim) groups hold one value
+      // per member vector — corpus-proportional, so the single-level sorted
+      // mean was a latent OOM at scale.
+      centers = graft.ops.SortedFold.means(
+          assigned.join(rows, "vec_id"), Seq("cid", "dim"), col("vec_id"),
+          Seq("v" -> "cv"))
+        .select("cid", "dim", "cv")
     }
     (rows, centers, assigned)
   }
@@ -61,9 +65,12 @@ object VectorQueries extends QueryCatalog {
          |      list_sum(list_sort(list((r.v - c.cv) * (r.v - c.cv)))) AS d2
          |    FROM rows_ r JOIN c${i - 1} c USING (dim) GROUP BY 1, 2)
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
-         |c$i AS (SELECT a.cid, r.dim,
-         |    list_sum(list_sort(list(r.v))) / count(*) AS cv
-         |  FROM a$i a JOIN rows_ r USING (vec_id) GROUP BY 1, 2)""".stripMargin
+         |cp$i AS (SELECT a.cid, r.dim, r.vec_id // ${graft.ops.SortedFold.BucketCap} AS bkt,
+         |    list_sum(list_sort(list(r.v))) AS sv, count(*) AS n
+         |  FROM a$i a JOIN rows_ r USING (vec_id) GROUP BY 1, 2, 3),
+         |c$i AS (SELECT cid, dim,
+         |    list_sum(list_sort(list(sv))) / sum(n) AS cv
+         |  FROM cp$i GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
     s"""rows_ AS (SELECT vec_id,
        |    generate_subscripts(embedding, 1) - 1 AS dim,
