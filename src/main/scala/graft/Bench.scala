@@ -123,7 +123,7 @@ object Bench {
         try {
           w.println("{")
           w.println(s""" "sf": "/root/testdata/sf0.1",""")
-          w.println(""" "note": "per-query minimum wall-clock (sec) ever recorded at sf0.1 local[32], reps>=3; Bench flags any run >1.5x its floor and rewrites this file when a new floor is set",""")
+          w.println(""" "note": "per-query minimum wall-clock (sec) ever recorded at sf0.1 local[32], reps>=3; Bench flags any run >1.5x its floor and rewrites this file when a new floor is set; *-trade sources mark deliberate floor resets for documented scale-robustness costs",""")
           w.println(s""" "updated": "${java.time.LocalDate.now()}",""")
           w.println(""" "floors": {""")
           w.println(rows.mkString(",\n"))
