@@ -66,8 +66,9 @@ object StreamScaleEvidence {
     Regime("rate10", 240L, BaseRatePerHour * 10))
 
   /** One time-slice of the corpus: events `[from, until)` of the id range,
-    * hash-placed uniformly inside the slice's event-time interval. */
-  private def slice(s: SparkSession, r: Regime, i: Int): DataFrame = {
+    * hash-placed uniformly inside the slice's event-time interval.
+    * Package-visible so StreamScaleSpec can pin the generator's shape. */
+  private[graft] def slice(s: SparkSession, r: Regime, i: Int): DataFrame = {
     val perFile = r.totalEvents / r.files
     val sliceMicros = HoursPerFile * 3600L * 1000000L
     val t0 = EpochStartMicros + i.toLong * sliceMicros
