@@ -1,0 +1,26 @@
+#!/bin/bash
+# Quiet-window canonical bench: probe host speed with tools/CpuRef.java
+# (the same FNV spin Bench emits as cpu_ref_sec) every ~9 minutes and run
+# the canonical sf0.1 3-rep bench only once the host is at quiet speed.
+# Rationale: BASELINE.md "Machine-speed witness" — VM-host noise windows
+# inflate wall-clocks ~1.5x uniformly, so floors must only be compared
+# (or reset) from runs whose cpu_ref is at the quiet reference.
+#
+# Usage: tools/quietbench.sh [threshold_sec]   (default 0.45)
+set -u
+cd "$(dirname "$0")/.."
+THRESH="${1:-0.45}"
+PROBE_DIR=$(mktemp -d)
+javac -d "$PROBE_DIR" tools/CpuRef.java
+while true; do
+  cpu=$(java -cp "$PROBE_DIR" CpuRef)
+  echo "$(date -u +%FT%TZ) cpu_ref=$cpu (threshold $THRESH)"
+  if python3 -c "import sys; sys.exit(0 if $cpu < $THRESH else 1)"; then
+    echo "quiet window - running canonical bench"
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+      sbt -batch "runMain graft.Bench" 2>&1 | tee /tmp/bench_quiet.log |
+      grep -E '"metric"|FLOOR-REGRESSION|new floors'
+    break
+  fi
+  sleep 540
+done
