@@ -90,14 +90,12 @@ object StreamScaleEvidence {
   /** Write the regime corpus as `r.files` single-file parquets with strictly
     * increasing mtimes (the file-stream source orders batches by mtime). */
   def writeCorpus(s: SparkSession, r: Regime, dir: String): Unit = {
-    val root = new java.io.File(dir)
-    if (root.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(root)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
     }
+    val root = new java.io.File(dir)
+    if (root.exists()) rm(root)
     root.mkdirs()
     val tmp = new java.io.File(root, "_tmp")
     for (i <- 0 until r.files) {
@@ -107,10 +105,6 @@ object StreamScaleEvidence {
       java.nio.file.Files.move(part.toPath, dest.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val _ = dest.setLastModified(1700000000000L + i.toLong * 2000L)
-    }
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
     }
     rm(tmp)
   }
