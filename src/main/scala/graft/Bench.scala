@@ -19,13 +19,36 @@ object Bench {
     // indistinguishable from real regressions. cpu_ref_sec in the bench
     // line makes the window provable: compare against the quiet-window
     // reference recorded in BASELINE.md before reading any floor flag.
+    def fnvSpin(steps: Long): Long = {
+      var h = 1469598103934665603L
+      var i = 0L
+      while (i < steps) { h = (h ^ i) * 1099511628211L; i += 1 }
+      h
+    }
     val cpuRef: Double = {
       def spin(): Double = {
         val t0 = System.nanoTime()
-        var h = 1469598103934665603L
-        var i = 0L
-        while (i < 400000000L) { h = (h ^ i) * 1099511628211L; i += 1 }
-        require(h != 42L) // defeat dead-code elimination
+        require(fnvSpin(400000000L) != 42L) // defeat dead-code elimination
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 3).map(_ => spin()).min
+    }
+    // Parallel companion witness: the same spin on every core at once
+    // (cpus threads x 100M steps). Queries run on local[32], so a window
+    // where single-thread speed holds but parallel throughput drops
+    // (CPU-steal rather than frequency) would be invisible to cpuRef
+    // alone; quiet-host expectation is mt ~= cpuRef/4 x (overcommit
+    // factor), and what matters round over round is each value against
+    // its own reference.
+    val cpuRefMt: Double = {
+      def spin(): Double = {
+        val threads = math.max(1, cpus)
+        val t0 = System.nanoTime()
+        val ts = (1 to threads).map { _ =>
+          new Thread(() => { require(fnvSpin(100000000L) != 42L); () })
+        }
+        ts.foreach(_.start())
+        ts.foreach(_.join())
         (System.nanoTime() - t0) / 1e9
       }
       (1 to 3).map(_ => spin()).min
@@ -168,9 +191,9 @@ object Bench {
     // emit the line both before and after spark.stop so either capture wins.
     val headlineTimes = fmt(results.view.filterKeys(SparkEntry.headline.toSet).toMap)
     val compact =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"cpu_ref_sec":${sec(cpuRef)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)}}"""
     val detail =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"cpu_ref_sec":${sec(cpuRef)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)}}"""
     // Only unfiltered runs may rewrite the committed canonical detail —
     // a filtered dev run would silently replace the 193-query record with
     // its subset.

@@ -13,8 +13,8 @@ THRESH="${1:-0.45}"
 PROBE_DIR=$(mktemp -d)
 javac -d "$PROBE_DIR" tools/CpuRef.java
 while true; do
-  cpu=$(java -cp "$PROBE_DIR" CpuRef)
-  echo "$(date -u +%FT%TZ) cpu_ref=$cpu (threshold $THRESH)"
+  read -r cpu mt <<< "$(java -cp "$PROBE_DIR" CpuRef)"
+  echo "$(date -u +%FT%TZ) cpu_ref=$cpu cpu_ref_mt=$mt (threshold $THRESH)"
   if python3 -c "import sys; sys.exit(0 if $cpu < $THRESH else 1)"; then
     echo "quiet window - running canonical bench"
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
