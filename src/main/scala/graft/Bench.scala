@@ -19,40 +19,10 @@ object Bench {
     // indistinguishable from real regressions. cpu_ref_sec in the bench
     // line makes the window provable: compare against the quiet-window
     // reference recorded in BASELINE.md before reading any floor flag.
-    def fnvSpin(steps: Long): Long = {
-      var h = 1469598103934665603L
-      var i = 0L
-      while (i < steps) { h = (h ^ i) * 1099511628211L; i += 1 }
-      h
-    }
-    val cpuRef: Double = {
-      def spin(): Double = {
-        val t0 = System.nanoTime()
-        require(fnvSpin(400000000L) != 42L) // defeat dead-code elimination
-        (System.nanoTime() - t0) / 1e9
-      }
-      (1 to 3).map(_ => spin()).min
-    }
-    // Parallel companion witness: the same spin on every core at once
-    // (cpus threads x 100M steps). Queries run on local[32], so a window
-    // where single-thread speed holds but parallel throughput drops
-    // (CPU-steal rather than frequency) would be invisible to cpuRef
-    // alone; quiet-host expectation is mt ~= cpuRef/4 x (overcommit
-    // factor), and what matters round over round is each value against
-    // its own reference.
-    val cpuRefMt: Double = {
-      def spin(): Double = {
-        val threads = math.max(1, cpus)
-        val t0 = System.nanoTime()
-        val ts = (1 to threads).map { _ =>
-          new Thread(() => { require(fnvSpin(100000000L) != 42L); () })
-        }
-        ts.foreach(_.start())
-        ts.foreach(_.join())
-        (System.nanoTime() - t0) / 1e9
-      }
-      (1 to 3).map(_ => spin()).min
-    }
+    val cpuRef: Double = graft.ops.CpuWitness.singleThread()
+    // Parallel companion: separates frequency cuts from CPU-steal — see
+    // ops.CpuWitness.
+    val cpuRefMt: Double = graft.ops.CpuWitness.multiThread(cpus)
     val spark = graft.core.GraftSession.local(cpus)
 
     // Warm-up pass at the smallest scale factor (fallback: target dir): JIT +

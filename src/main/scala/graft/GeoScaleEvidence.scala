@@ -72,6 +72,12 @@ object GeoScaleEvidence {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Machine-speed witness header: the wall-clocks below are only
+    // comparable across runs at matching witness values (ops.CpuWitness).
+    println(String.format(java.util.Locale.ROOT,
+      """{"cpu_ref_sec":%.3f,"cpu_ref_mt_sec":%.3f}""",
+      Double.box(graft.ops.CpuWitness.singleThread()),
+      Double.box(graft.ops.CpuWitness.multiThread(cpus))))
     val spark = graft.core.GraftSession.local(cpus)
 
     def timed[A](f: => A): (A, Double) = {

@@ -144,6 +144,13 @@ object StreamScaleEvidence {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Machine-speed witness header: state-row counts below are
+    // noise-immune, but the sec fields are only comparable across runs at
+    // matching witness values (ops.CpuWitness).
+    println(String.format(java.util.Locale.ROOT,
+      """{"cpu_ref_sec":%.3f,"cpu_ref_mt_sec":%.3f}""",
+      Double.box(graft.ops.CpuWitness.singleThread()),
+      Double.box(graft.ops.CpuWitness.multiThread(cpus))))
     val spark = graft.core.GraftSession.local(cpus)
     // span10 replays 100 micro-batches; keep every progress record.
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "500")
