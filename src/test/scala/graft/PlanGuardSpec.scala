@@ -59,6 +59,18 @@ class PlanGuardSpec extends SparkSpec {
       .headOption.exists(_ <= 1000L)
   }
 
+  /** Queries keeping a documented GLOBAL window (empty partitionSpec) over
+    * rows whose bound the planner can't prove: each entry states why the
+    * windowed frame is post-aggregation-bounded, never data-proportional. */
+  private val globalWindowAllowed: Map[String, String] = Map.empty
+
+  /** True when the unpartitioned WindowExec's input has a proven small row
+    * bound (same maxRows proof as [[tinyBuild]]): a global window over a
+    * <=1000-row frame is one task over nothing — fine at any scale. */
+  private def tinyWindow(w: org.apache.spark.sql.execution.window.WindowExec): Boolean =
+    nodes(w.child).view.flatMap(_.logicalLink).flatMap(_.maxRows)
+      .headOption.exists(_ <= 1000L)
+
   test("no declared query plans a cartesian product; nested-loop joins need a tiny build side") {
     val failures = SparkEntry.all.toSeq.sortBy(_._1).flatMap { case (name, d) =>
       val r =
@@ -68,9 +80,15 @@ class PlanGuardSpec extends SparkSpec {
           val badBnlj = all.collect {
             case b: BroadcastNestedLoopJoinExec if !tinyBuild(b) => b
           }
+          val badWin = all.collect {
+            case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty && !tinyWindow(w) => w
+          }
           if (cart) Some(name -> "CartesianProductExec in plan")
           else if (badBnlj.nonEmpty && !bnljAllowed.contains(name))
             Some(name -> "BroadcastNestedLoopJoinExec with unproven build-side bound")
+          else if (badWin.nonEmpty && !globalWindowAllowed.contains(name))
+            Some(name -> "global (unpartitioned) WindowExec with unproven input bound")
           else None
         } catch {
           case e: Throwable => Some(name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(160)}")
