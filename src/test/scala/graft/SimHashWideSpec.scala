@@ -44,6 +44,38 @@ class SimHashWideSpec extends SparkSpec {
     }
   }
 
+  test("blockKey equals a bit-level reference at every width 12..32 (boundary sweep)") {
+    // The two-word combine in blockKey is the fiddly part: for each width,
+    // some block crosses a 60-bit word boundary at a different offset. A
+    // local bit-by-bit extraction is the reference.
+    def refKey(sig: Array[Long], b: Int, width: Int): Long = {
+      var v = 0L
+      for (j <- 0 until width) {
+        val bit = b * width + j
+        if ((sig(bit / SimHashWide.WordBits) >> (bit % SimHashWide.WordBits) & 1L) == 1L)
+          v |= (1L << j)
+      }
+      v
+    }
+    val r = new scala.util.Random(42)
+    val words = 3
+    val sigs = (0L until 50L).map(i => (i, randSig(r, words)))
+    val df = sigs.toDF("doc_id", "sh")
+    for (width <- 12 to 32) {
+      val nBlocks = words * SimHashWide.WordBits / width
+      val keyCols = (0 until nBlocks).map(b =>
+        SimHashWide.blockKey(col("sh"), b, width).as(s"k$b"))
+      val got = df.select(col("doc_id") +: keyCols: _*).collect()
+        .map(row => row.getLong(0) -> (0 until nBlocks).map(b => row.getLong(b + 1))).toMap
+      sigs.foreach { case (i, sig) =>
+        (0 until nBlocks).foreach { b =>
+          assert(got(i)(b) == refKey(sig, b, width),
+            s"width=$width block=$b doc=$i: ${got(i)(b)} != ${refKey(sig, b, width)}")
+        }
+      }
+    }
+  }
+
   test("candidate volume stays sublinear under the adaptive width") {
     // Random (unrelated) signatures at two corpus sizes, each blocked at its
     // OWN planned width: candidates per doc must not grow with n — the
