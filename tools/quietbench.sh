@@ -6,10 +6,17 @@
 # inflate wall-clocks ~1.5x uniformly, so floors must only be compared
 # (or reset) from runs whose cpu_ref is at the quiet reference.
 #
-# Usage: tools/quietbench.sh [threshold_sec]   (default 0.45)
+# Threshold calibration (BASELINE.md "Calibration caveat"): this host
+# measured cpu_ref 0.566 while running the suite AT its floors (178.7 s,
+# 0 flags), so 0.566 is a healthy reading here and the old 0.45 gate
+# would never fire. The witness separates frequency states, but the bad
+# window's query inflation had a component the spin cannot see — treat
+# the gate as "not in an obviously degraded state", not as proof of one.
+#
+# Usage: tools/quietbench.sh [threshold_sec]   (default 0.60)
 set -u
 cd "$(dirname "$0")/.."
-THRESH="${1:-0.45}"
+THRESH="${1:-0.60}"
 PROBE_DIR=$(mktemp -d)
 javac -d "$PROBE_DIR" tools/CpuRef.java
 while true; do
