@@ -2,11 +2,13 @@ package graft
 
 object Bench {
   /** Quiet-window cpu_ref reference (sec for the CpuWitness single-thread
-    * spin). Projected 0.35-0.40 from the measured 1.5x slow-window query
-    * ratio (BASELINE.md "Machine-speed witness"); 0.40 is the conservative
-    * end so normalization under-corrects rather than masking a real
-    * regression. Pin to the measured value when a bench lands in a quiet
-    * window (cpu_ref < 0.45). */
+    * spin), projected 0.35-0.40 from the measured 1.5x slow-window query
+    * ratio. BASELINE.md's calibration caveat records that this host also
+    * ran the suite AT its floors while reading cpu_ref 0.566 — the spin
+    * separates frequency states but not the bad window's full inflation —
+    * so the adjusted flag count this feeds is documented as SECONDARY:
+    * at 0.40 it relaxes ~1.4x on readings this host produces even when
+    * healthy, and the raw count remains the primary signal. */
   val QuietCpuRef = 0.40
 
   def main(args: Array[String]): Unit = {
