@@ -85,6 +85,26 @@ object ScaleEvidence {
           .dropDuplicates("id_a", "id_b").count()
       }
 
+      // Corpus-adaptive multi-word SimHash (ops.SimHashWide) on the SAME
+      // real shingles: candidate volume at width = ceil(log2 n)+margin,
+      // vs the fixed 4x12 measurement above. Real corpora have correlated
+      // signatures (true near-dups), so this is the honest companion to
+      // SimHashWideSpec's random-signature sublinearity measurement.
+      val widePlan = graft.ops.SimHashWide.planFor(nDocs, hamming = 3)
+      val wideSigs = graft.ops.SimHashWide.signatures(
+        shHashed.select("doc_id", "shingle"), widePlan.words)
+      val wideBlocked = wideSigs.select(col("doc_id"),
+        explode(array((0 until widePlan.blocks).map(b =>
+          concat_ws(":", lit(b.toString),
+            graft.ops.SimHashWide.blockKey(col("sh"), b, widePlan.width)
+              .cast("string"))): _*)).as("blk"))
+      val (simwidePairs, tWidePairs) = timed {
+        wideBlocked.as("a").join(wideBlocked.as("b"),
+            col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .dropDuplicates("id_a", "id_b").count()
+      }
+
       // full-query wall-clock on the same corpus (d2/d3/d4/d7 end-to-end)
       val queryTimes = Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
         "d7_tfidf_similarity").map { q =>
@@ -99,7 +119,8 @@ object ScaleEvidence {
       val line =
         s"""{"dir":"$dir","docs":$nDocs,"shingle_pairs":$shinglePairs,""" +
           s""""lsh_pairs":$lshPairs,"simhash_pairs":$simhashPairs,""" +
-          s""""pair_scan_sec":{"shingle":${sec(tShPairs)},"lsh":${sec(tLshPairs)},"simhash":${sec(tSimPairs)}},""" +
+          s""""simwide_pairs":$simwidePairs,"simwide_width":${widePlan.width},"simwide_words":${widePlan.words},""" +
+          s""""pair_scan_sec":{"shingle":${sec(tShPairs)},"lsh":${sec(tLshPairs)},"simhash":${sec(tSimPairs)},"simwide":${sec(tWidePairs)}},""" +
           s""""query_sec":{$qjson}}"""
       println(s"[scale] $line")
       graft.core.GraftSession.releaseTransientBlocks(spark)
