@@ -33,6 +33,12 @@ object Bench {
     // Parallel companion: separates frequency cuts from CPU-steal — see
     // ops.CpuWitness.
     val cpuRefMt: Double = graft.ops.CpuWitness.multiThread(cpus)
+    // Memory-bandwidth companions: the 2026-08-14 window proved the
+    // register-only spin blind to memory-contention inflation (cpu_ref
+    // FASTER than the floor-setting run while the suite ran 1.23x slow);
+    // a streaming pass over 256 MB sees that component — see ops.CpuWitness.
+    val memRef: Double = graft.ops.CpuWitness.memBandwidth()
+    val memRefMt: Double = graft.ops.CpuWitness.memBandwidthMt(cpus)
     val spark = graft.core.GraftSession.local(cpus)
 
     // Warm-up pass at the smallest scale factor (fallback: target dir): JIT +
@@ -58,8 +64,17 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Run-spanning witness: the upfront probes are 1.5 s point samples a
+    // bursty noise window dodges (measured 2026-08-14: all four witnesses
+    // healthy — cpu 0.50/0.15, mem 0.31/0.38 — while the suite ran 1.23x
+    // slow with per-query swings of 1.4-2.8x across same-hour probes). A
+    // quick 100M-step spin every 48 queries spans the whole run; its
+    // min/median/max profile separates steady-slow (all three shifted)
+    // from bursty (max >> min) from quiet (all at reference).
+    val duringSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     val minima = scala.collection.mutable.Map.empty[String, Double]
     for (rep <- 1 to reps) {
+      duringSamples += graft.ops.CpuWitness.quickSpin()
       names.zipWithIndex.foreach { case (name, i) =>
         val t0 = System.nanoTime()
         val ok =
@@ -83,8 +98,10 @@ object Bench {
         // Periodic GC still reaps broadcast blocks (not in getPersistentRDDs);
         // every 8 queries bounds the ~0.3 s/GC overhead across the suite.
         if (i % 8 == 7) System.gc()
+        if (i % 48 == 47) duringSamples += graft.ops.CpuWitness.quickSpin()
       }
     }
+    duringSamples += graft.ops.CpuWitness.quickSpin()
     val results = minima.view
       .mapValues(v => if (v == Double.MaxValue) -1.0 else v).toMap
 
@@ -185,11 +202,23 @@ object Bench {
     // (round-1 BENCH parsed:null). Keep the parseable line SMALL — total +
     // headline per-query times — and put the full per-query map in a file;
     // emit the line both before and after spark.stop so either capture wins.
-    val headlineTimes = fmt(results.view.filterKeys(SparkEntry.headline.toSet).toMap)
+    // Filtered dev runs carry their (small by construction) full map so a
+    // per-query reading never needs the detail file it deliberately skips.
+    val headlineTimes =
+      if (nameFilter.isDefined) fmt(results)
+      else fmt(results.view.filterKeys(SparkEntry.headline.toSet).toMap)
+    // The interleaved spin profile (see duringSamples above): min ~ the
+    // host's best rate this run, max the worst burst a query stage may
+    // have absorbed, median the typical state. Scaled x4 to the 400M-step
+    // cpu_ref_sec unit so all witness numbers read on one scale.
+    val during = duringSamples.map(_ * 4.0).sorted
+    val duringJson =
+      if (during.isEmpty) "null"
+      else s"""{"min":${sec(during.head)},"med":${sec(during(during.size / 2))},"max":${sec(during.last)},"n":${during.size}}"""
     val compact =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"cpu_ref_during":$duringJson}"""
     val detail =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"cpu_ref_during":$duringJson}"""
     // Only unfiltered runs may rewrite the committed canonical detail —
     // a filtered dev run would silently replace the 193-query record with
     // its subset.

@@ -37,6 +37,15 @@ object CpuWitness {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+  /** One RAW 100M-step sample (~0.12 s quiet), deliberately NOT min-of-n:
+    * Bench interleaves these with the suite so the collected profile keeps
+    * the noise a best-of probe is designed to dodge. */
+  def quickSpin(): Double = {
+    val t0 = System.nanoTime()
+    require(fnvSpin(100000000L) != 42L)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def multiThread(threads: Int): Double =
     (1 to 3).map { _ =>
       val n = math.max(1, threads)
@@ -48,4 +57,76 @@ object CpuWitness {
       ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }.min
+
+  // ---- memory-bandwidth witness ----
+  //
+  // The FNV spin runs entirely in registers, so a window whose inflation
+  // comes from MEMORY contention is invisible to it — measured 2026-08-14:
+  // cpu_ref 0.49 (faster than the floor-setting run's 0.566) while the
+  // suite ran 1.23x slow and stage-bound queries swung 1.4-2.8x across
+  // probes in the same hour. A streaming pass over an array far larger
+  // than L3 is bounded by the memory system and sees exactly that
+  // component. 32M longs = 256 MB; 8 sequential sum passes = 2 GB of
+  // traffic per sample, min of 3 samples.
+
+  private val MemWords = 1 << 25
+  private val MemPasses = 8
+
+  private def memArray(): Array[Long] = {
+    val a = new Array[Long](MemWords)
+    var i = 0
+    while (i < MemWords) { a(i) = i.toLong * 0x9E3779B97F4A7C15L; i += 1 }
+    a
+  }
+
+  /** One full sequential pass set starting at `start` (wrapping): the
+    * stagger matters for the MT probe — threads launched at the same
+    * offset ride each other's cache lines (one memory fetch serves all n,
+    * measured: 32 threads ≈ 1 thread's wall), so each starts 1/n of the
+    * array apart and the streams are genuinely distinct memory traffic. */
+  private def memSum(a: Array[Long], start: Int): Long = {
+    var s = 0L
+    var pass = 0
+    while (pass < MemPasses) {
+      var c = 0
+      var j = start
+      while (c < MemWords) {
+        s += a(j)
+        j += 1; if (j == MemWords) j = 0
+        c += 1
+      }
+      pass += 1
+    }
+    s
+  }
+
+  /** Single-thread streaming-read bandwidth sample (sec for 2 GB). */
+  def memBandwidth(): Double = {
+    val a = memArray()
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      require(memSum(a, 0) != 42L)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
+
+  /** All-core aggregate-bandwidth sample: `threads` readers stream the
+    * same 256 MB array concurrently from STAGGERED offsets (read-only
+    * sharing, no extra footprint, distinct stream positions), sec for
+    * threads x 2 GB. Co-tenant memory contention shows here first: the
+    * bus saturates before per-core ALUs do. */
+  def memBandwidthMt(threads: Int): Double = {
+    val a = memArray()
+    val n = math.max(1, threads)
+    (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      val ts = (0 until n).map { i =>
+        val start = ((i.toLong * MemWords) / n).toInt
+        new Thread(() => { require(memSum(a, start) != 42L); () })
+      }
+      ts.foreach(_.start())
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }.min
+  }
 }

@@ -13,16 +13,25 @@
 # window's query inflation had a component the spin cannot see — treat
 # the gate as "not in an obviously degraded state", not as proof of one.
 #
-# Usage: tools/quietbench.sh [threshold_sec]   (default 0.60)
+# The 2026-08-14 window (BASELINE.md "Memory-bandwidth witness") proved a
+# window can inflate the suite 1.23x while cpu_ref reads FAST — memory
+# contention the register spin cannot see. The probe now also prints the
+# mem witnesses; the gate additionally requires mem_ref_mt below its
+# threshold once BASELINE.md pins a quiet reference for it.
+#
+# Usage: tools/quietbench.sh [threshold_sec] [mem_mt_threshold_sec]
+#   (defaults 0.60 / 2.0 — the mem default is provisional until a
+#    clean-floor run pins the quiet reference)
 set -u
 cd "$(dirname "$0")/.."
 THRESH="${1:-0.60}"
+MEM_THRESH="${2:-2.0}"
 PROBE_DIR=$(mktemp -d)
 javac -d "$PROBE_DIR" tools/CpuRef.java
 while true; do
-  read -r cpu mt <<< "$(java -cp "$PROBE_DIR" CpuRef)"
-  echo "$(date -u +%FT%TZ) cpu_ref=$cpu cpu_ref_mt=$mt (threshold $THRESH)"
-  if python3 -c "import sys; sys.exit(0 if $cpu < $THRESH else 1)"; then
+  read -r cpu mt mem memmt <<< "$(java -cp "$PROBE_DIR" CpuRef)"
+  echo "$(date -u +%FT%TZ) cpu_ref=$cpu cpu_ref_mt=$mt mem_ref=$mem mem_ref_mt=$memmt (thresholds $THRESH/$MEM_THRESH)"
+  if python3 -c "import sys; sys.exit(0 if $cpu < $THRESH and $memmt < $MEM_THRESH else 1)"; then
     echo "quiet window - running canonical bench"
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
       sbt -batch "runMain graft.Bench" 2>&1 | tee /tmp/bench_quiet.log |
