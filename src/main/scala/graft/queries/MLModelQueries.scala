@@ -222,7 +222,7 @@ object MLModelQueries extends QueryCatalog {
         val iters = 3
         def ssum(c: org.apache.spark.sql.Column) =
           graft.functions.VectorExpr.vecSeqSumD(sort_array(collect_list(c)))
-        val comps = Tables.embeddings(s, dir)
+        val comps = Tables.fanout(Tables.embeddings(s, dir))
           .select(col("vec_id"), col("label"), posexplode(col("embedding")))
           .select(col("vec_id"), col("label"), col("pos").as("dim"),
             col("col").cast("double").as("v"))
@@ -240,9 +240,12 @@ object MLModelQueries extends QueryCatalog {
           for (_ <- 1 to iters) {
             val t = cx.join(broadcast(w), "dim")
               .groupBy("vec_id").agg(ssum(col("x") * col("w")).as("t"))
-            var u = graft.ops.SortedFold.sums(
+            // Cut u before deflation: the deflated select and its dot-product
+            // aggregate BOTH consume u, so left lazy the corpus-sized fold
+            // behind it evaluates twice per deflation round. u is 64 rows.
+            var u = graft.core.Materialize.cut(graft.ops.SortedFold.sums(
               cx.join(t, "vec_id").withColumn("xt", col("x") * col("t")),
-              Seq("dim"), col("vec_id"), Seq("xt" -> "u"))
+              Seq("dim"), col("vec_id"), Seq("xt" -> "u")))
             deflateAgainst.foreach { prev =>
               val withPrev = u.join(broadcast(prev.select(col("dim"), col("w").as("wp"))), "dim")
               val dot = withPrev.agg(ssum(col("u") * col("wp")).as("d"))

@@ -30,7 +30,11 @@ object VectorQueries extends QueryCatalog {
     * mirrored CTE fragments in [[lloydSql]]. */
   private def lloyd(s: org.apache.spark.sql.SparkSession, dir: String,
       k: Int = 4, iters: Int = 2) = {
-    val rows = Tables.embeddings(s, dir)
+    // fanout BEFORE the 64x explode: the embeddings parquet arrives as one
+    // split, and without it every Lloyd join/fold stage inherits 1-2 tasks
+    // (measured at the 10x corpus: 95 s single-task argmin stages, 31 cores
+    // idle, v5 141 s total).
+    val rows = Tables.fanout(Tables.embeddings(s, dir))
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos").as("dim"), col("col").cast("double").as("v"))
       .persist()
@@ -43,15 +47,23 @@ object VectorQueries extends QueryCatalog {
         .groupBy("vec_id", "cid")
         .agg(ssum(col("t")).as("d2"))
       val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
-      assigned = d2.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select("vec_id", "cid")
+      // Per-round lineage cuts (the GraphOps/t15 idiom): assigned feeds BOTH
+      // the recenter fold and the caller's probe join, and centers feeds the
+      // next round's d2 — left lazy, each round's corpus-sized argmin join
+      // re-evaluates once per consumer (measured at the 10x corpus: the
+      // iteration-1 join ran 2-3x inside one action, ~100 s of repeated
+      // single-stage work). Both frames are rows<<corpus, so the cut is free.
+      assigned = graft.core.Materialize.cut(
+        d2.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).select("vec_id", "cid"))
       // Two-level fold (ops.SortedFold): (cid, dim) groups hold one value
       // per member vector — corpus-proportional, so the single-level sorted
       // mean was a latent OOM at scale.
-      centers = graft.ops.SortedFold.means(
-          assigned.join(rows, "vec_id"), Seq("cid", "dim"), col("vec_id"),
-          Seq("v" -> "cv"))
-        .select("cid", "dim", "cv")
+      centers = graft.core.Materialize.cut(
+        graft.ops.SortedFold.means(
+            assigned.join(rows, "vec_id"), Seq("cid", "dim"), col("vec_id"),
+            Seq("v" -> "cv"))
+          .select("cid", "dim", "cv"))
     }
     (rows, centers, assigned)
   }
@@ -292,7 +304,7 @@ object VectorQueries extends QueryCatalog {
         val subDim = 8 // Dim / M subspaces of 8 dims each
         val k = 16; val iters = 2; val shortlist = 20; val topk = 5
         val trainN = 500L // codebooks train on a deterministic prefix sample
-        val rows = Tables.embeddings(s, dir)
+        val rows = Tables.fanout(Tables.embeddings(s, dir))
           .select(col("vec_id"), posexplode(col("embedding")))
           .select(col("vec_id"), expr(s"pos div $subDim").as("m"), col("pos").as("dim"),
             col("col").cast("double").as("v"))
@@ -310,9 +322,13 @@ object VectorQueries extends QueryCatalog {
           val w = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
           val assigned = d2.withColumn("rn", row_number().over(w))
             .filter(col("rn") === 1).select("vec_id", "m", "cid")
-          centers = assigned.join(train, Seq("vec_id", "m"))
-            .groupBy(col("m").as("cm"), col("cid"), col("dim"))
-            .agg((ssum(col("v")) / count(lit(1))).as("cv"))
+          // Per-round cut (the lloyd idiom): the post-loop centers feed BOTH
+          // the corpus encode pass and the ADC table — left lazy the whole
+          // training chain re-evaluates once per consumer.
+          centers = graft.core.Materialize.cut(
+            assigned.join(train, Seq("vec_id", "m"))
+              .groupBy(col("m").as("cm"), col("cid"), col("dim"))
+              .agg((ssum(col("v")) / count(lit(1))).as("cv")))
         }
         val codes = rows.join(broadcast(centers.drop("cm")), "dim")
           .withColumn("t", (col("v") - col("cv")) * (col("v") - col("cv")))
@@ -405,6 +421,10 @@ object VectorQueries extends QueryCatalog {
     // sums — the 100 TB path (no driver-side centroid math).
     "v4_ivf_assign" -> QueryDef(
       (s, dir) => {
+        // No fanout here: v4 is single-pass (one agg + one broadcast join
+        // over an UNPERSISTED comps), so the repartition's two extra
+        // shuffle stages cost more than the single-task explode they
+        // spread (measured at both scales; the iterative family differs).
         val e = Tables.embeddings(s, dir)
         val comps = e.select(col("vec_id"), col("label"),
           posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -546,7 +566,7 @@ object VectorQueries extends QueryCatalog {
     // under an IVF list scan; the stats frame is 64 rows broadcast.
     "v9_sq8_search" -> QueryDef(
       (s, dir) => {
-        val rows = Tables.embeddings(s, dir)
+        val rows = Tables.fanout(Tables.embeddings(s, dir))
           .select(col("vec_id"), posexplode(col("embedding")))
           .select(col("vec_id"), col("pos").as("dim"), col("col").cast("double").as("v"))
         val stats = rows.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
