@@ -566,9 +566,15 @@ object VectorQueries extends QueryCatalog {
     // under an IVF list scan; the stats frame is 64 rows broadcast.
     "v9_sq8_search" -> QueryDef(
       (s, dir) => {
+        // Persist the explode output AND the code frame: rows feeds stats +
+        // the code build, codes feeds the probe table + the distance scan —
+        // left lazy the scan/fanout/explode chain re-evaluates four times
+        // (the single-task form of that chain was the 10x-corpus cost; the
+        // cache makes the fanout shuffle a one-time cost at any scale).
         val rows = Tables.fanout(Tables.embeddings(s, dir))
           .select(col("vec_id"), posexplode(col("embedding")))
           .select(col("vec_id"), col("pos").as("dim"), col("col").cast("double").as("v"))
+          .persist()
         val stats = rows.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
         val codes = rows.join(broadcast(stats), "dim")
           .withColumn("code",
@@ -576,6 +582,7 @@ object VectorQueries extends QueryCatalog {
               round((col("v") - col("mn")) / (col("mx") - col("mn")) * 255.0))
               .otherwise(lit(0.0)).cast("long"))
           .select("vec_id", "dim", "code")
+          .persist()
         val probes = codes.filter(col("vec_id") < 5)
           .select(col("vec_id").as("probe_id"), col("dim"), col("code").as("qcode"))
         val d2q = codes.join(broadcast(probes), "dim")
@@ -591,10 +598,12 @@ object VectorQueries extends QueryCatalog {
             .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))), "probe_id")
           .withColumn("cos", round(VectorExpr.vecCosine(col("embedding"), col("pe")), 6))
         val w2 = Window.partitionBy("probe_id").orderBy(desc("cos"), col("vec_id"))
-        rerank.withColumn("rn2", row_number().over(w2)).filter(col("rn2") <= 5)
-          .select(col("probe_id"), col("rn2").as("rn"), col("vec_id").as("neighbor"),
-            col("cos"), col("d2q"))
-          .orderBy("probe_id", "rn")
+        graft.QueryDef.materialized(
+          rerank.withColumn("rn2", row_number().over(w2)).filter(col("rn2") <= 5)
+            .select(col("probe_id"), col("rn2").as("rn"), col("vec_id").as("neighbor"),
+              col("cos"), col("d2q"))
+            .orderBy("probe_id", "rn"),
+          rows, codes)
       },
       Some(s"""WITH rows_ AS (SELECT vec_id,
              |    generate_subscripts(embedding, 1) - 1 AS dim,
