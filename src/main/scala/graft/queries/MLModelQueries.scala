@@ -41,25 +41,18 @@ object MLModelQueries extends QueryCatalog {
     var assigned = pts
     for (_ <- 1 to iters) {
       val w = Window.partitionBy("id").orderBy(col("d2"), col("cid"))
-      // Per-round lineage cuts (the VectorQueries.lloyd idiom): assigned
-      // feeds the recenter fold AND the caller (m22 reuses it three ways),
-      // centers feeds the next round — left lazy each round's corpus-wide
-      // argmin re-evaluates once per consumer at scale. Both frames are
-      // small relative to the corpus-sized join they truncate.
-      assigned = graft.core.Materialize.cut(
-        pts.crossJoin(broadcast(centers))
-          .withColumn("d2",
-            pow(col("x") - col("cx"), 2) + pow(col("y") - col("cy"), 2))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select("id", "x", "y", "cid"))
+      assigned = pts.crossJoin(broadcast(centers))
+        .withColumn("d2",
+          pow(col("x") - col("cx"), 2) + pow(col("y") - col("cy"), 2))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("id", "x", "y", "cid")
       // Two-level fold (ops.SortedFold): cluster membership is
       // corpus-proportional, so the single-level sorted mean's per-cluster
       // array was a latent OOM at scale; the bucketed form keeps the
       // cross-engine bit-exactness with bounded arrays.
-      centers = graft.core.Materialize.cut(
-        graft.ops.SortedFold.means(
-            assigned, Seq("cid"), col("id"), Seq("x" -> "cx", "y" -> "cy"))
-          .select("cid", "cx", "cy"))
+      centers = graft.ops.SortedFold.means(
+          assigned, Seq("cid"), col("id"), Seq("x" -> "cx", "y" -> "cy"))
+        .select("cid", "cx", "cy")
     }
     (assigned, centers)
   }
