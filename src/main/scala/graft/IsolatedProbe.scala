@@ -1,0 +1,53 @@
+package graft
+
+/** Fresh-JVM re-probe of named queries — the mechanical second half of the
+  * floor protocol.
+  *
+  * A full-suite Bench run carries ~190 queries' checkpointed state, block
+  * churn and GC history; BASELINE.md documents a contention class that is
+  * LOCKED to suite position (round 3: d3/d4/d5; round 6: v7 read 31.5 s in
+  * all three suite reps vs 2.5 s isolated, same commit). A floor flag from
+  * the suite therefore has two readings — "this query regressed" and "this
+  * query's suite position is hostile" — and only a fresh-JVM probe taken in
+  * the SAME host window can split them: still slow in isolation ⇒ real (or
+  * the window itself); fast ⇒ suite-position effect, not a code regression.
+  *
+  * Bench spawns this main (same classpath, same JVM flags) for the queries
+  * whose cpu-adjusted floor flags survived, parses the one-line JSON it
+  * prints, and embeds it as `isolated_recheck` in the bench record.
+  *
+  * Protocol per query: run twice, report the min — the first run pays
+  * whole-stage-codegen compilation for shapes the suite's warm pass had
+  * already amortized, so a single sample would read systematically high.
+  * Blocks are swept between queries exactly as the suite sweeps them.
+  *
+  * Args: sfDir cpus name1,name2,...
+  * Output: single stdout line `ISOLATED {"name":sec,...}`.
+  */
+object IsolatedProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = args(1).toInt
+    val names = args(2).split(',').toSeq.filter(SparkEntry.queries.contains)
+    val spark = graft.core.GraftSession.local(cpus)
+    def sec(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val out = names.map { name =>
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[isolated] $name FAILED: ${e.getMessage}"); false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.core.GraftSession.releaseTransientBlocks(spark)
+        if (ok) dt else -1.0
+      }
+      val best = if (samples.exists(_ >= 0.0)) samples.filter(_ >= 0.0).min else -1.0
+      s""""$name":${sec(best)}"""
+    }
+    println("ISOLATED " + out.mkString("{", ",", "}"))
+    spark.stop()
+  }
+}

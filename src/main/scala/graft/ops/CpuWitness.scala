@@ -101,22 +101,23 @@ object CpuWitness {
   }
 
   /** Single-thread streaming-read bandwidth sample (sec for 2 GB). */
-  def memBandwidth(): Double = {
-    val a = memArray()
+  def memBandwidth(): Double = memBandwidth(memArray())
+
+  private def memBandwidth(a: Array[Long]): Double =
     (1 to 3).map { _ =>
       val t0 = System.nanoTime()
       require(memSum(a, 0) != 42L)
       (System.nanoTime() - t0) / 1e9
     }.min
-  }
 
   /** All-core aggregate-bandwidth sample: `threads` readers stream the
     * same 256 MB array concurrently from STAGGERED offsets (read-only
     * sharing, no extra footprint, distinct stream positions), sec for
     * threads x 2 GB. Co-tenant memory contention shows here first: the
     * bus saturates before per-core ALUs do. */
-  def memBandwidthMt(threads: Int): Double = {
-    val a = memArray()
+  def memBandwidthMt(threads: Int): Double = memBandwidthMt(threads, memArray())
+
+  private def memBandwidthMt(threads: Int, a: Array[Long]): Double = {
     val n = math.max(1, threads)
     (1 to 3).map { _ =>
       val t0 = System.nanoTime()
@@ -128,5 +129,15 @@ object CpuWitness {
       ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }.min
+  }
+
+  /** Both bandwidth probes over ONE shared 256 MB array (st, mt): the
+    * separate no-arg entry points each allocate their own array, so a
+    * caller using both peaks ~512 MB of probe heap if the first array
+    * outlives its call — this is the form Bench uses (and the standalone
+    * twin tools/CpuRef.java mirrors). */
+  def memWitness(threads: Int): (Double, Double) = {
+    val a = memArray()
+    (memBandwidth(a), memBandwidthMt(threads, a))
   }
 }
