@@ -40,10 +40,88 @@ import org.apache.spark.storage.StorageLevel
   */
 object Knn {
 
+  /** Escalation telemetry for one [[neighbors]] run: probes left unproven
+    * after ring 1 and after ring 2 (the latter take the fallback scan). */
+  final case class Stats(ring1Failed: Long, ring2Failed: Long)
+
+  /** Data-derived grid cell: aim for E[distinct locations per cell] ≈
+    * `target`·k, so the ring-1 exactness proof succeeds for the typical
+    * probe and the candidate join stays ~9·`target`·k rows per probe
+    * REGARDLESS of corpus size or extent.
+    *
+    * Why this exists (GEOSCALE_r06): the proof "k-th candidate ≤ ring·cell"
+    * is density-sensitive — at E[locations per cell] ≈ k the 3×3 test fails
+    * for ~15% of probes and a hand-picked cell silently pushed 45% of
+    * probes into the probes×corpus fallback at one tested density (41 s at
+    * 15k points). The rule was scaladoc ("choose cell so E[neighbors within
+    * one cell radius] >> k"); this computes it from the data in two cheap
+    * aggregations over the collapsed location frame:
+    *
+    *  1. uniform estimate: cell0 = sqrt(target·k / (n_locs / bbox_area)) —
+    *     right when density is roughly even;
+    *  2. skew refinement: per-cell counts at cell0, location-weighted
+    *     median c_med (the cell occupancy the TYPICAL point actually sees —
+    *     the unweighted cell median would be dragged to 1 by acres of
+    *     near-empty cells), rescaled by sqrt(target·k / c_med) since
+    *     occupancy ∝ cell². The count histogram (distinct occupancy values,
+    *     ≤ ~thousands) is the only thing collected to the driver.
+    *
+    * Coincident mass is collapsed before either step, so a geocoding
+    * default with 10⁶ rows at one coordinate counts as ONE location. */
+  def autoCellSize(points: DataFrame, k: Int, target: Double = 4.0): Double = {
+    val locs = points.groupBy("x", "y").agg(count(lit(1)).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bb = locs.agg(count(lit(1)).as("n"),
+        min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1")).head()
+      val n = bb.getLong(0)
+      if (n <= 1) return 1.0
+      val spanX = bb.getDouble(2) - bb.getDouble(1)
+      val spanY = bb.getDouble(4) - bb.getDouble(3)
+      // Degenerate extents (all points collinear/coincident): fall back to
+      // the larger span so the grid still has >1 cell per axis that varies.
+      val area = math.max(spanX, 1e-12) * math.max(spanY, 1e-12)
+      val cell0 = math.sqrt(target * k * area / n)
+      // Occupancy histogram at cell0: (cell count c) -> (locations in such
+      // cells). Small by construction — distinct occupancy values.
+      val hist = locs
+        .withColumn("cx", floor(col("x") / cell0))
+        .withColumn("cy", floor(col("y") / cell0))
+        .groupBy("cx", "cy").agg(count(lit(1)).as("c"))
+        .groupBy("c").agg(sum("c").as("locs"))
+        .select("c", "locs")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1)
+      var cum = 0L
+      var cMed = 1L
+      val half = (n + 1) / 2
+      for ((c, w) <- hist if cum < half) { cum += w; cMed = c }
+      // Rescale toward target·k occupancy; clamp to one octave each way so a
+      // pathological histogram can't push the cell to a degenerate size.
+      val scale = math.sqrt(target * k / math.max(cMed.toDouble, 1.0))
+      cell0 * math.min(2.0, math.max(0.5, scale))
+    } finally locs.unpersist()
+  }
+
+  /** [[neighbors]] with the grid cell derived from the data — the form
+    * callers should prefer when the corpus density is not known a priori. */
+  def neighborsAuto(points: DataFrame, k: Int,
+                    maxCellCount: Int = graft.ops.GridGuard.DefaultMaxCellCount): DataFrame =
+    neighbors(points, k, autoCellSize(points, k), maxCellCount)
+
   /** `points`: (id, x, y). Returns (id, nbr_id, d2, rn) with rn = 1..k by
     * ascending squared distance, ties broken by neighbor id. */
   def neighbors(points: DataFrame, k: Int, cellSize: Double,
-                maxCellCount: Int = graft.ops.GridGuard.DefaultMaxCellCount): DataFrame = {
+                maxCellCount: Int = graft.ops.GridGuard.DefaultMaxCellCount): DataFrame =
+    neighborsWithStats(points, k, cellSize, maxCellCount)._1
+
+  /** [[neighbors]] plus escalation telemetry (ring-1/ring-2 failure counts)
+    * so harnesses and specs can assert the grid was sized sanely instead of
+    * inferring it from wall-clock. */
+  def neighborsWithStats(points: DataFrame, k: Int, cellSize: Double,
+                maxCellCount: Int = graft.ops.GridGuard.DefaultMaxCellCount): (DataFrame, Stats) = {
     val locs = points.groupBy("x", "y")
       .agg(min("id").as("lid"), count(lit(1)).as("w"))
       .withColumn("cx", floor(col("x") / cellSize))
@@ -133,11 +211,12 @@ object Knn {
     val nFailed1 = failed1.persist(StorageLevel.MEMORY_AND_DISK).count()
     cleanup += failed1
 
+    var nFailed2 = 0L
     val out =
       if (nFailed1 == 0) graft.core.Materialize.cut(exact1)
       else {
         val (exact2, failed2) = pass(failed1, 2)
-        val nFailed2 = failed2.persist(StorageLevel.MEMORY_AND_DISK).count()
+        nFailed2 = failed2.persist(StorageLevel.MEMORY_AND_DISK).count()
         cleanup += failed2
         val upToRing2 = exact1.unionByName(exact2)
         val full =
@@ -166,6 +245,6 @@ object Knn {
         graft.core.Materialize.cut(full)
       }
     cleanup.foreach(_.unpersist())
-    out
+    (out, Stats(nFailed1, nFailed2))
   }
 }

@@ -20,10 +20,10 @@ object MLQueries extends QueryCatalog {
     * so the grid kNN runs once, not once per query (ops.Staged). */
   private def custKnn5(s: SparkSession, dir: String) =
     graft.ops.Staged(s, s"custknn5:$dir") {
-      graft.ml.Knn.neighbors(
+      graft.ml.Knn.neighborsAuto(
         Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
           .select(col("c_custkey").as("id"), col("lon").as("x"), col("lat").as("y")),
-        k = 5, cellSize = 0.03)
+        k = 5)
     }
 
   /** LISA permutation p-values at any rep count (m10b runs the oracle-checked
@@ -109,7 +109,10 @@ object MLQueries extends QueryCatalog {
       (s, dir) => {
         val pts = Tables.withSyntheticPoint(Tables.customer(s, dir), "c_custkey")
           .select(col("c_custkey").as("id"), col("lon").as("x"), col("lat").as("y"))
-        val kdist = graft.ml.Knn.neighbors(pts, k = 4, cellSize = 0.02)
+        // Auto-sized grid cell (Knn.autoCellSize): the hand-picked 0.02 sat
+        // exactly at the E[locations per cell] ≈ k failure boundary GEOSCALE
+        // measured (15% ring-1 failures, 45% fallback at one density).
+        val kdist = graft.ml.Knn.neighborsAuto(pts, k = 4)
           .filter(col("rn") === 4)
           .select(col("aid").as("id"), round(sqrt(col("d2")), 10).as("kdist"))
         // Curve position via the distributed prefix helper (per-point rows are

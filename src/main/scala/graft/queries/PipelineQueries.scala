@@ -7,7 +7,8 @@ import graft.pipelines.Pipelines
   * deterministic compositions of oracle-checked operators, so the composed
   * runs get exact DuckDB oracles too (DBSCAN/SSSP via recursive CTEs —
   * same fragments as the m1/g2/g3 component oracles). lab2 embeds a GBT
-  * fit, which isn't DuckDB-expressible: rows>0 check + MlPipelinesSpec. */
+  * fit, which isn't DuckDB-expressible — it emits an oracle-checkable
+  * verdict row instead (exact split sizes + MlBands booleans). */
 object PipelineQueries extends QueryCatalog {
 
   def defs: Map[String, QueryDef] = Map(
@@ -71,7 +72,14 @@ object PipelineQueries extends QueryCatalog {
              |peak AS (SELECT hod AS peak_hour FROM hod ORDER BY cnt DESC, hod DESC LIMIT 1)
              |SELECT * FROM clus, periods, peak""".stripMargin)),
 
-    "lab2_trip_duration" -> QueryDef((s, dir) => Pipelines.tripDuration(s, dir)),
+    "lab2_trip_duration" -> QueryDef((s, dir) => Pipelines.tripDuration(s, dir),
+      // The GBT fit itself isn't DuckDB-expressible; the verdict row is
+      // (m12 pattern): exact hash-split sizes + in-engine band booleans.
+      Some("""SELECT
+             |  CAST(sum(CASE WHEN (l_orderkey * 2654435761) % 100 >= 70 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+             |  CAST(sum(CASE WHEN (l_orderkey * 2654435761) % 100 < 70 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             |  true AS mae_ok, true AS rmse_ok, true AS r2_ok
+             |FROM lineitem""".stripMargin)),
 
     "lab3_road_network" -> QueryDef(
       (s, dir) => Pipelines.roadNetwork(s, dir),

@@ -52,4 +52,31 @@ class KnnSpec extends SparkSpec {
     val pts = Seq((1L, 0.0, 0.0), (2L, 5.0, 5.0), (3L, 9.0, 0.0))
     assert(grid(pts, k = 5, cell = 0.5) === brute(pts, k = 5))
   }
+
+  test("auto cell on the coincident corpus: exact, zero escalations past ring 2") {
+    // GEOSCALE's coincident pathology at spec scale: 90% of points on 20
+    // exact coordinates, 10% spread. A mis-sized cell at this density pushed
+    // 45% of probes into the probes×corpus fallback (the measured
+    // 41-s-at-15k-points trap); the data-derived cell must keep every probe
+    // provable by ring 2.
+    val df = GeoScaleEvidence.coincident(spark, 2000L)
+    val k = 5
+    val cell = graft.ml.Knn.autoCellSize(df, k)
+    assert(cell > 0.0 && cell.isFinite)
+    val (nbrs, stats) = graft.ml.Knn.neighborsWithStats(df, k, cell)
+    val got = nbrs.select(col("aid"), col("bid"), col("rn"))
+      .as[(Long, Long, Int)].collect().toSet
+    val pts = df.select(col("id"), col("x"), col("y"))
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got === brute(pts, k))
+    assert(stats.ring2Failed === 0L,
+      s"auto cell $cell left ${stats.ring2Failed} probes for the fallback scan")
+  }
+
+  test("auto cell targets ~target*k locations per cell on a uniform corpus") {
+    val pts = (0L until 400L).map(i => (i, (i * 7919 % 1000) / 100.0, (i * 104729 % 1000) / 100.0))
+    val cell = graft.ml.Knn.autoCellSize(pts.toDF("id", "x", "y"), 4)
+    // 400 locations over ~10x10: density 4/unit^2, target 4*4=16 -> cell ~2.
+    assert(cell > 0.5 && cell < 8.0, s"cell $cell outside sane band")
+  }
 }
