@@ -15,17 +15,21 @@
 #
 # The 2026-08-14 window (BASELINE.md "Memory-bandwidth witness") proved a
 # window can inflate the suite 1.23x while cpu_ref reads FAST — memory
-# contention the register spin cannot see. The probe now also prints the
-# mem witnesses; the gate additionally requires mem_ref_mt below its
-# threshold once BASELINE.md pins a quiet reference for it.
+# contention the register spin cannot see. The gate therefore also
+# requires mem_ref_mt below 1.5x its pinned quiet reference.
+#
+# Pinned quiet references (round 7, BASELINE.md "Pinned quiet
+# references"; keep in sync with graft.Bench.Quiet*): cpu_ref 0.49,
+# mem_ref 0.273, mem_ref_mt 0.357 — observed floors over all recorded
+# runs. Gates sit above the healthy band (cpu 0.49-0.57 observed while
+# running AT floors), not at the floor itself.
 #
 # Usage: tools/quietbench.sh [threshold_sec] [mem_mt_threshold_sec]
-#   (defaults 0.60 / 2.0 — the mem default is provisional until a
-#    clean-floor run pins the quiet reference)
+#   (defaults 0.60 / 0.55 ~= 1.5x the pinned mem_ref_mt quiet 0.357)
 set -u
 cd "$(dirname "$0")/.."
 THRESH="${1:-0.60}"
-MEM_THRESH="${2:-2.0}"
+MEM_THRESH="${2:-0.55}"
 PROBE_DIR=$(mktemp -d)
 javac -d "$PROBE_DIR" tools/CpuRef.java
 while true; do
