@@ -17,12 +17,12 @@ object Bench {
   val QuietCpuRef = 0.49
 
   /** Quiet memory-bandwidth references (same pinning protocol): observed
-    * floors mem_ref 0.273 / mem_ref_mt 0.357 over all recorded runs.
+    * floors mem_ref 0.266 / mem_ref_mt 0.342 over all recorded runs.
     * mem_ref_mt is the gate-worthy one — co-tenant memory contention
     * saturates the bus before per-core ALUs (the 2026-08-14 1.23x window
     * read cpu_ref QUIET while the suite inflated). */
-  val QuietMemRef = 0.273
-  val QuietMemRefMt = 0.357
+  val QuietMemRef = 0.266
+  val QuietMemRefMt = 0.342
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

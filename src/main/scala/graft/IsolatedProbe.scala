@@ -16,10 +16,13 @@ package graft
   * whose cpu-adjusted floor flags survived, parses the one-line JSON it
   * prints, and embeds it as `isolated_recheck` in the bench record.
   *
-  * Protocol per query: run twice, report the min — the first run pays
-  * whole-stage-codegen compilation for shapes the suite's warm pass had
-  * already amortized, so a single sample would read systematically high.
-  * Blocks are swept between queries exactly as the suite sweeps them.
+  * Protocol per query: one UNTIMED warm run at the smallest scale factor
+  * (JIT + whole-stage-codegen is per-query-shape and dwarfs sf0.001 data
+  * cost — same rationale as Bench's warm pass; without it, iterative
+  * many-stage queries read their compile time as "persisting" inflation:
+  * first outing measured g2_sssp at 4.9 s isolated vs 2.0 s in-suite),
+  * then two timed runs at the target dir, min reported. Blocks are swept
+  * between queries exactly as the suite sweeps them.
   *
   * Args: sfDir cpus name1,name2,...
   * Output: single stdout line `ISOLATED {"name":sec,...}`.
@@ -30,6 +33,18 @@ object IsolatedProbe {
     val cpus = args(1).toInt
     val names = args(2).split(',').toSeq.filter(SparkEntry.queries.contains)
     val spark = graft.core.GraftSession.local(cpus)
+    val warmDir = {
+      val small = new java.io.File(sfDir).getParentFile match {
+        case null => sfDir
+        case p => s"${p.getPath}/sf0.001"
+      }
+      if (new java.io.File(small).isDirectory) small else sfDir
+    }
+    names.foreach { name =>
+      try { SparkEntry.queries(name)(spark, warmDir).count(); () }
+      catch { case _: Throwable => () }
+      graft.core.GraftSession.releaseTransientBlocks(spark)
+    }
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val out = names.map { name =>

@@ -71,7 +71,15 @@ object Knn {
   def autoCellSize(points: DataFrame, k: Int, target: Double = 4.0): Double = {
     val locs = points.groupBy("x", "y").agg(count(lit(1)).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    try autoCellSizeFromLocs(locs, k, target)
+    finally { locs.unpersist(); () }
+  }
+
+  /** [[autoCellSize]] over a PREBUILT (and persisted) collapsed-location
+    * frame — [[neighborsAuto]] shares one collapse pass between the sizing
+    * probe and the grid build instead of paying it twice. */
+  private def autoCellSizeFromLocs(locs: DataFrame, k: Int, target: Double): Double = {
+    {
       val bb = locs.agg(count(lit(1)).as("n"),
         min("x").as("x0"), max("x").as("x1"),
         min("y").as("y0"), max("y").as("y1")).head()
@@ -102,14 +110,20 @@ object Knn {
       // pathological histogram can't push the cell to a degenerate size.
       val scale = math.sqrt(target * k / math.max(cMed.toDouble, 1.0))
       cell0 * math.min(2.0, math.max(0.5, scale))
-    } finally locs.unpersist()
+    }
   }
 
   /** [[neighbors]] with the grid cell derived from the data — the form
     * callers should prefer when the corpus density is not known a priori. */
   def neighborsAuto(points: DataFrame, k: Int,
-                    maxCellCount: Int = graft.ops.GridGuard.DefaultMaxCellCount): DataFrame =
-    neighbors(points, k, autoCellSize(points, k), maxCellCount)
+                    maxCellCount: Int = graft.ops.GridGuard.DefaultMaxCellCount): DataFrame = {
+    // One collapse pass serves both the density probe and the grid build.
+    val locsBase = points.groupBy("x", "y")
+      .agg(min("id").as("lid"), count(lit(1)).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cell = autoCellSizeFromLocs(locsBase, k, 4.0)
+    neighborsWithStats(points, k, cell, maxCellCount, Some(locsBase))._1
+  }
 
   /** `points`: (id, x, y). Returns (id, nbr_id, d2, rn) with rn = 1..k by
     * ascending squared distance, ties broken by neighbor id. */
@@ -121,12 +135,14 @@ object Knn {
     * so harnesses and specs can assert the grid was sized sanely instead of
     * inferring it from wall-clock. */
   def neighborsWithStats(points: DataFrame, k: Int, cellSize: Double,
-                maxCellCount: Int = graft.ops.GridGuard.DefaultMaxCellCount): (DataFrame, Stats) = {
-    val locs = points.groupBy("x", "y")
+                maxCellCount: Int = graft.ops.GridGuard.DefaultMaxCellCount,
+                prebuiltLocs: Option[DataFrame] = None): (DataFrame, Stats) = {
+    val locsBase = prebuiltLocs.getOrElse(points.groupBy("x", "y")
       .agg(min("id").as("lid"), count(lit(1)).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val locs = locsBase
       .withColumn("cx", floor(col("x") / cellSize))
       .withColumn("cy", floor(col("y") / cellSize))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // One cell dense in DISTINCT locations makes the candidate join below
     // quadratic — fail loudly first (coincident mass is already collapsed).
     graft.ops.GridGuard.requireBoundedCells(locs, Seq("cx", "cy"), maxCellCount, "grid kNN")
@@ -148,7 +164,7 @@ object Knn {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val w = Window.partitionBy("aid").orderBy(col("d2"), col("bid"))
-    val cleanup = scala.collection.mutable.ArrayBuffer[DataFrame](locs, candIds, ptl)
+    val cleanup = scala.collection.mutable.ArrayBuffer[DataFrame](locsBase, candIds, ptl)
 
     /** One grid pass at `ring` for `probeAids` (aid): returns (exact top-k
       * rows, aids still unproven). Candidate work = probe locations ×

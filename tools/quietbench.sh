@@ -20,12 +20,12 @@
 #
 # Pinned quiet references (round 7, BASELINE.md "Pinned quiet
 # references"; keep in sync with graft.Bench.Quiet*): cpu_ref 0.49,
-# mem_ref 0.273, mem_ref_mt 0.357 — observed floors over all recorded
+# mem_ref 0.266, mem_ref_mt 0.342 — observed floors over all recorded
 # runs. Gates sit above the healthy band (cpu 0.49-0.57 observed while
 # running AT floors), not at the floor itself.
 #
 # Usage: tools/quietbench.sh [threshold_sec] [mem_mt_threshold_sec]
-#   (defaults 0.60 / 0.55 ~= 1.5x the pinned mem_ref_mt quiet 0.357)
+#   (defaults 0.60 / 0.55 ~= 1.6x the pinned mem_ref_mt quiet 0.342)
 set -u
 cd "$(dirname "$0")/.."
 THRESH="${1:-0.60}"
