@@ -55,6 +55,28 @@ object Cumulative {
       .drop("__pid", "__rnk_in", "__cum_in", "__osum", "__ocnt")
   }
 
+  /** SQL-standard `ntile(k)` bucket of 1-based rank `r` in a group of `n`
+    * rows, in closed form — the companion to [[runningSum]]'s distributed
+    * rank that lets a per-group ntile run WITHOUT a per-group window (the
+    * low-cardinality window-partition trap: `ntile OVER (PARTITION BY flag)`
+    * with 3 flag values is 3 tasks however big the table). Semantics match
+    * Spark/DuckDB exactly: the first (n mod k) buckets hold ceil(n/k) rows,
+    * the rest floor(n/k); when n < k the first n buckets hold one row each.
+    * All-integer arithmetic on longs. */
+  def ntileOfRank(r: Column, n: Column, k: Int): Column = {
+    // Spark's `/` is double division even on longs; (a - a%b)/b divides
+    // exactly, so the double quotient IS the integer (exact to 2^53 — past
+    // any per-group row count the long ranks themselves survive).
+    def intDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val q = intDiv(n.cast("long"), lit(k.toLong))
+    val rem = pmod(n.cast("long"), lit(k.toLong))
+    val cut = rem * (q + lit(1L)) // rows covered by the ceil-sized buckets
+    when(q === 0L, r.cast("long"))
+      .when(r <= cut, intDiv(r - lit(1L), q + lit(1L)) + lit(1L))
+      .otherwise(rem + intDiv(r - cut - lit(1L), q) + lit(1L))
+  }
+
   /** Adds `maxName`: the EXCLUSIVE prefix max of `valueCol` over the total
     * `sortCols` order (max of all STRICTLY earlier rows; null on the global
     * first row) — same range-partition + broadcast-offset shape as

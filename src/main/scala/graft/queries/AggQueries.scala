@@ -190,23 +190,45 @@ object AggQueries extends QueryCatalog {
              |FROM stacked GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // A16 — per-group decile binning (pandas groupby().qcut shape): ntile
-    // windows partitioned by return flag — ntile is the SQL-standard
-    // equal-count binning both engines implement identically, and the
-    // PARTITIONED window keeps it distributed (a global qcut would funnel
-    // the table through one task; per-group is the scale-safe form). Total
-    // tie-break (price, orderkey, linenumber) makes bucket membership
-    // deterministic. Per-bucket stats are count/min/max only — exact in
-    // both engines, no FP accumulation.
+    // is the SQL-standard equal-count binning both engines implement
+    // identically, but the obvious
+    // `ntile(10) OVER (PARTITION BY l_returnflag ...)` window would funnel
+    // the whole fact table through THREE tasks (one per flag value — the
+    // low-cardinality window-partition trap: at 10× data the round-7 whale
+    // read it 12.7× slower, the three sorts being the whole wall-clock; at
+    // 100 TB it never finishes). The scale-safe exact form: a global rank
+    // from ops.Cumulative's range-partitioned prefix sum over the total
+    // order (flag, price, orderkey, linenumber), per-flag rank = global
+    // rank minus the (≤ handful of flags, broadcast) earlier-flag count,
+    // then ntile's bucket arithmetic in closed form — SQL-standard ntile
+    // gives the first (n mod 10) buckets ceil(n/10) rows and the rest
+    // floor(n/10), so the bucket of rank r is pure integer arithmetic
+    // (CumulativeSpec pins the identity against Spark's own ntile). Per-bucket
+    // stats are count/min/max only — exact in both engines, no FP
+    // accumulation.
     "a16_group_deciles" -> QueryDef(
       (s, dir) => {
-        val w = Window.partitionBy("l_returnflag")
-          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-        Tables.lineitem(s, dir)
-          .withColumn("decile", ntile(10).over(w).cast("long"))
-          .groupBy("l_returnflag", "decile")
+        val li = Tables.lineitem(s, dir).select(
+          col("l_returnflag").as("f"), col("l_extendedprice").as("p"),
+          col("l_orderkey"), col("l_linenumber"))
+        val ranked = graft.ops.Cumulative.runningSum(
+          li, Seq(col("f"), col("p"), col("l_orderkey"), col("l_linenumber")),
+          lit(1L), "rnk", "__cnt").drop("__cnt")
+        val ftot = li.groupBy("f").agg(count(lit(1)).as("n"))
+        val off = ftot.as("a")
+          .join(broadcast(ftot.select(col("f").as("bf"), col("n").as("bn"))),
+            col("bf") < col("f"), "left")
+          .groupBy(col("f"), col("n"))
+          .agg(coalesce(sum("bn"), lit(0L)).as("off"))
+        ranked.join(broadcast(off), "f")
+          .withColumn("r", col("rnk") - col("off"))
+          .withColumn("decile", graft.ops.Cumulative.ntileOfRank(col("r"), col("n"), 10))
+          .groupBy(col("f"), col("decile"))
           .agg(count(lit(1)).as("n"),
-            min("l_extendedprice").as("min_price"),
-            max("l_extendedprice").as("max_price"))
+            min("p").as("min_price"),
+            max("p").as("max_price"))
+          .select(col("f").as("l_returnflag"), col("decile"), col("n"),
+            col("min_price"), col("max_price"))
           .orderBy("l_returnflag", "decile")
       },
       Some("""WITH d AS (SELECT l_returnflag, l_extendedprice,

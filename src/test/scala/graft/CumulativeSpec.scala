@@ -44,6 +44,26 @@ class CumulativeSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("ntileOfRank reproduces Spark's ntile for every group size 1..35") {
+    // Every (n, r) pair with n in 1..35 at k=10 — covers n<k, n=k, n%k=0,
+    // and every remainder class — checked against ntile itself on a
+    // single-group window (safe at test size; the closed form exists so
+    // production plans never need that window).
+    import org.apache.spark.sql.expressions.Window
+    val rows = for { n <- 1 to 35; r <- 1 to n } yield (n.toLong, r.toLong)
+    val df = rows.toDF("n", "r")
+    val got = df.withColumn("d", Cumulative.ntileOfRank(col("r"), col("n"), 10))
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    for (n <- 1 to 35) {
+      val w = Window.partitionBy(lit(1)).orderBy("r")
+      val exp = (1 to n).map(_.toLong).toDF("r")
+        .withColumn("d", ntile(10).over(w).cast("long"))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      for (r <- 1 to n)
+        assert(got((n.toLong, r.toLong)) === exp(r.toLong), s"n=$n r=$r")
+    }
+  }
+
   test("runningMaxExclusive matches the single-partition exclusive window") {
     val rnd = new scala.util.Random(7)
     val rows = (1L to 200L).map(i => (i, rnd.nextInt(50).toLong))

@@ -31,6 +31,8 @@ class PlanGuardSpec extends SparkSpec {
     Map(
       "a11_pareto" -> cumulative,
       "a12_cdf" -> cumulative,
+      "a16_group_deciles" -> (cumulative +
+        " + per-flag offsets frame (one row per l_returnflag value)"),
       "a22_weighted_median" -> cumulative,
       "a23_gini" -> cumulative,
       "m2_knn_elbow" -> cumulative,
