@@ -82,6 +82,15 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Per-stage scheduler-latency witness — the third blind spot after
+    // frequency (cpu_ref) and memory bandwidth (mem_ref): fixture-sized
+    // fixpoint queries are ~stages x driver-round-trip, and that latency
+    // measured 29-52 ms/stage across same-day sessions with BOTH other
+    // witnesses quiet (the graph-family flags in the 195.6 s canonical
+    // run). Probed after the warm pass so scheduler-path JIT doesn't read
+    // as host latency. See ops.CpuWitness.stageLatency.
+    val stageRef: Double = graft.ops.CpuWitness.stageLatency(spark.sparkContext)
+
     // Run-spanning witness: the upfront probes are 1.5 s point samples a
     // bursty noise window dodges (measured 2026-08-14: all four witnesses
     // healthy — cpu 0.50/0.15, mem 0.31/0.38 — while the suite ran 1.23x
@@ -304,9 +313,9 @@ object Bench {
       else s"""{"min":${sec(during.head)},"med":${sec(during(during.size / 2))},"max":${sec(during.last)},"n":${during.size}}"""
     val isoJson = fmt(isolatedRecheck)
     val compact =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"isolated_recheck":$isoJson,"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"cpu_ref_during":$duringJson}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"isolated_recheck":$isoJson,"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"stage_ref_sec":${sec(stageRef)},"cpu_ref_during":$duringJson}"""
     val detail =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"isolated_recheck":$isoJson,"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"cpu_ref_during":$duringJson}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"isolated_recheck":$isoJson,"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"stage_ref_sec":${sec(stageRef)},"cpu_ref_during":$duringJson}"""
     // Only unfiltered runs may rewrite the committed canonical detail —
     // a filtered dev run would silently replace the 193-query record with
     // its subset.

@@ -140,4 +140,32 @@ object CpuWitness {
     val a = memArray()
     (memBandwidth(a), memBandwidthMt(threads, a))
   }
+
+  // ---- per-stage scheduler-latency witness ----
+  //
+  // The third host-state component neither spin sees: DRIVER-side stage
+  // round-trip latency. Fixpoint-loop queries on fixture-sized inputs
+  // (SSSP, isochrone, k-core — ~46 stages of ~25 ms total executor work,
+  // per graft.Profile) have wall-clock = stages x per-stage latency, and
+  // that latency varied 29->52 ms/stage across 2026-08-14 sessions while
+  // cpu_ref AND mem_ref read quiet — the graph-family floor flags in the
+  // 195.6 s canonical run were exactly this. The probe: a chained-shuffle
+  // no-op job over a 64-row RDD — RDD API, not DataFrame, so Catalyst's
+  // CollapseRepartition can't fold the exchanges away — whose executor
+  // work is ~zero, leaving K stage round-trips of pure scheduler cost.
+
+  private val StageChain = 24
+
+  /** Seconds for one (StageChain+1)-stage no-op job, min of 2 (first run
+    * inside a warm session; callers wanting a cold-free read warm the
+    * scheduler with any prior job). Per-stage latency = value / 25. */
+  def stageLatency(sc: org.apache.spark.SparkContext): Double =
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      var rdd = sc.parallelize(1 to 64, 2)
+      var i = 0
+      while (i < StageChain) { rdd = rdd.repartition(2); i += 1 }
+      require(rdd.count() == 64L)
+      (System.nanoTime() - t0) / 1e9
+    }.min
 }

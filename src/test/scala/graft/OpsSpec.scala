@@ -49,3 +49,16 @@ class AnomalySpec extends SparkSpec {
     assert(maxCnt === 60L && avgCnt === 60.0 && dur === 3L)
   }
 }
+
+/** CpuWitness.stageLatency — the scheduler-latency witness must actually
+  * schedule its chained stages (Catalyst can't collapse RDD repartitions)
+  * and return a sane positive reading. */
+class StageLatencySpec extends SparkSpec {
+  test("stage-latency probe runs its chained no-op job and reads positive") {
+    val v = graft.ops.CpuWitness.stageLatency(spark.sparkContext)
+    assert(v > 0.0 && v < 60.0, s"stage_ref read $v")
+    // the chain really is multi-stage: a second read in a warm scheduler
+    // still costs at least a stage round-trip per link
+    assert(v > 0.005)
+  }
+}
