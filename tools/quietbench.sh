@@ -24,6 +24,13 @@
 # runs. Gates sit above the healthy band (cpu 0.49-0.57 observed while
 # running AT floors), not at the floor itself.
 #
+# The bench line additionally records stage_ref_sec (per-stage driver
+# scheduler latency, a 25-stage no-op chained-shuffle job — the third
+# blind-spot class; see BASELINE.md "Per-stage scheduler-latency
+# witness"). It needs a SparkContext, so this pre-gate cannot probe it;
+# read it from the emitted line when adjudicating stage-latency-bound
+# floor flags (graph family, m1).
+#
 # Usage: tools/quietbench.sh [threshold_sec] [mem_mt_threshold_sec]
 #   (defaults 0.60 / 0.55 ~= 1.6x the pinned mem_ref_mt quiet 0.342)
 set -u
