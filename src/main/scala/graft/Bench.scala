@@ -184,6 +184,11 @@ object Bench {
     // window — compare cpu_ref). The probe inherits this JVM's flags and
     // classpath, so the only variables that change are process freshness
     // and suite position.
+    // The probe JVM's own stage_ref (ISOLATED-STAGEREF line): adjudicates
+    // "persists-isolated" on stage-latency-bound queries — if the probe's
+    // scheduler latency matched the suite's, a persisting graph-family
+    // reading is host state, not position or code. -1 = no probe ran.
+    var isolatedStageRef: Double = -1.0
     val isolatedRecheck: Map[String, Double] =
       if (adjRegressions.nonEmpty && atCanonicalPoint &&
           sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0") {
@@ -222,6 +227,10 @@ object Bench {
           if (!done) { proc.destroyForcibly(); System.err.println("[bench] isolated recheck TIMED OUT") }
           lineDrain.join(5000)
           val rx = """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
+          lines.find(_.startsWith("ISOLATED-STAGEREF ")).foreach { l =>
+            try isolatedStageRef = l.split(' ')(1).toDouble
+            catch { case _: Throwable => () }
+          }
           lines.find(_.startsWith("ISOLATED ")).map { l =>
             rx.findAllMatchIn(l).map(m => m.group(1) -> m.group(2).toDouble).toMap
           }.getOrElse(Map.empty)
@@ -313,9 +322,9 @@ object Bench {
       else s"""{"min":${sec(during.head)},"med":${sec(during(during.size / 2))},"max":${sec(during.last)},"n":${during.size}}"""
     val isoJson = fmt(isolatedRecheck)
     val compact =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"isolated_recheck":$isoJson,"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"stage_ref_sec":${sec(stageRef)},"cpu_ref_during":$duringJson}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"isolated_recheck":$isoJson,"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"stage_ref_sec":${sec(stageRef)},"isolated_stage_ref_sec":${sec(isolatedStageRef)},"cpu_ref_during":$duringJson}"""
     val detail =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"isolated_recheck":$isoJson,"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"stage_ref_sec":${sec(stageRef)},"cpu_ref_during":$duringJson}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"isolated_recheck":$isoJson,"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"stage_ref_sec":${sec(stageRef)},"isolated_stage_ref_sec":${sec(isolatedStageRef)},"cpu_ref_during":$duringJson}"""
     // Only unfiltered runs may rewrite the committed canonical detail —
     // a filtered dev run would silently replace the 193-query record with
     // its subset.

@@ -47,6 +47,13 @@ object IsolatedProbe {
     }
     def sec(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // The probe JVM's own scheduler-latency reading (see
+    // ops.CpuWitness.stageLatency): a "persists-isolated" verdict on a
+    // stage-latency-bound query (graph family, m1) is only meaningful
+    // against the latency THIS JVM experienced — taken after the warm
+    // loop so scheduler-path JIT doesn't read as host latency.
+    val stageRef = graft.ops.CpuWitness.stageLatency(spark.sparkContext)
+    println("ISOLATED-STAGEREF " + sec(stageRef))
     val out = names.map { name =>
       val samples = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
