@@ -325,12 +325,19 @@ object Bench {
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"isolated_recheck":$isoJson,"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"stage_ref_sec":${sec(stageRef)},"isolated_stage_ref_sec":${sec(isolatedStageRef)},"cpu_ref_during":$duringJson}"""
     val detail =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"isolated_recheck":$isoJson,"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"stage_ref_sec":${sec(stageRef)},"isolated_stage_ref_sec":${sec(isolatedStageRef)},"cpu_ref_during":$duringJson}"""
-    // Only unfiltered runs may rewrite the committed canonical detail —
-    // a filtered dev run would silently replace the 193-query record with
-    // its subset.
+    // Only unfiltered runs AT THE CANONICAL SF may rewrite the committed
+    // canonical detail — a filtered dev run would silently replace the
+    // 193-query record with its subset, and an unfiltered run at another
+    // scale (the sf1 whale) would replace the sf0.1 reference the whale's
+    // own ratios are computed against (it did, 2026-08-14, caught in
+    // review). Non-canonical unfiltered runs keep their full detail in a
+    // side file.
     if (nameFilter.isEmpty) {
+      val target =
+        if (sfDir.endsWith("sf0.1")) "bench_detail.json"
+        else "bench_detail_noncanonical.json"
       try {
-        val w = new java.io.PrintWriter("bench_detail.json")
+        val w = new java.io.PrintWriter(target)
         try w.println(detail) finally w.close()
       } catch { case _: Throwable => () }
     }
