@@ -54,6 +54,12 @@ object IsolatedProbe {
     // loop so scheduler-path JIT doesn't read as host latency.
     val stageRef = graft.ops.CpuWitness.stageLatency(spark.sparkContext)
     println("ISOLATED-STAGEREF " + sec(stageRef))
+    // The probe's own frequency witness: Bench's run-start cpu_ref is a
+    // point sample from BEFORE the suite; the probe may execute in a
+    // different host window, so its verdicts must be read against the
+    // factor measured HERE (ADVICE r7: probe-time host factor).
+    val cpuRef = graft.ops.CpuWitness.singleThread()
+    println("ISOLATED-CPUREF " + sec(cpuRef))
     val out = names.map { name =>
       val samples = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

@@ -87,10 +87,19 @@ object Knn {
       if (n <= 1) return 1.0
       val spanX = bb.getDouble(2) - bb.getDouble(1)
       val spanY = bb.getDouble(4) - bb.getDouble(3)
-      // Degenerate extents (all points collinear/coincident): fall back to
-      // the larger span so the grid still has >1 cell per axis that varies.
-      val area = math.max(spanX, 1e-12) * math.max(spanY, 1e-12)
-      val cell0 = math.sqrt(target * k * area / n)
+      // Degenerate extent (axis-collinear corpus, one span ~0): the 2-D
+      // density formula collapses — area ≈ eps·span gives a near-zero
+      // cell0 the 2x skew clamp can't recover from, and every probe then
+      // fails its ring proof and escalates to the quadratic fallback the
+      // auto-sizing exists to prevent. Size from the 1-D density of the
+      // varying axis instead: cell = target·k·span/n puts ~target·k
+      // locations in each occupied cell of the 1-D run.
+      val spanMax = math.max(spanX, spanY)
+      val cell0 =
+        if (spanMax <= 0.0) return 1.0 // n>1 distinct locs ⇒ impossible; belt+braces
+        else if (math.min(spanX, spanY) < spanMax * 1e-9)
+          target * k * spanMax / n
+        else math.sqrt(target * k * spanX * spanY / n)
       // Occupancy histogram at cell0: (cell count c) -> (locations in such
       // cells). Small by construction — distinct occupancy values.
       val hist = locs

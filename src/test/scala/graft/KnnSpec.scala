@@ -73,6 +73,28 @@ class KnnSpec extends SparkSpec {
       s"auto cell $cell left ${stats.ring2Failed} probes for the fallback scan")
   }
 
+  test("auto cell on an axis-collinear corpus: 1-D density sizing, exact, no fallback") {
+    // Degenerate-extent regression (ADVICE r7): with spanX ~ 0 the 2-D
+    // formula multiplied by the 1e-12 area floor, giving a near-zero cell
+    // the 2x skew clamp couldn't recover — every probe escalated to the
+    // quadratic probes×corpus scan. The 1-D path sizes from the varying
+    // axis: cell = target·k·span/n.
+    val n = 500L
+    val pts = (0L until n).map(i => (i, 3.0, (i * 7919 % 1000) / 10.0))
+    val df = pts.toDF("id", "x", "y")
+    val k = 4
+    val cell = graft.ml.Knn.autoCellSize(df, k)
+    // span 100, n=500, target*k=16 -> cell0 = 3.2; skew rescale stays
+    // within one octave, so the result must sit in [1.6, 6.4].
+    assert(cell > 1.0 && cell < 10.0, s"collinear auto cell $cell degenerate")
+    val (nbrs, stats) = graft.ml.Knn.neighborsWithStats(df, k, cell)
+    val got = nbrs.select(col("aid"), col("bid"), col("rn"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === brute(pts, k))
+    assert(stats.ring2Failed === 0L,
+      s"collinear auto cell $cell left ${stats.ring2Failed} probes for the fallback scan")
+  }
+
   test("auto cell targets ~target*k locations per cell on a uniform corpus") {
     val pts = (0L until 400L).map(i => (i, (i * 7919 % 1000) / 100.0, (i * 104729 % 1000) / 100.0))
     val cell = graft.ml.Knn.autoCellSize(pts.toDF("id", "x", "y"), 4)

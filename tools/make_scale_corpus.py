@@ -8,12 +8,15 @@ scale ~linearly with corpus size instead of exploding (a naive replicate
 would multiply every df by 10 and distort the df-cap behavior the run is
 meant to measure).
 """
-import collections, duckdb, os
+import collections, duckdb, os, sys
 
 SRC = "/root/testdata/sf0.1/documents.parquet"
-OUT = "tmp/scale/docs10x"
-OUT_HEAPS = "tmp/scale/docs10x_heaps"
-FACTOR = 10
+# Optional argv factor (default 10): the round-8 second-decade whale needs
+# a 100x Heaps corpus (500k docs) — same generator, same empirics, more
+# blocks (vocabulary keeps growing with the corpus, df stays stationary).
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = f"tmp/scale/docs{FACTOR}x"
+OUT_HEAPS = f"tmp/scale/docs{FACTOR}x_heaps"
 # In the Heaps variant each 1x block salts its CONTENT tokens (everything
 # below the top-K function words) with the block id, so vocabulary grows
 # with the corpus and the shingle-df distribution stays stationary — the

@@ -22,12 +22,14 @@ Scaling rules (all DuckDB SQL, no RNG):
 
 Usage: python3 tools/make_scale_corpus.py && python3 tools/make_sf1.py
 """
-import os, shutil, duckdb
+import os, shutil, duckdb, sys
 
 SRC = "/root/testdata/sf0.1"
-OUT = "tmp/scale/sf1"
-DOCS10X = "tmp/scale/docs10x_heaps/documents.parquet"
-F = 10
+# Optional argv factor (default 10 -> sf1). 100 -> the round-8 sf10 whale:
+# 60M lineitem / 10M events / 500k docs / 200k embeddings, ~2.5 GB parquet.
+F = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+OUT = "tmp/scale/sf1" if F == 10 else f"tmp/scale/sf{F // 10}"
+DOCS10X = f"tmp/scale/docs{F}x_heaps/documents.parquet"
 KEYSPAN = 1 << 23  # > max o_orderkey at sf0.1 (600000)
 
 
@@ -82,7 +84,7 @@ def main():
     if os.path.exists(DOCS10X):
         shutil.copyfile(DOCS10X, f"{OUT}/documents.parquet")
     else:
-        raise SystemExit(f"missing {DOCS10X}: run tools/make_scale_corpus.py first")
+        raise SystemExit(f"missing {DOCS10X}: run tools/make_scale_corpus.py {F} first")
 
     for t in ["customer", "supplier", "part", "nation", "region"]:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")

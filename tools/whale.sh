@@ -41,4 +41,9 @@ if [ -n "$OVER" ]; then
     SPARK_GRAFT_BENCH_FILTER="^(${OVER})\$" \
     sbt -batch "runMain graft.Bench" 2>&1 | grep -E '"metric"' | tail -1 |
     tee tmp/scale/whale_warm.json
+  # Filtered runs >30 results fall back to the headline subset on the
+  # compact line; the full warm map always lands in the filtered detail
+  # file — copy it next to the cold log so step 4's data survives.
+  [ -f bench_detail_filtered.json ] &&
+    cp bench_detail_filtered.json tmp/scale/whale_warm_detail.json
 fi
