@@ -90,6 +90,45 @@ object EventsAnomaly {
          |c_ts <= p_ts""".stripMargin))
   }
 
+  /** RAM-backed checkpoint dir for a bounded replay, when the host has one.
+    *
+    * A replay is ephemeral BY CONSTRUCTION — bounded input, memory sink,
+    * the checkpoint is discarded the moment the query terminates — so its
+    * checkpoint needs none of the durability a production job's does, yet
+    * the default temp location puts it on real disk, where every state
+    * store delta + offset/commit log fsyncs. Measured (StreamProbe, sf0.1,
+    * 32 state partitions): disk-synced checkpoints cost ~9 ms per state
+    * partition per batch of pure sync latency — ~0.3 s of the w10 replay —
+    * and that latency moves with host windows, which is exactly the noise
+    * a correctness/bench harness should not carry. Production jobs keep
+    * durable checkpoints; match durability to what the artifact needs. */
+  private def ephemeralCheckpoint(): Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      Some(new java.io.File(shm,
+        "graft-replay-" + java.util.UUID.randomUUID().toString).getPath)
+    else None
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Start `dsw` with an ephemeral checkpoint (when available), await the
+    * bounded run, and clean the checkpoint up — shared tail of the three
+    * replay variants. */
+  private def runBounded(spark: SparkSession,
+      dsw: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+      name: String): DataFrame = {
+    val ckpt = ephemeralCheckpoint()
+    val q = ckpt.fold(dsw)(dsw.option("checkpointLocation", _)).start()
+    try q.awaitTermination()
+    finally ckpt.foreach(c => deleteRecursively(new java.io.File(c)))
+    spark.table(name)
+  }
+
   /** Run a streaming transformation over a bounded parquet source with
     * Trigger.AvailableNow and a memory sink, returning the final result —
     * the replay harness that lets the correctness gate cover the streaming
@@ -104,13 +143,10 @@ object EventsAnomaly {
       .option("pathGlobFilter", f.getName)
       .parquet(f.getParent)
     val name = "replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = transform(source).writeStream
+    runBounded(spark, transform(source).writeStream
       .format("memory").queryName(name)
       .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+      .trigger(Trigger.AvailableNow()), name)
   }
 
   /** Two-source APPEND-mode replay for stream-stream joins: each side gets
@@ -126,13 +162,10 @@ object EventsAnomaly {
       .option("pathGlobFilter", f.getName)
       .parquet(f.getParent)
     val name = "replayj_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = transform(src(), src()).writeStream
+    runBounded(spark, transform(src(), src()).writeStream
       .format("memory").queryName(name)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+      .trigger(Trigger.AvailableNow()), name)
   }
 
   /** Single-source APPEND-mode replay: for stateful operators that emit
@@ -146,12 +179,9 @@ object EventsAnomaly {
       .option("pathGlobFilter", f.getName)
       .parquet(f.getParent)
     val name = "replaya_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = transform(source).writeStream
+    runBounded(spark, transform(source).writeStream
       .format("memory").queryName(name)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+      .trigger(Trigger.AvailableNow()), name)
   }
 }
