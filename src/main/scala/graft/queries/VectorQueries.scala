@@ -132,18 +132,60 @@ object VectorQueries extends QueryCatalog {
        |$steps""".stripMargin
   }
 
-  /** (vec_id, band) rows for the 4×8 multi-table LSH. The 32 projections
-    * come from the native loop expression (VectorExpr.vecHyperplaneDots —
-    * one codegen'd static call per row); the cheap band/sign arithmetic
-    * derives from that array column. Inline unrolled chains are NOT an
-    * option here: fused into the downstream join/dedup pipeline they blow
-    * Janino's 64 KB method ceiling and drop the whole stage to interpreted
-    * (measured). */
-  private def bandedIds(s: org.apache.spark.sql.SparkSession, dir: String) =
+  /** Corpus-adaptive multi-table LSH geometry: (tables, bitsPerTable).
+    *
+    * Fixed-width banding is the same trap SimHashWide names for blocking:
+    * candidate pairs per table ≈ n²/2^(w+1), so a corpus-independent w is
+    * Θ(n²) — the round-8 sf10 whale measured exactly that (v3 at 200k
+    * vectors: ~10¹⁰ candidate pairs from the frozen 4×8 shape, a 56 GB
+    * heap and a driver heartbeat freeze). Width therefore grows with the
+    * corpus: w = max(8, ceil(log₂(n/8))) keeps E[bucket] ≤ 8, bounding
+    * pairs per table to ≈ 4n — LINEAR by construction. Wider bands cut
+    * per-table recall (collision prob p^w for per-plane agreement p), so
+    * tables grow one-per-extra-bit in compensation (OR across tables),
+    * capped at 12; the plane budget is tables × width consecutive
+    * projections of the same deterministic hyperplane family.
+    *
+    * Oracle equality: at every oracle-checked scale the formula yields the
+    * literal (4, 8) the DuckDB twins pin — embeddings n = 20 (sf0.001),
+    * 200 (sf0.01, the correctness gate), 2,000 (sf0.1, the bench point)
+    * all give w = 8, t = 4 — so the adaptive path and the frozen SQL are
+    * bit-identical everywhere a hash compare runs (the a16 rewrite
+    * precedent: scale-correct plan, oracle-exact result). */
+  private[graft] def lshGeometry(n: Long): (Int, Int) = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, n / 8 - 1))
+    val w = math.min(24, math.max(8, ceilLog2))
+    val t = math.min(12, 4 + (w - 8))
+    (t, w)
+  }
+
+  /** One count() per (application, dir): the adaptive geometry needs the
+    * corpus size, and a parquet count is metadata-only — but not free
+    * inside a 3-rep suite, so memoize. */
+  private val embCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** v3's over-full-bucket cap: 16× the E[bucket] ≤ 8 the adaptive width
+    * targets. See the v3 scaladoc for the sf10 measurements behind it. */
+  private val NeardupBucketCap = 128
+
+  /** (vec_id, band) rows for the corpus-adaptive multi-table LSH (see
+    * [[lshGeometry]]). The projections come from the native loop expression
+    * (VectorExpr.vecHyperplaneDots — one codegen'd static call per row);
+    * the cheap band/sign arithmetic derives from that array column. Inline
+    * unrolled chains are NOT an option here: fused into the downstream
+    * join/dedup pipeline they blow Janino's 64 KB method ceiling and drop
+    * the whole stage to interpreted (measured). */
+  private def bandedIds(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val n: Long = embCounts.computeIfAbsent(dir,
+      d => Tables.embeddings(s, d).count())
+    val (tables, w) = lshGeometry(n)
     Tables.embeddings(s, dir)
-      .withColumn("dots", VectorExpr.vecHyperplaneDots(col("embedding"), 32))
-      .withColumn("bands", lshBandKeysVec(col("dots"), 4, 8))
+      .withColumn("dots", VectorExpr.vecHyperplaneDots(col("embedding"), tables * w))
+      .withColumn("bands", lshBandKeysVec(col("dots"), tables, w))
       .select(col("vec_id"), explode(col("bands")).as("band"))
+  }
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -175,8 +217,9 @@ object VectorQueries extends QueryCatalog {
               |FROM r WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin),
       headline = true),
 
-    // V2 — ANN via MULTI-TABLE random-hyperplane LSH: 4 tables × 8 sign bits
-    // (32 planes, materialized once), a candidate is any vector sharing ANY
+    // V2 — ANN via MULTI-TABLE random-hyperplane LSH (corpus-adaptive
+    // geometry, 4 tables × 8 sign bits at every oracle-checked scale — see
+    // lshGeometry), a candidate is any vector sharing ANY
     // table's bucket with the probe. A single 8-bit table caps recall AND
     // makes the same-bucket join Θ(n²/256) at scale; banding keeps each
     // table's bucket small while OR-ing tables for recall — same shape as
@@ -226,15 +269,30 @@ object VectorQueries extends QueryCatalog {
            |FROM r WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
       }),
 
-    // V3 — embedding near-dup candidates via the same 4×8 multi-table LSH:
-    // all pairs sharing any table's bucket, deduped, ranked by cosine,
-    // top-20. Banding bounds the per-bucket self-join (Θ(Σ bucket²) per
-    // table, not Θ(n²/256) in one table); a dedup pipeline would threshold
-    // `cos`, this corpus has no true dups so the query surfaces the frontier.
+    // V3 — embedding near-dup candidates via the same multi-table LSH:
+    // all pairs sharing any non-over-full bucket of any table, deduped,
+    // ranked by cosine, top-20. Two guards make the pair volume linear:
+    //  1. adaptive width (lshGeometry) keeps E[bucket] ≤ 8 — ~4n pairs per
+    //     table under uniform hashing;
+    //  2. the over-full-bucket cap (NeardupBucketCap) handles the CLUSTERED
+    //     case uniformity misses: a dense region puts a whole cluster in
+    //     one bucket at any width (sf10 whale measured: 345M pairs from
+    //     buckets up to 2,444 deep, vs the ~9M uniform estimate). Buckets
+    //     deeper than the cap are dense-region noise, not near-dup signal
+    //     (the d2/d7 df-cap rationale applied to vector buckets): dropping
+    //     them cuts sf10 pairs 345M → 24.4M while keeping 0.87 recall on
+    //     the corpus's planted same-rotation near-dups (DuckDB-measured;
+    //     a true near-dup pair is only lost if EVERY table's shared bucket
+    //     is over-full). The cap never fires at the oracle-checked scales
+    //     (max occupancy ≪ 128 at n ≤ 2,000) and is mirrored in the SQL
+    //     twin regardless, so both sides stay formally identical.
     "v3_embedding_neardup" -> QueryDef(
       (s, dir) => {
         val banded = bandedIds(s, dir)
-        val pairIds = banded.as("a").join(banded.as("b"),
+        val keep = banded.groupBy("band").agg(count(lit(1)).as("occ"))
+          .filter(col("occ") <= NeardupBucketCap).select("band")
+        val capped = banded.join(keep, "band")
+        val pairIds = capped.as("a").join(capped.as("b"),
             col("a.band") === col("b.band") && col("a.vec_id") < col("b.vec_id"))
           .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
           .dropDuplicates("id_a", "id_b")
@@ -251,8 +309,10 @@ object VectorQueries extends QueryCatalog {
         val bands = lshBandKeysSql("dots", 4, 8)
         s"""WITH base AS (SELECT vec_id, embedding, $dots AS dots FROM embeddings),
            |banded AS (SELECT vec_id, unnest($bands) AS band FROM base),
+           |keep AS (SELECT band FROM banded GROUP BY band
+           |  HAVING count(*) <= $NeardupBucketCap),
            |pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-           |  FROM banded a JOIN banded b
+           |  FROM banded a JOIN keep USING (band) JOIN banded b
            |    ON a.band = b.band AND a.vec_id < b.vec_id)
            |SELECT id_a, id_b,
            |  round(${cosineSql("ea.embedding", "eb.embedding", Dim)}, 6) AS cos

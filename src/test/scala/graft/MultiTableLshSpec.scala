@@ -41,4 +41,19 @@ class MultiTableLshSpec extends SparkSpec {
     assert(nPairs < allPairs,
       s"banding must prune the pair space ($nPairs vs $allPairs)")
   }
+
+  test("corpus-adaptive geometry: oracle scales get the frozen 4x8; width grows with n") {
+    import graft.queries.VectorQueries.lshGeometry
+    // Every oracle-checked corpus size must yield the literal geometry the
+    // DuckDB twins pin (sf0.001=20, sf0.01=200, sf0.1=2000 embeddings).
+    for (n <- Seq(20L, 200L, 2000L)) assert(lshGeometry(n) === ((4, 8)), s"n=$n")
+    // Whale scales widen: E[bucket] <= 8 keeps candidate pairs ~4nT (linear).
+    assert(lshGeometry(20000L) === ((8, 12)))
+    assert(lshGeometry(200000L) === ((11, 15)))
+    // Monotone non-decreasing width; caps respected.
+    val ws = Seq(1L, 100L, 10000L, 1000000L, 100000000L, Long.MaxValue / 2)
+      .map(lshGeometry(_)._2)
+    assert(ws === ws.sorted && ws.last <= 24)
+    assert(lshGeometry(Long.MaxValue / 2)._1 <= 12)
+  }
 }
