@@ -71,6 +71,36 @@ object VectorMath {
     }
     out
   }
+
+  /** Multi-table LSH band keys ("t:bucket" strings) in ONE pass: the
+    * [[hyperplaneDotsF]] projections and the per-table sign-bit packing of
+    * VectorFunctions.lshBandKeysVec, fused. Why a single call instead of the
+    * dots-column + derived-keys composition: CollapseProject re-inlines the
+    * dots array into every one of the tables×width element_at references,
+    * the fused expression overflows Janino's 64 KB ceiling, and the
+    * interpreted fallback has no subexpression elimination — at the sf10
+    * whale corpus (200k × 165 planes) that recomputed the projection array
+    * ~165× per row per consumer (one task measured at 858 s of pure
+    * hyperplaneDotsF). Identical arithmetic and string shape: sign test
+    * `> 0.0` on the same left-to-right double dots, bucket = Σ 1<<p, key
+    * "t:bucket" — MultiTableLshSpec pins equality against the HOF form. */
+  def lshBandKeysF(emb: ArrayData, tables: Int, planesPerTable: Int): ArrayData = {
+    val dots = hyperplaneDotsF(emb, tables * planesPerTable)
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var p = 0
+      while (p < planesPerTable) {
+        if (dots(t * planesPerTable + p) > 0.0) bucket |= (1 << p)
+        p += 1
+      }
+      out(t) = org.apache.spark.unsafe.types.UTF8String.fromString(
+        t.toString + ":" + bucket.toString)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `vec_cosine(a, b)` over two `array<float>` columns → double. */
@@ -107,6 +137,26 @@ case class VecHyperplaneDots(child: Expression, planes: Int) extends UnaryExpres
     copy(child = newChild)
 }
 
+/** `vec_lsh_band_keys(emb)` → array<string> of "t:bucket" LSH band keys
+  * (see VectorMath.lshBandKeysF for why this is one fused expression). */
+case class VecLshBandKeys(child: Expression, tables: Int, planesPerTable: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(emb: Any): Any =
+    VectorMath.lshBandKeysF(emb.asInstanceOf[ArrayData], tables, planesPerTable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, embT =>
+      s"""${ev.value} = graft.functions.VectorMath.lshBandKeysF(
+         |  $embT, $tables, $planesPerTable);""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): VecLshBandKeys =
+    copy(child = newChild)
+}
+
 /** `vec_seq_sum(a)` over an `array<double>` column → double. */
 case class VecSeqSumD(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
@@ -131,6 +181,12 @@ object VectorExpr {
 
   def vecHyperplaneDots(emb: Column, planes: Int): Column =
     ColumnBridge.column(VecHyperplaneDots(ColumnBridge.expression(emb), planes))
+
+  /** Fused multi-table LSH band keys (projections + sign packing in one
+    * codegen'd call — see VectorMath.lshBandKeysF). */
+  def vecLshBandKeys(emb: Column, tables: Int, planesPerTable: Int): Column =
+    ColumnBridge.column(
+      VecLshBandKeys(ColumnBridge.expression(emb), tables, planesPerTable))
 
   /** Sequential sum of an array<double> column (see VectorMath.seqSumD). */
   def vecSeqSumD(a: Column): Column =

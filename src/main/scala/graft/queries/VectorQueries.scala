@@ -171,20 +171,20 @@ object VectorQueries extends QueryCatalog {
   private val NeardupBucketCap = 128
 
   /** (vec_id, band) rows for the corpus-adaptive multi-table LSH (see
-    * [[lshGeometry]]). The projections come from the native loop expression
-    * (VectorExpr.vecHyperplaneDots — one codegen'd static call per row);
-    * the cheap band/sign arithmetic derives from that array column. Inline
-    * unrolled chains are NOT an option here: fused into the downstream
-    * join/dedup pipeline they blow Janino's 64 KB method ceiling and drop
-    * the whole stage to interpreted (measured). */
+    * [[lshGeometry]]). The band keys come from ONE fused native call per row
+    * (VectorExpr.vecLshBandKeys): the dots-column + derived-keys composition
+    * is a trap at whale geometry — CollapseProject re-inlines the projection
+    * array into all tables×width element_at references, Janino rejects the
+    * fused method (64 KB), and the interpreted fallback recomputes the
+    * projections per reference (one sf10 task measured at 858 s inside
+    * hyperplaneDotsF before the fusion). */
   private def bandedIds(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val n: Long = embCounts.computeIfAbsent(dir,
       d => Tables.embeddings(s, d).count())
     val (tables, w) = lshGeometry(n)
     Tables.embeddings(s, dir)
-      .withColumn("dots", VectorExpr.vecHyperplaneDots(col("embedding"), tables * w))
-      .withColumn("bands", lshBandKeysVec(col("dots"), tables, w))
-      .select(col("vec_id"), explode(col("bands")).as("band"))
+      .select(col("vec_id"),
+        explode(VectorExpr.vecLshBandKeys(col("embedding"), tables, w)).as("band"))
   }
 
   def defs: Map[String, QueryDef] = Map(

@@ -42,6 +42,21 @@ class MultiTableLshSpec extends SparkSpec {
       s"banding must prune the pair space ($nPairs vs $allPairs)")
   }
 
+  test("fused native band keys == HOF composition, at oracle and whale geometry") {
+    import graft.functions.VectorExpr
+    val df = vecs.toDF("vec_id", "embedding")
+    for ((t, w) <- Seq((4, 8), (11, 15))) {
+      val hof = df
+        .withColumn("dots", hyperplaneDots(col("embedding"), t * w, Dim))
+        .select(col("vec_id"), lshBandKeysVec(col("dots"), t, w).as("bands"))
+      val fused = df.select(col("vec_id"),
+        VectorExpr.vecLshBandKeys(col("embedding"), t, w).as("bands"))
+      val mismatch = hof.as[(Long, Seq[String])].collect().toMap
+      val got = fused.as[(Long, Seq[String])].collect().toMap
+      assert(got === mismatch, s"geometry ${t}x$w")
+    }
+  }
+
   test("corpus-adaptive geometry: oracle scales get the frozen 4x8; width grows with n") {
     import graft.queries.VectorQueries.lshGeometry
     // Every oracle-checked corpus size must yield the literal geometry the
