@@ -38,6 +38,15 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Survive long stop-the-world pauses: with a whale-sized heap a single
+      // full GC can exceed the 120 s default network timeout, and in local
+      // mode a missed-heartbeat "executor removal" is unrecoverable — the
+      // round-8 sf10 segment died exactly this way (137 s silent pause →
+      // HeartbeatReceiver removed the in-process executor → every later
+      // query failed on a stopped SparkContext). Same setting a production
+      // cluster with large executors runs with.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "20s")
 
   def local(cores: Int = 4): SparkSession = {
     val spark = builder(cores).getOrCreate()

@@ -59,8 +59,12 @@ object StreamQueries extends QueryCatalog {
     // against the identical oracle as w9 — streaming/batch equivalence for
     // stateful session windows, same contract as w10 for tumbling windows.
     "w11_stream_sessions" -> QueryDef(
+      // replayBoundedLarge, not replayBounded: the session table is
+      // data-proportional (one row per closed session), so the complete-mode
+      // result goes to a distributed parquet sink, never through the driver
+      // (the sf10 whale broke the memory-sink form on maxResultSize).
       (s, dir) => sessionSummary(
-        EventsAnomaly.replayBounded(s, s"$dir/events.parquet",
+        EventsAnomaly.replayBoundedLarge(s, s"$dir/events.parquet",
           src => EventsAnomaly.userSessions(
             Tables.normalizeEvents(src), "30 minutes"))),
       Some(sessionOracle)),

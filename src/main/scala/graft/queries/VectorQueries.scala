@@ -43,10 +43,20 @@ object VectorQueries extends QueryCatalog {
       .select(col("vec_id").as("cid"), col("dim"), col("v").as("cv"))
     var assigned = rows.select("vec_id").limit(0)
     for (_ <- 1 to iters) {
-      val d2 = rows.join(centers, "dim")
-        .withColumn("t", (col("v") - col("cv")) * (col("v") - col("cv")))
-        .groupBy("vec_id", "cid")
-        .agg(ssum(col("t")).as("d2"))
+      // Assignment in the ARRAY layout: k dim-ordered centroid arrays
+      // broadcast against the un-exploded embeddings, distance = ONE native
+      // sorted-fold call per (vector, centroid). The row-layout form
+      // (rows ⋈ centers on dim → per-(vec,cid) collect_list fold) pushes
+      // rows×k intermediate rows through a boxed TypedImperativeAggregate —
+      // the sf10 whale measured it 46–62× per data decade (v5 25 s→1556 s).
+      // Values are bit-identical (same multiset, same sorted order, same
+      // sequential sum — see VectorMath.sortedSqDiffSumF), so the DuckDB
+      // twin and every downstream hash compare are untouched.
+      val centArr = centerArrays(centers)
+      val d2 = Tables.embeddings(s, dir).crossJoin(broadcast(centArr))
+        .select(col("vec_id"), col("cid"),
+          VectorExpr.vecSortedSqDiffSum(
+            col("embedding"), col("carr"), lit(0)).as("d2"))
       val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
       // Per-round lineage cuts (the GraphOps/t15 idiom): assigned feeds BOTH
       // the recenter fold and the caller's probe join, and centers feeds the
@@ -68,6 +78,17 @@ object VectorQueries extends QueryCatalog {
     }
     (rows, centers, assigned)
   }
+
+  /** (cid [+ extra key cols], carr) — each centroid's (cid, dim, cv) rows
+    * gathered into ONE dim-ordered array<double> (k rows total, broadcast
+    * side of the array-layout assignment). struct sort orders by the first
+    * field (dim, unique per group), so `carr[i]` is the dim-i component. */
+  private def centerArrays(centers: org.apache.spark.sql.DataFrame,
+      keys: Seq[String] = Seq("cid")) =
+    centers.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("dim"), col("cv")))).as("p"))
+      .withColumn("carr", expr("transform(p, x -> x.cv)"))
+      .drop("p")
 
   /** [[lloyd]]'s (centers, assigned) as a parquet-staged shared index (the
     * ShingleIndex/custKnn5 pattern, round-7 hardening): the deterministic
@@ -418,15 +439,17 @@ object VectorQueries extends QueryCatalog {
         var release: List[org.apache.spark.sql.DataFrame] = Nil
         val st = graft.ops.Staged(s, s"pq:$k:$iters:$subDim:$dir",
             afterWrite = () => { release.foreach(_.unpersist()); release = Nil }) {
-          val rows = Tables.fanout(Tables.embeddings(s, dir))
-            .transform(explode64)
-            .persist()
-          release = List(rows)
           // faiss-faithful: Lloyd runs on the SAMPLE (training cost is fixed
           // regardless of corpus size); the full corpus only pays the single
-          // final nearest-sub-centroid encoding pass below.
-          val train = rows.filter(col("vec_id") < trainN)
-          var centers = rows.filter(col("vec_id") < k)
+          // final nearest-sub-centroid encoding pass below. Only the sample
+          // is exploded to the row layout — the corpus-sized unpivot the
+          // encode pass used to share was 64× the rows it needed.
+          val train = Tables.fanout(
+              Tables.embeddings(s, dir).filter(col("vec_id") < trainN))
+            .transform(explode64)
+            .persist()
+          release = List(train)
+          var centers = train.filter(col("vec_id") < k)
             .select(col("m").as("cm"), col("vec_id").as("cid"), col("dim"), col("v").as("cv"))
           for (_ <- 1 to iters) {
             val d2 = train.join(broadcast(centers.drop("cm")), "dim")
@@ -443,9 +466,18 @@ object VectorQueries extends QueryCatalog {
                 .groupBy(col("m").as("cm"), col("cid"), col("dim"))
                 .agg((ssum(col("v")) / count(lit(1))).as("cv")))
           }
-          val codes = rows.join(broadcast(centers.drop("cm")), "dim")
-            .withColumn("t", (col("v") - col("cv")) * (col("v") - col("cv")))
-            .groupBy("vec_id", "m", "cid").agg(ssum(col("t")).as("d2"))
+          // Corpus encode in the ARRAY layout (the lloyd assignment rewrite):
+          // 128 dim-ordered sub-centroid arrays broadcast against the
+          // un-exploded corpus, one native sorted-fold call per
+          // (vector, subspace, centroid) — bit-identical to the row-layout
+          // group fold, at 8× fewer rows and no boxed Collect (the sf10
+          // whale read the old shape at 48× per data decade).
+          val subArr = centerArrays(centers, Seq("cm", "cid"))
+            .withColumn("start", (col("cm") * subDim).cast("int"))
+          val codes = Tables.embeddings(s, dir).crossJoin(broadcast(subArr))
+            .select(col("vec_id"), col("cm").as("m"), col("cid"),
+              VectorExpr.vecSortedSqDiffSum(
+                col("embedding"), col("carr"), col("start")).as("d2"))
             .withColumn("rn", row_number().over(
               Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))))
             .filter(col("rn") === 1).select("vec_id", "m", "cid")

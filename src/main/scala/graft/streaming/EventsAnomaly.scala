@@ -110,6 +110,19 @@ object EventsAnomaly {
     else None
   }
 
+  /** Like [[ephemeralCheckpoint]] but never absent — file sinks REQUIRE a
+    * checkpoint location, so fall back to the JVM temp dir off-shm. */
+  private def requiredCheckpoint(): String =
+    ephemeralCheckpoint().getOrElse(
+      new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-replay-" + java.util.UUID.randomUUID().toString).getPath)
+
+  /** Per-replay parquet sink dir under the app's staging root (shutdown-
+    * hook cleaned, same lifecycle as the staged indexes). */
+  private def sinkDir(spark: SparkSession): String =
+    graft.ops.Staged.appRoot(spark) + "/replay-sink-" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRecursively)
@@ -129,24 +142,60 @@ object EventsAnomaly {
     spark.table(name)
   }
 
-  /** Run a streaming transformation over a bounded parquet source with
-    * Trigger.AvailableNow and a memory sink, returning the final result —
-    * the replay harness that lets the correctness gate cover the streaming
-    * path with the same oracle as the batch query. */
-  def replayBounded(spark: SparkSession, parquetPath: String,
-      transform: DataFrame => DataFrame): DataFrame = {
+  private def boundedSource(spark: SparkSession, parquetPath: String): DataFrame = {
     val schema = spark.read.parquet(parquetPath).schema
     // File-stream sources require a directory: stream the parent dir with a
     // glob pinned to the one file.
     val f = new java.io.File(parquetPath)
-    val source = spark.readStream.schema(schema)
+    spark.readStream.schema(schema)
       .option("pathGlobFilter", f.getName)
       .parquet(f.getParent)
+  }
+
+  /** Run a streaming transformation over a bounded parquet source with
+    * Trigger.AvailableNow and a memory sink, returning the final result —
+    * the replay harness that lets the correctness gate cover the streaming
+    * path with the same oracle as the batch query.
+    *
+    * MEMORY SINK CONTRACT: only for transforms whose complete-mode output
+    * is aggregate-BOUNDED at any corpus size (hourly counts ≈ hours span,
+    * per-type rollups ≈ type cardinality). A data-proportional output
+    * through this sink is collected to the driver per micro-batch — the
+    * sf10 whale killed w11 exactly there (spark.driver.maxResultSize at
+    * 10M events). Data-proportional complete aggregates use
+    * [[replayBoundedLarge]]; data-proportional append emissions use the
+    * file-sink variants below. */
+  def replayBounded(spark: SparkSession, parquetPath: String,
+      transform: DataFrame => DataFrame): DataFrame = {
     val name = "replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    runBounded(spark, transform(source).writeStream
+    runBounded(spark, transform(boundedSource(spark, parquetPath)).writeStream
       .format("memory").queryName(name)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow()), name)
+  }
+
+  /** Complete-mode replay for DATA-PROPORTIONAL aggregates (session
+    * windows): each micro-batch's complete result table is written to
+    * parquet by the EXECUTORS (foreachBatch overwrite — the streaming
+    * equivalent of maintaining a sink table), so no row ever funnels
+    * through the driver; the last batch's overwrite is the final state.
+    * Complete mode is what keeps bounded-replay parity with the batch
+    * oracle — in append mode the sessions still inside the final watermark
+    * horizon would stay in state and never emit. */
+  def replayBoundedLarge(spark: SparkSession, parquetPath: String,
+      transform: DataFrame => DataFrame): DataFrame = {
+    val out = sinkDir(spark)
+    val write: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+      (batch, _) => batch.write.mode("overwrite").parquet(out)
+    val ckpt = ephemeralCheckpoint()
+    val dsw = transform(boundedSource(spark, parquetPath)).writeStream
+      .outputMode("complete")
+      .foreachBatch(write)
+      .trigger(Trigger.AvailableNow())
+    val q = ckpt.fold(dsw)(dsw.option("checkpointLocation", _)).start()
+    try q.awaitTermination()
+    finally ckpt.foreach(c => deleteRecursively(new java.io.File(c)))
+    spark.read.parquet(out)
   }
 
   /** Two-source APPEND-mode replay for stream-stream joins: each side gets
@@ -154,34 +203,36 @@ object EventsAnomaly {
     * independent streams, as production would have two topics), the join's
     * emitted rows accumulate in the memory sink. Complete mode is
     * aggregation-only in Spark, so joins need this append variant. */
-  def replayBoundedJoin(spark: SparkSession, parquetPath: String,
-      transform: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val schema = spark.read.parquet(parquetPath).schema
-    val f = new java.io.File(parquetPath)
-    def src() = spark.readStream.schema(schema)
-      .option("pathGlobFilter", f.getName)
-      .parquet(f.getParent)
-    val name = "replayj_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    runBounded(spark, transform(src(), src()).writeStream
-      .format("memory").queryName(name)
+  /** Shared tail of the append-mode replays: a real parquet FILE sink (the
+    * production shape for data-proportional emissions — join pairs and
+    * per-event state outputs scale with the corpus, so a driver-side memory
+    * sink is a maxResultSize OOM waiting for scale). Executors append
+    * finished rows to the sink directory; the result is read back as a
+    * plain parquet frame. File sinks require a checkpoint, so this variant
+    * always has one. */
+  private def runBoundedToFiles(spark: SparkSession, df: DataFrame): DataFrame = {
+    val out = sinkDir(spark)
+    val ckpt = requiredCheckpoint()
+    val q = df.writeStream
+      .format("parquet").option("path", out)
       .outputMode("append")
-      .trigger(Trigger.AvailableNow()), name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally deleteRecursively(new java.io.File(ckpt))
+    spark.read.parquet(out)
   }
+
+  def replayBoundedJoin(spark: SparkSession, parquetPath: String,
+      transform: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    runBoundedToFiles(spark,
+      transform(boundedSource(spark, parquetPath), boundedSource(spark, parquetPath)))
 
   /** Single-source APPEND-mode replay: for stateful operators that emit
     * rows incrementally (flatMapGroupsWithState) rather than maintaining a
     * complete aggregate. */
   def replayBoundedAppend(spark: SparkSession, parquetPath: String,
-      transform: DataFrame => DataFrame): DataFrame = {
-    val schema = spark.read.parquet(parquetPath).schema
-    val f = new java.io.File(parquetPath)
-    val source = spark.readStream.schema(schema)
-      .option("pathGlobFilter", f.getName)
-      .parquet(f.getParent)
-    val name = "replaya_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    runBounded(spark, transform(source).writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow()), name)
-  }
+      transform: DataFrame => DataFrame): DataFrame =
+    runBoundedToFiles(spark, transform(boundedSource(spark, parquetPath)))
 }
