@@ -47,7 +47,16 @@ object MlPipelines {
     val asm = new VectorAssembler().setInputCols(features.toArray).setOutputCol("features")
     val gbt = new GBTRegressor().setFeaturesCol("features").setLabelCol(labelCol)
       .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed).setStepSize(0.1)
-    val model = gbt.fit(asm.transform(train))
+    // Fixed-row fit budget (see gbtFitHpo): GBT's per-round cached state
+    // scales the heap with the training rows while model quality saturates
+    // ~10^6 rows; validation below still scores the full valid split.
+    val trainF = asm.transform(train)
+    val nTrain = trainF.count()
+    val fitCapRows = 2000000L
+    val trainFit =
+      if (nTrain <= fitCapRows) trainF
+      else trainF.sample(withReplacement = false, fitCapRows.toDouble / nTrain, seed)
+    val model = gbt.fit(trainFit)
     model.transform(asm.transform(valid)).drop("features")
   }
 
@@ -92,10 +101,23 @@ object MlPipelines {
       .setTrainRatio(0.75).setSeed(seed).setParallelism(4)
     val best = tvs.fit(trainF.sample(withReplacement = false, hpoFraction, seed))
       .bestModel.asInstanceOf[GBTRegressionModel]
+    // The FINAL fit gets the same fixed-row-budget treatment as the grid
+    // (10x the budget — the winner deserves a deeper look, but not a
+    // corpus-proportional one): MLlib's GBT caches its binned training
+    // representation plus one persisted prediction/error RDD per boosting
+    // round, so fitting the raw corpus scales the heap with the data — the
+    // sf10 whale measured m12 at 61 GB live / 23 s GC pauses / 26x per data
+    // decade fitting 42M rows whose model quality saturates around 10^6.
+    // The validation TRANSFORM below still scores the FULL validation
+    // split, so n_valid and the band booleans keep their oracle meaning.
+    val fitCapRows = 2000000L
+    val trainFit =
+      if (nTrain <= fitCapRows) trainF
+      else trainF.sample(withReplacement = false, fitCapRows.toDouble / nTrain, seed)
     val model = new GBTRegressor().setFeaturesCol("features").setLabelCol(labelCol)
       .setMaxIter(maxIter).setMaxDepth(best.getMaxDepth)
       .setStepSize(best.getStepSize).setSeed(seed)
-      .fit(trainF)
+      .fit(trainFit)
     trainF.unpersist()
     (model.transform(asm.transform(valid)).drop("features"),
       best.getMaxDepth, best.getStepSize, model.featureImportances.toArray)
