@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Assemble WHALESCALE_r{N}.json from the two-decade whale runs.
+
+Inputs (produced by the round-8 protocol):
+  bench_detail.json                     canonical sf0.1 (3-rep minima)
+  tmp/scale/whale10_cold_detail.json    sf10 cold full suite (reps=1)
+  tmp/scale/whale10_warm_detail.json    sf10 warm re-probe of >10x-per-decade
+                                        queries (reps=3, fresh JVM), optional
+  tmp/scale/whale1_warm_detail.json     sf1 warm re-probe of the same set at
+                                        the same HEAD (decade-1 warm), optional
+  WHALESCALE_r07.json                   round-7 sf1 cold record (decade 1 cold)
+
+The two-decade table reports, per query: sf0.1 sec, sf1 cold (r7 HEAD),
+sf10 cold, decade-1 ratio (sf1/sf0.1), decade-2 ratio (sf10/sf1), and warm
+ratios where re-probes exist. A query is flagged super-linear when its
+WARM decade-2 ratio exceeds 10 (the whale.sh rule, applied per decade).
+"""
+import json, sys, os
+
+ROUND = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+
+def load(path, key="queries"):
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        d = json.load(f)
+    return d.get(key, {})
+
+
+def main():
+    sf01 = load("bench_detail.json")
+    cold10 = load("tmp/scale/whale10_cold_detail.json")
+    warm10 = load("tmp/scale/whale10_warm_detail.json")
+    warm1 = load("tmp/scale/whale1_warm_detail.json")
+    r7 = json.load(open("WHALESCALE_r07.json"))
+    sf1 = dict(r7["queries_sf1"])
+    # a16's sf1 entry predates its low-cardinality-window fix; r7 recorded
+    # the post-fix reading separately.
+    sf1["a16_group_deciles"] = r7["post_fix"]["a16_group_deciles_sf1_sec"]
+
+    rows = {}
+    over_d2_cold, over_d2_warm = [], []
+    for q in sorted(cold10):
+        c10, c1, c01 = cold10[q], sf1.get(q), sf01.get(q)
+        if c10 is None or c10 < 0:
+            continue
+        row = {"sf01": c01, "sf1_cold_r7": c1, "sf10_cold": round(c10, 3)}
+        if c1 and c1 > 0:
+            row["decade2_cold_ratio"] = round(c10 / c1, 2)
+            if c10 / c1 > 10:
+                over_d2_cold.append(q)
+        if c01 and c01 > 0 and c1:
+            row["decade1_cold_ratio"] = round(c1 / c01, 2)
+        if q in warm10:
+            row["sf10_warm"] = warm10[q]
+            base1 = warm1.get(q, c1)
+            if base1 and base1 > 0:
+                row["decade2_warm_ratio"] = round(warm10[q] / base1, 2)
+                if warm10[q] / base1 > 10:
+                    over_d2_warm.append(q)
+        if q in warm1:
+            row["sf1_warm_r8"] = warm1[q]
+        rows[q] = row
+
+    tot01 = sum(v for v in sf01.values() if v and v > 0)
+    tot1 = sum(v for v in sf1.values() if v and v > 0)
+    tot10 = sum(v for v in cold10.values() if v and v > 0)
+    out = {
+        "round": ROUND,
+        "harness": "graft.Bench cold reps=1 full suite at tmp/scale/sf10 "
+                   "(tools/make_sf1.py 100: 60M lineitem / 10M events / "
+                   "500k docs / 200k embeddings), then reps=3 warm re-probe "
+                   "of every query >10x its decade-1 (sf1) cold time; sf1 "
+                   "warm re-probes at the same HEAD where noted",
+        "sf01_total_sec": round(tot01, 2),
+        "sf1_total_sec_r7head": round(tot1, 2),
+        "sf10_total_sec": round(tot10, 2),
+        "decade1_total_ratio": round(tot1 / tot01, 2) if tot01 else None,
+        "decade2_total_ratio": round(tot10 / tot1, 2) if tot1 else None,
+        "errors": sum(1 for v in cold10.values() if v is not None and v < 0),
+        "queries_over_10x_decade2_cold": sorted(over_d2_cold),
+        "queries_over_10x_decade2_warm": sorted(over_d2_warm),
+        "two_decade_table": rows,
+    }
+    path = f"WHALESCALE_r{ROUND:02d}.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}: d1 {out['decade1_total_ratio']}x, "
+          f"d2 {out['decade2_total_ratio']}x, "
+          f">10x-d2 cold: {len(over_d2_cold)}, warm: {len(over_d2_warm)}")
+
+
+if __name__ == "__main__":
+    main()
