@@ -201,8 +201,20 @@ object Bench {
     // scale by it — max of the two factors, since either window class alone
     // fully accounts for the inflation it names.
     val stageFactor = math.max(1.0, stageRef / Bench.QuietStageRef)
+    // Noise-band gate on the stage factor: QuietStageRef is pinned at the
+    // MINIMUM of a 0.516–0.748 quiet band, so a typical quiet host reads a
+    // "factor" of up to ~1.45x that would relax the adjusted-flag gate in
+    // exactly the historically regression-prone stage-latency families.
+    // Only a reading clearly OUTSIDE the quiet band (>1.5x the pinned
+    // floor ≈ above the observed 0.748 quiet maximum) counts as a
+    // scheduler-latency window; inside the band the stage witness stays
+    // informational (printed, not applied). The round-6/7 real windows this
+    // factor exists for read 1.8–6.3x — far past the gate.
+    val stageFactorGate = 1.5
+    def gateStage(f: Double): Double = if (f > stageFactorGate) f else 1.0
     def qFactor(q: String): Double =
-      if (Bench.StageLatencyBound.contains(q)) math.max(hostFactor, stageFactor)
+      if (Bench.StageLatencyBound.contains(q))
+        math.max(hostFactor, gateStage(stageFactor))
       else hostFactor
     val adjRegressions = regressions.filter { case (q, v, fl) =>
       val f = qFactor(q)
@@ -312,7 +324,8 @@ object Bench {
       val suiteV = results.getOrElse(q, -1.0)
       val fl = floors.getOrElse(q, Double.NaN)
       val pf =
-        if (Bench.StageLatencyBound.contains(q)) math.max(probeHostFactor, probeStageFactor)
+        if (Bench.StageLatencyBound.contains(q))
+          math.max(probeHostFactor, gateStage(probeStageFactor))
         else probeHostFactor
       val verdict =
         if (iv < 0) "probe-failed"

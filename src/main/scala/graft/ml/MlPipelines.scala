@@ -50,15 +50,34 @@ object MlPipelines {
     // Fixed-row fit budget (see gbtFitHpo): GBT's per-round cached state
     // scales the heap with the training rows while model quality saturates
     // ~10^6 rows; validation below still scores the full valid split.
-    val trainF = asm.transform(train)
+    // Persisted BEFORE the sizing count — the count is a full pass over the
+    // assembled frame, and unpersisted it would be paid twice (once here,
+    // once by the fit's first iteration).
+    val trainF = asm.transform(train).persist()
     val nTrain = trainF.count()
-    val fitCapRows = 2000000L
-    val trainFit =
-      if (nTrain <= fitCapRows) trainF
-      else trainF.sample(withReplacement = false, fitCapRows.toDouble / nTrain, seed)
-    val model = gbt.fit(trainFit)
+    val trainFit = capFitRows(trainF, nTrain, seed)
+    val model =
+      try gbt.fit(trainFit)
+      finally { trainF.unpersist(); () }
     model.transform(asm.transform(valid)).drop("features")
   }
+
+  /** The fixed 2M-row fit budget, with an audit line whenever it FIRES:
+    * above the cap the sampled fit changes predictions/importances relative
+    * to the uncapped form, which is safe only because no oracle/hash compare
+    * runs above oracle scales (sf0.01/sf0.1, far below the cap) — the log
+    * line makes a silent sample at an unexpected scale visible instead of
+    * relying on that comment staying true. */
+  private val FitCapRows = 2000000L
+  private def capFitRows(trainF: DataFrame, nTrain: Long, seed: Long): DataFrame =
+    if (nTrain <= FitCapRows) trainF
+    else {
+      System.err.println(
+        s"[mlpipelines] GBT fit-row budget FIRING: sampling $FitCapRows of " +
+          s"$nTrain training rows (predictions differ from an uncapped fit; " +
+          "oracle-scale corpora never reach this branch)")
+      trainF.sample(withReplacement = false, FitCapRows.toDouble / nTrain, seed)
+    }
 
   /** GBT with the hyperparameter search SURVEY §7.3 promised (the
     * reference's Optuna loop, 实习二/…taxi_travel_time_prediction.ipynb:
@@ -110,10 +129,7 @@ object MlPipelines {
     // decade fitting 42M rows whose model quality saturates around 10^6.
     // The validation TRANSFORM below still scores the FULL validation
     // split, so n_valid and the band booleans keep their oracle meaning.
-    val fitCapRows = 2000000L
-    val trainFit =
-      if (nTrain <= fitCapRows) trainF
-      else trainF.sample(withReplacement = false, fitCapRows.toDouble / nTrain, seed)
+    val trainFit = capFitRows(trainF, nTrain, seed)
     val model = new GBTRegressor().setFeaturesCol("features").setLabelCol(labelCol)
       .setMaxIter(maxIter).setMaxDepth(best.getMaxDepth)
       .setStepSize(best.getStepSize).setSeed(seed)

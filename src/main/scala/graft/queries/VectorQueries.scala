@@ -181,11 +181,19 @@ object VectorQueries extends QueryCatalog {
     (t, w)
   }
 
-  /** One count() per (application, dir): the adaptive geometry needs the
+  /** One count() per (application, corpus): the adaptive geometry needs the
     * corpus size, and a parquet count is metadata-only — but not free
-    * inside a 3-rep suite, so memoize. */
+    * inside a 3-rep suite, so memoize. Keyed by (dir, mtime, size) of the
+    * embeddings file, not dir alone: a corpus REGENERATED at the same path
+    * within one application (tests, whale re-gen) must not compute its LSH
+    * geometry from the stale count. */
   private val embCounts =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
+
+  private def embCacheKey(dir: String): (String, Long, Long) = {
+    val f = new java.io.File(dir, "embeddings.parquet")
+    (dir, f.lastModified(), f.length())
+  }
 
   /** v3's over-full-bucket cap: 16× the E[bucket] ≤ 8 the adaptive width
     * targets. See the v3 scaladoc for the sf10 measurements behind it. */
@@ -200,8 +208,8 @@ object VectorQueries extends QueryCatalog {
     * projections per reference (one sf10 task measured at 858 s inside
     * hyperplaneDotsF before the fusion). */
   private def bandedIds(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val n: Long = embCounts.computeIfAbsent(dir,
-      d => Tables.embeddings(s, d).count())
+    val n: Long = embCounts.computeIfAbsent(embCacheKey(dir),
+      _ => Tables.embeddings(s, dir).count())
     val (tables, w) = lshGeometry(n)
     Tables.embeddings(s, dir)
       .select(col("vec_id"),

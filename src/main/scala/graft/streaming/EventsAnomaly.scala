@@ -129,13 +129,33 @@ object EventsAnomaly {
     f.delete(); ()
   }
 
+  /** Read a replay sink dir back, tolerating the ZERO-OUTPUT case: an
+    * append-mode run whose rows are all held back by the final watermark
+    * (tiny corpus) or a zero-batch run commits no data files, and
+    * spark.read.parquet on a data-less dir throws a schema-inference error
+    * where the old memory sink returned an empty table WITH a schema.
+    * `schema` is the transform's output schema — the empty frame keeps the
+    * sink contract. */
+  private def readSinkOrEmpty(spark: SparkSession, out: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val files = new java.io.File(out).listFiles()
+    val hasData = files != null && files.exists(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    if (hasData) spark.read.parquet(out)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** Start `dsw` with an ephemeral checkpoint (when available), await the
     * bounded run, and clean the checkpoint up — shared tail of the three
-    * replay variants. */
+    * replay variants. `checkpointDir` overrides the default ephemeral
+    * (shm-backed) location; StreamProbe uses it to bisect checkpoint IO
+    * (disk vs shm) — without the override every probe arm would silently
+    * measure the shm default. */
   private def runBounded(spark: SparkSession,
       dsw: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
-      name: String): DataFrame = {
-    val ckpt = ephemeralCheckpoint()
+      name: String, checkpointDir: Option[String]): DataFrame = {
+    val ckpt = checkpointDir.orElse(ephemeralCheckpoint())
     val q = ckpt.fold(dsw)(dsw.option("checkpointLocation", _)).start()
     try q.awaitTermination()
     finally ckpt.foreach(c => deleteRecursively(new java.io.File(c)))
@@ -166,12 +186,13 @@ object EventsAnomaly {
     * [[replayBoundedLarge]]; data-proportional append emissions use the
     * file-sink variants below. */
   def replayBounded(spark: SparkSession, parquetPath: String,
-      transform: DataFrame => DataFrame): DataFrame = {
+      transform: DataFrame => DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
     val name = "replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
     runBounded(spark, transform(boundedSource(spark, parquetPath)).writeStream
       .format("memory").queryName(name)
       .outputMode("complete")
-      .trigger(Trigger.AvailableNow()), name)
+      .trigger(Trigger.AvailableNow()), name, checkpointDir)
   }
 
   /** Complete-mode replay for DATA-PROPORTIONAL aggregates (session
@@ -188,14 +209,15 @@ object EventsAnomaly {
     val write: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
       (batch, _) => batch.write.mode("overwrite").parquet(out)
     val ckpt = ephemeralCheckpoint()
-    val dsw = transform(boundedSource(spark, parquetPath)).writeStream
+    val transformed = transform(boundedSource(spark, parquetPath))
+    val dsw = transformed.writeStream
       .outputMode("complete")
       .foreachBatch(write)
       .trigger(Trigger.AvailableNow())
     val q = ckpt.fold(dsw)(dsw.option("checkpointLocation", _)).start()
     try q.awaitTermination()
     finally ckpt.foreach(c => deleteRecursively(new java.io.File(c)))
-    spark.read.parquet(out)
+    readSinkOrEmpty(spark, out, transformed.schema)
   }
 
   /** Two-source APPEND-mode replay for stream-stream joins: each side gets
@@ -221,7 +243,7 @@ object EventsAnomaly {
       .start()
     try q.awaitTermination()
     finally deleteRecursively(new java.io.File(ckpt))
-    spark.read.parquet(out)
+    readSinkOrEmpty(spark, out, df.schema)
   }
 
   def replayBoundedJoin(spark: SparkSession, parquetPath: String,

@@ -65,4 +65,32 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("zero-output append replay returns an empty frame with schema, not a read error") {
+    import spark.implicits._
+    // All events inside one 10-minute span: the single hourly window never
+    // falls behind the final watermark, so the append-mode replay commits
+    // ZERO data files — the read-back guard must return the transform's
+    // schema as an empty frame instead of throwing parquet schema-inference.
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-replay").toFile
+    try {
+      val tmpOut = new java.io.File(dir, "_stage")
+      Seq(10L, 70L, 300L, 599L).toDF("epoch")
+        .select(timestamp_seconds(col("epoch")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(tmpOut.getPath)
+      val part = tmpOut.listFiles().find(_.getName.endsWith(".parquet")).get
+      val src = new java.io.File(dir, "events.parquet")
+      java.nio.file.Files.move(part.toPath, src.toPath)
+      val out = EventsAnomaly.replayBoundedAppend(spark, src.getPath,
+        s => EventsAnomaly.hourlyCounts(s))
+      assert(out.columns.toSeq === Seq("hour_epoch", "cnt"))
+      assert(out.count() === 0L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
