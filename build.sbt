@@ -38,4 +38,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   // Opt-in GC log: emit the flag only when requested — "-Xlog:gc:none"
   // makes the JVM log to a FILE literally named "none".
-) ++ sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc:file=$f").toSeq
+) ++ sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc:file=$f").toSeq ++
+  // Generic forked-JVM flag hook for A/B experiments (code cache sizing,
+  // JIT logging) without editing the build per run.
+  sys.env.get("SPARK_EXTRA_JVM_OPTS").map(_.trim.split("\\s+").toSeq)
+    .getOrElse(Seq.empty)

@@ -151,7 +151,16 @@ object Bench {
         graft.core.GraftSession.releaseTransientBlocks(spark)
         // Periodic GC still reaps broadcast blocks (not in getPersistentRDDs);
         // every 8 queries bounds the ~0.3 s/GC overhead across the suite.
-        if (i % 8 == 7) System.gc()
+        // ALSO after any heavy query (>5 s): on an oversized heap the JVM
+        // may never collect on its own, so per-execution state (broadcast
+        // pieces, shuffle registrations — ContextCleaner triggers off GC)
+        // accumulates and progressively degrades memory-bound stages.
+        // Measured at the sf10 corpus (round 9, a16_group_deciles, fresh
+        // JVM, 80g heap): reps WITHOUT inter-rep GC 44→75→116 s; WITH it
+        // 33.8→30.9→29.5 s. The count-based cadence alone never fires in a
+        // filtered run of <8 queries — exactly how whale warm re-probes
+        // run. GC lands OUTSIDE the timed windows either way.
+        if (i % 8 == 7 || dt > 5.0) System.gc()
         if (i % 48 == 47) duringSamples += graft.ops.CpuWitness.quickSpin()
       }
     }

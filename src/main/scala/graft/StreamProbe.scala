@@ -50,6 +50,10 @@ object StreamProbe {
 
     def time(label: String, f: () => Long): Unit = {
       val ts = (1 to 3).map { _ =>
+        // GC before each timing: per-execution state (broadcast pieces,
+        // shuffle registrations) accumulates un-collected on an oversized
+        // heap and degrades later arms/reps (round-9 finding, BASELINE.md).
+        System.gc()
         val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
       }
       println(f"[streamprobe] $label times=${ts.map(t => f"$t%.3f").mkString(",")} min=${ts.min}%.3f")

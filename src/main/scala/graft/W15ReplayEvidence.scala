@@ -200,6 +200,11 @@ object W15ReplayEvidence {
       val w = new java.io.FileWriter(outPath, true)
       try w.write(line + "\n") finally w.close()
       System.out.flush()
+      // Between scales: reclaim the finished replay's accumulated state
+      // (broadcast pieces, shuffle registrations) so the next scale starts
+      // from a clean heap — on an 80g heap the JVM may never GC on its own
+      // and the accumulation degrades later scales (measured round 9).
+      System.gc(); Thread.sleep(1000); System.gc()
     }
     spark.stop()
   }

@@ -47,6 +47,21 @@ object GraftSession {
       // cluster with large executors runs with.
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "20s")
+      // Off-heap Tungsten execution memory (round-9 finding): on-heap
+      // execution pages are 1-64 MB long[] allocations — G1 HUMONGOUS
+      // objects that bypass the young gen, fragment the old gen, and stall
+      // 30/32 executor threads in HeapMemoryAllocator.allocate under
+      // repeated heavy queries (jstack-verified at the sf10 corpus; wall
+      // chaos 25→136 s on identical work in one JVM). Off-heap pages make
+      // the same reps flat AND faster — d4_simhash sf10: 79/25/136 s
+      // on-heap → 30.1/16.2/16.4 s off-heap, task-time −33%. This is the
+      // standard large-executor production posture for the same reason.
+      // Size via SPARK_GRAFT_OFFHEAP_GB (default 16 — execution-only pool,
+      // reserved logically, allocated on demand; the JVM heap budget in
+      // SPARK_DRIVER_MEM is unchanged).
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size",
+        sys.env.getOrElse("SPARK_GRAFT_OFFHEAP_GB", "16") + "g")
 
   def local(cores: Int = 4): SparkSession = {
     val spark = builder(cores).getOrCreate()
