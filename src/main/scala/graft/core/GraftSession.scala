@@ -58,10 +58,13 @@ object GraftSession {
       // standard large-executor production posture for the same reason.
       // Size via SPARK_GRAFT_OFFHEAP_GB (default 16 — execution-only pool,
       // reserved logically, allocated on demand; the JVM heap budget in
-      // SPARK_DRIVER_MEM is unchanged).
-      .config("spark.memory.offHeap.enabled", "true")
+      // SPARK_DRIVER_MEM is unchanged). 0 disables (A/B harness + the
+      // small-corpus iterative escape hatch, see BASELINE.md round 9).
+      .config("spark.memory.offHeap.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_OFFHEAP_GB", "16") != "0").toString)
       .config("spark.memory.offHeap.size",
-        sys.env.getOrElse("SPARK_GRAFT_OFFHEAP_GB", "16") + "g")
+        math.max(1, sys.env.getOrElse("SPARK_GRAFT_OFFHEAP_GB", "16")
+          .toInt) + "g")
 
   def local(cores: Int = 4): SparkSession = {
     val spark = builder(cores).getOrCreate()
