@@ -40,6 +40,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // makes the JVM log to a FILE literally named "none".
 ) ++ sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc:file=$f").toSeq ++
   // Generic forked-JVM flag hook for A/B experiments (code cache sizing,
-  // JIT logging) without editing the build per run.
-  sys.env.get("SPARK_EXTRA_JVM_OPTS").map(_.trim.split("\\s+").toSeq)
-    .getOrElse(Seq.empty)
+  // JIT logging) without editing the build per run. filter(_.nonEmpty):
+  // an empty/whitespace-only value would otherwise inject a literal ""
+  // JVM option and every forked run dies with "Could not find or load
+  // main class" (ADVICE r9).
+  sys.env.get("SPARK_EXTRA_JVM_OPTS").toSeq
+    .flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

@@ -126,9 +126,18 @@ object Bench {
     // min/median/max profile separates steady-slow (all three shifted)
     // from bursty (max >> min) from quiet (all at reference).
     val duringSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // Run-spanning MEMORY companion (round-10, VERDICT r9 item 2): the
+    // round-9 five-flag adjudication hinged on "hours-long bandwidth
+    // window vs regression", and mem_ref_mt is a point probe a bursty
+    // window dodges (measured 2026-08-15: same-hour probes 0.34 vs 0.66).
+    // One raw all-core sample at the same cadence as the cpu spin; the
+    // spread is reported as mem_ref_during. Cost ~0.4 s/sample x ~16
+    // samples per canonical run, all landing OUTSIDE timed query windows.
+    val memDuringSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
     val minima = scala.collection.mutable.Map.empty[String, Double]
     for (rep <- 1 to reps) {
       duringSamples += graft.ops.CpuWitness.quickSpin()
+      memDuringSamples += graft.ops.CpuWitness.quickMemSpinMt(cpus)
       names.zipWithIndex.foreach { case (name, i) =>
         val t0 = System.nanoTime()
         val ok =
@@ -161,10 +170,14 @@ object Bench {
         // filtered run of <8 queries — exactly how whale warm re-probes
         // run. GC lands OUTSIDE the timed windows either way.
         if (i % 8 == 7 || dt > 5.0) System.gc()
-        if (i % 48 == 47) duringSamples += graft.ops.CpuWitness.quickSpin()
+        if (i % 48 == 47) {
+          duringSamples += graft.ops.CpuWitness.quickSpin()
+          memDuringSamples += graft.ops.CpuWitness.quickMemSpinMt(cpus)
+        }
       }
     }
     duringSamples += graft.ops.CpuWitness.quickSpin()
+    memDuringSamples += graft.ops.CpuWitness.quickMemSpinMt(cpus)
     val results = minima.view
       .mapValues(v => if (v == Double.MaxValue) -1.0 else v).toMap
 
@@ -256,6 +269,12 @@ object Bench {
     // run-start cpu_ref — so suite-position vs persists-isolated is
     // adjudicated against the probe-time host factor, not the stale one.
     var isolatedCpuRef: Double = -1.0
+    // The probe's run-spanning memory spread (ISOLATED-MEM-DURING line, a
+    // ready JSON object) — "persists-isolated" on a bandwidth-sensitive
+    // query is only readable against the contention the PROBE experienced
+    // across its whole run, not a start-time point sample. "null" = no
+    // probe ran or an old-probe line set.
+    var isolatedMemDuring: String = "null"
     val isolatedRecheck: Map[String, Double] =
       if (adjRegressions.nonEmpty && atCanonicalPoint &&
           sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0") {
@@ -306,6 +325,9 @@ object Bench {
           lines.find(_.startsWith("ISOLATED-CPUREF ")).foreach { l =>
             try isolatedCpuRef = l.split(' ')(1).toDouble
             catch { case _: Throwable => () }
+          }
+          lines.find(_.startsWith("ISOLATED-MEM-DURING ")).foreach { l =>
+            isolatedMemDuring = l.stripPrefix("ISOLATED-MEM-DURING ").trim
           }
           val parsed = lines.find(_.startsWith("ISOLATED ")).map { l =>
             rx.findAllMatchIn(l).map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -414,11 +436,17 @@ object Bench {
     val duringJson =
       if (during.isEmpty) "null"
       else s"""{"min":${sec(during.head)},"med":${sec(during(during.size / 2))},"max":${sec(during.last)},"n":${during.size}}"""
+    // mem_ref_during: already on the mem_ref_mt scale (one full sample),
+    // no rescaling needed — compare min/med/max against QuietMemRefMt.
+    val memDuring = memDuringSamples.sorted
+    val memDuringJson =
+      if (memDuring.isEmpty) "null"
+      else s"""{"min":${sec(memDuring.head)},"med":${sec(memDuring(memDuring.size / 2))},"max":${sec(memDuring.last)},"n":${memDuring.size}}"""
     val isoJson = fmt(isolatedRecheck)
     val compact =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"isolated_recheck":$isoJson,"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"stage_ref_sec":${sec(stageRef)},"isolated_stage_ref_sec":${sec(isolatedStageRef)},"isolated_cpu_ref_sec":${sec(isolatedCpuRef)},"cpu_ref_during":$duringJson}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"isolated_recheck":$isoJson,"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"stage_ref_sec":${sec(stageRef)},"isolated_stage_ref_sec":${sec(isolatedStageRef)},"isolated_cpu_ref_sec":${sec(isolatedCpuRef)},"cpu_ref_during":$duringJson,"mem_ref_during":$memDuringJson,"isolated_mem_ref_during":$isolatedMemDuring}"""
     val detail =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"isolated_recheck":$isoJson,"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"stage_ref_sec":${sec(stageRef)},"isolated_stage_ref_sec":${sec(isolatedStageRef)},"isolated_cpu_ref_sec":${sec(isolatedCpuRef)},"cpu_ref_during":$duringJson}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"isolated_recheck":$isoJson,"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"stage_ref_sec":${sec(stageRef)},"isolated_stage_ref_sec":${sec(isolatedStageRef)},"isolated_cpu_ref_sec":${sec(isolatedCpuRef)},"cpu_ref_during":$duringJson,"mem_ref_during":$memDuringJson,"isolated_mem_ref_during":$isolatedMemDuring}"""
     // Only unfiltered runs AT THE CANONICAL SF may rewrite the committed
     // canonical detail — a filtered dev run would silently replace the
     // 193-query record with its subset, and an unfiltered run at another

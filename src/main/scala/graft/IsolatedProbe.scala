@@ -32,7 +32,15 @@ object IsolatedProbe {
     val sfDir = args(0)
     val cpus = args(1).toInt
     val names = args(2).split(',').toSeq.filter(SparkEntry.queries.contains)
+    // Run-spanning memory-bandwidth samples (VERDICT r9 item 2): one raw
+    // all-core sample before the warm loop, one after each query's timed
+    // reps, one at the end — a "persists-isolated" verdict on a
+    // bandwidth-sensitive query is only readable against the contention
+    // the probe experienced ACROSS its run (round-9's five-flag class:
+    // start-time point probes read quiet while same-hour probes read 2x).
+    val memDuring = scala.collection.mutable.ArrayBuffer.empty[Double]
     val spark = graft.core.GraftSession.local(cpus)
+    memDuring += graft.ops.CpuWitness.quickMemSpinMt(cpus)
     val warmDir = {
       val small = new java.io.File(sfDir).getParentFile match {
         case null => sfDir
@@ -73,8 +81,12 @@ object IsolatedProbe {
         if (ok) dt else -1.0
       }
       val best = if (samples.exists(_ >= 0.0)) samples.filter(_ >= 0.0).min else -1.0
+      memDuring += graft.ops.CpuWitness.quickMemSpinMt(cpus)
       s""""$name":${sec(best)}"""
     }
+    val md = memDuring.sorted
+    println("ISOLATED-MEM-DURING " +
+      s"""{"min":${sec(md.head)},"med":${sec(md(md.size / 2))},"max":${sec(md.last)},"n":${md.size}}""")
     println("ISOLATED " + out.mkString("{", ",", "}"))
     spark.stop()
   }

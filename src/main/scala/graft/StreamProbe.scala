@@ -72,11 +72,21 @@ object StreamProbe {
     // override — the disk-vs-default delta is the fsync/IO share the round-8
     // fix removed (a session-conf toggle would be silently overridden by
     // the per-query ephemeral location and measure nothing).
+    // Caller-owned checkpoint (ADVICE r9: runBounded no longer deletes a
+    // supplied dir): cleared BEFORE each use — a stale checkpoint would
+    // resume past the data and measure an empty replay — and after, so
+    // the probe leaves nothing in tmp.
     val diskCkpt = new java.io.File(sys.props("java.io.tmpdir"),
-      "graft_probe_ckpt_disk").getPath
+      "graft_probe_ckpt_disk")
+    def rmTree(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(diskCkpt)
     time("stateful parts=32 disk-ckpt",
       () => EventsAnomaly.replayBounded(spark, s"$dir/events.parquet", agg,
-        checkpointDir = Some(diskCkpt)).count())
+        checkpointDir = Some(diskCkpt.getPath)).count())
+    rmTree(diskCkpt)
     // Stateless replay: append mode (no aggregate => complete mode invalid).
     time("stateless parts=32",
       () => EventsAnomaly.replayBoundedAppend(spark, s"$dir/events.parquet", stateless).count())

@@ -57,11 +57,20 @@ object W15ReplayEvidence {
       chunkDays: Int): Int = {
     val ev = graft.core.Tables.normalizeEvents(s.read.parquet(eventsPath))
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-    val t0 = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+    // One aggregate pass for both span ends; an EMPTY events table yields
+    // null aggregates (the old per-agg head().getLong/getInt NPE'd,
+    // ADVICE r9) — stage nothing and report zero chunks.
+    val span = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    if (span.isNullAt(0)) {
+      val root = new java.io.File(outDir)
+      if (!root.exists()) root.mkdirs()
+      return 0
+    }
+    val t0 = span.getLong(0)
     val chunkUs = chunkDays.toLong * 86400L * 1000000L
     val withChunk = ev.withColumn("chunk",
       ((unix_micros(col("ts")) - lit(t0)) / lit(chunkUs)).cast("int"))
-    val nChunks = withChunk.agg(max(col("chunk"))).head().getInt(0) + 1
+    val nChunks = ((span.getLong(1) - t0) / chunkUs).toInt + 1
     def rm(f: java.io.File): Unit = {
       val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
       f.delete(); ()
@@ -145,7 +154,16 @@ object W15ReplayEvidence {
       files = new java.io.File(stagedDir).listFiles()
         .count(_.getName.endsWith(".parquet")),
       batches = progs.count(_.numInputRows > 0),
-      pairs = s.read.parquet(out).count(),
+      // Zero-emission guard (ADVICE r9, the readSinkOrEmpty pattern): a
+      // run whose rows are all held back by the final watermark commits
+      // no data files, and spark.read.parquet on a data-less sink dir
+      // throws a schema-inference error instead of returning 0.
+      pairs = {
+        val fs = new java.io.File(out).listFiles()
+        val hasData = fs != null && fs.exists(f =>
+          f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        if (hasData) s.read.parquet(out).count() else 0L
+      },
       maxStateRows = if (states.isEmpty) 0L else states.max,
       finalStateRows = states.lastOption.getOrElse(0L),
       removedRows = progs.map(_.stateOperators.map(_.numRowsRemoved).sum).sum,

@@ -17,6 +17,18 @@ import org.apache.spark.sql.SparkSession
   *    derive timestamps explicitly (see Tables.events).
   */
 object GraftSession {
+  /** SPARK_GRAFT_OFFHEAP_GB, validated: a non-negative integer GB count
+    * (0 = disable off-heap — the A/B harness + small-corpus iterative
+    * escape hatch, BASELINE.md round 9). Evaluated lazily so a bad value
+    * fails when a session is actually built, with a message naming the
+    * variable, not as an object-initializer ExceptionInInitializerError. */
+  private lazy val offHeapGb: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_OFFHEAP_GB", "16").trim
+    val parsed = scala.util.Try(raw.toInt).toOption.filter(_ >= 0)
+    parsed.getOrElse(throw new IllegalArgumentException(
+      s"SPARK_GRAFT_OFFHEAP_GB must be a non-negative integer GB count, got '$raw'"))
+  }
+
   def builder(cores: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")
@@ -60,11 +72,14 @@ object GraftSession {
       // reserved logically, allocated on demand; the JVM heap budget in
       // SPARK_DRIVER_MEM is unchanged). 0 disables (A/B harness + the
       // small-corpus iterative escape hatch, see BASELINE.md round 9).
-      .config("spark.memory.offHeap.enabled",
-        (sys.env.getOrElse("SPARK_GRAFT_OFFHEAP_GB", "16") != "0").toString)
-      .config("spark.memory.offHeap.size",
-        math.max(1, sys.env.getOrElse("SPARK_GRAFT_OFFHEAP_GB", "16")
-          .toInt) + "g")
+      // Parsed ONCE with validation (ADVICE r9): only a non-negative
+      // integer is accepted — the old form compared the raw string to "0"
+      // for enablement and toInt'd it separately for size, so "00"/"0.5"/
+      // junk enabled first and crashed at session build, and a negative
+      // value enabled a silently-1g-clamped pool. A bad value now fails
+      // loudly at the only place it's read.
+      .config("spark.memory.offHeap.enabled", (offHeapGb > 0).toString)
+      .config("spark.memory.offHeap.size", math.max(1, offHeapGb) + "g")
 
   def local(cores: Int = 4): SparkSession = {
     val spark = builder(cores).getOrCreate()

@@ -131,6 +131,36 @@ object CpuWitness {
     }.min
   }
 
+  /** Lazily-allocated probe array for the RUN-SPANNING memory samples —
+    * allocated once on first use and pinned for the JVM's life (256 MB),
+    * so repeated samples measure bandwidth, not allocation+page-fault
+    * cost, and don't churn the heap between queries. */
+  private lazy val duringArray: Array[Long] = memArray()
+
+  /** One RAW all-core bandwidth sample, deliberately NOT min-of-n — the
+    * run-spanning memory witness (round-10; VERDICT r9 item 2). Rationale:
+    * mem_ref_mt is a ~1.5 s point probe at run start, and the round-9
+    * five-flag class showed contention the point probe undersamples —
+    * same-hour probes read 0.34 and 0.66 (2x apart) minutes apart while
+    * flagged queries persisted 1.8-2.5x over floor in fresh JVMs whose own
+    * start-time probes read QUIET. Bench interleaves these between queries
+    * at the cpu_ref_during cadence; the min/med/max profile over the whole
+    * run separates steady-contended (all shifted) from bursty (max >> min)
+    * from quiet. Unit = the mem_ref_mt scale (sec for threads x 2 GB of
+    * staggered streaming reads), directly comparable to QuietMemRefMt. */
+  def quickMemSpinMt(threads: Int): Double = {
+    val a = duringArray
+    val n = math.max(1, threads)
+    val t0 = System.nanoTime()
+    val ts = (0 until n).map { i =>
+      val start = ((i.toLong * MemWords) / n).toInt
+      new Thread(() => { require(memSum(a, start) != 42L); () })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Both bandwidth probes over ONE shared 256 MB array (st, mt): the
     * separate no-arg entry points each allocate their own array, so a
     * caller using both peaks ~512 MB of probe heap if the first array

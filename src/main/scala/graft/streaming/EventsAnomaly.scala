@@ -151,14 +151,24 @@ object EventsAnomaly {
     * replay variants. `checkpointDir` overrides the default ephemeral
     * (shm-backed) location; StreamProbe uses it to bisect checkpoint IO
     * (disk vs shm) — without the override every probe arm would silently
-    * measure the shm default. */
+    * measure the shm default.
+    *
+    * Checkpoint ownership (ADVICE r9): only the INTERNALLY-created
+    * ephemeral checkpoint is deleted here. A caller-supplied
+    * `checkpointDir` is the caller's to clean (StreamProbe removes its
+    * throwaway disk arm itself) — deleting it here would destroy a
+    * durable checkpoint location a future caller passes in. Note a
+    * bounded AvailableNow replay over a REUSED checkpoint resumes past
+    * already-processed data, so callers passing a dir must clear it
+    * between runs if they want a full replay. */
   private def runBounded(spark: SparkSession,
       dsw: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
       name: String, checkpointDir: Option[String]): DataFrame = {
+    val internal = checkpointDir.isEmpty
     val ckpt = checkpointDir.orElse(ephemeralCheckpoint())
     val q = ckpt.fold(dsw)(dsw.option("checkpointLocation", _)).start()
     try q.awaitTermination()
-    finally ckpt.foreach(c => deleteRecursively(new java.io.File(c)))
+    finally if (internal) ckpt.foreach(c => deleteRecursively(new java.io.File(c)))
     spark.table(name)
   }
 

@@ -54,16 +54,38 @@ def w15_replay_section(path="tmp/scale/w15_replay.jsonl"):
     reading is the honest one). n_runs records how many were folded."""
     if not os.path.exists(path):
         return None
-    rows, counts = {}, {}
+    # Decade ratios are only meaningful between runs of the SAME replay
+    # config: a sf1 run at chunk_days=5 has a different per-batch volume
+    # than a sf10 run at chunk_days=2, so folding minima across configs
+    # would silently misstate the ladder (ADVICE r9). Group by
+    # (scale, chunk_days), pick the canonical chunk_days = the config
+    # covering the most ladder scales (tie: most records), and build the
+    # ladder only from it; other configs are reported as excluded.
+    by_cfg = {}
     with open(path) as f:
         for line in f:
             line = line.strip()
             if line:
                 r = json.loads(line)
-                s = r["scale"]
-                counts[s] = counts.get(s, 0) + 1
-                if s not in rows or r.get("sec", 1e18) < rows[s].get("sec", 1e18):
-                    rows[s] = r
+                key = (r["scale"], r.get("chunk_days"))
+                by_cfg.setdefault(key, []).append(r)
+    if not by_cfg:
+        return None
+    cfg_scales = {}
+    for (s, cd), recs in by_cfg.items():
+        cfg_scales.setdefault(cd, {"scales": set(), "n": 0})
+        cfg_scales[cd]["scales"].add(s)
+        cfg_scales[cd]["n"] += len(recs)
+    canon_cd = max(cfg_scales,
+                   key=lambda cd: (len(cfg_scales[cd]["scales"]),
+                                   cfg_scales[cd]["n"]))
+    excluded = sorted(str(cd) for cd in cfg_scales if cd != canon_cd)
+    rows, counts = {}, {}
+    for (s, cd), recs in by_cfg.items():
+        if cd != canon_cd:
+            continue
+        counts[s] = len(recs)
+        rows[s] = min(recs, key=lambda r: r.get("sec", 1e18))
     for s, r in rows.items():
         r["n_runs"] = counts[s]
     ladder = [s for s in ["sf0.1", "sf1", "sf10"] if s in rows]
@@ -77,6 +99,8 @@ def w15_replay_section(path="tmp/scale/w15_replay.jsonl"):
             b["decade_max_state_ratio"] = round(
                 b["max_state_rows"] / a["max_state_rows"], 2)
     return {
+        "chunk_days": canon_cd,
+        "excluded_chunk_days": excluded or None,
         "harness": "graft.W15ReplayEvidence: events staged into time-ordered "
                    "parquet files of fixed event-time span (chunk_days), "
                    "replayed with maxFilesPerTrigger=1 so the watermark "
@@ -128,6 +152,35 @@ def main():
             row["sf1_warm_r8"] = warm1[q]
         rows[q] = row
 
+    # Mechanized cold-flag adjudication (VERDICT r9 item 5): d10's 54.9 s
+    # cold flag was adjudicated in r9 prose ("suite-position artifact, warm
+    # flat"); emit the same cold-vs-warm verdict machine-readably for every
+    # >10x-cold query, the way segment witnesses were mechanized in r9.
+    # Warm probes are the adjudicator (the whale.sh rule): a fresh-JVM
+    # 3-rep warm ratio <=10x per decade means the cold reading was suite
+    # position / post-GC ContextCleaner churn, not a scale property.
+    cold_flag_verdicts = []
+    for q in sorted(over_d2_cold):
+        row = rows[q]
+        v = {"query": q,
+             "decade2_cold_ratio": row.get("decade2_cold_ratio"),
+             "sf10_cold": row.get("sf10_cold")}
+        wr = row.get("decade2_warm_ratio")
+        if wr is None:
+            v["verdict"] = "UNADJUDICATED: no fresh-JVM warm re-probe at " \
+                           "sf10 — run the warm panel before reading this flag"
+        elif wr > 10:
+            v["decade2_warm_ratio"] = wr
+            v["verdict"] = (f"REAL-SCALE-CONCERN: persists warm at {wr}x/"
+                            "decade — super-linear in the steady state")
+        else:
+            v["decade2_warm_ratio"] = wr
+            v["verdict"] = (f"cold-slot-artifact: warm decade-2 ratio {wr}x "
+                            "<= 10 — cold reading is suite position "
+                            "(post-GC ContextCleaner churn / cold caches), "
+                            "not a scale property")
+        cold_flag_verdicts.append(v)
+
     tot01 = sum(v for v in sf01.values() if v and v > 0)
     tot1 = sum(v for v in sf1.values() if v and v > 0)
     tot10 = sum(v for v in cold10.values() if v and v > 0)
@@ -146,6 +199,7 @@ def main():
         "errors": sum(1 for v in cold10.values() if v is not None and v < 0),
         "queries_over_10x_decade2_cold": sorted(over_d2_cold),
         "queries_over_10x_decade2_warm": sorted(over_d2_warm),
+        "cold_flag_verdicts": cold_flag_verdicts,
         "segment_witness": {k: v for k, v in {
             "sf01_canonical": witness("bench_detail.json"),
             "sf10_cold": witness("tmp/scale/whale10_cold_detail.json"),
