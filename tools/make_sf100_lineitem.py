@@ -29,6 +29,11 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {max(4, os.cpu_count() - 2)}")
+    # Without this, COPY buffers the whole 600M-row cross product to keep
+    # source order (measured: 32 GB RSS, zero bytes written after 15 min);
+    # order is meaningless for a bench corpus, so let the writer stream.
+    con.execute("SET preserve_insertion_order=false")
+    con.execute("SET memory_limit='24GB'")
     con.execute(f"CREATE TABLE blocks AS SELECT unnest(range({F})) AS b")
     con.execute(f"""
       COPY (
