@@ -24,7 +24,8 @@ ROUND = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 # ran at stage_ref 3.251 (6.3x quiet) and only prose recorded it.
 WITNESS_FIELDS = ["sf", "reps", "errors", "cpu_ref_sec", "cpu_ref_mt_sec",
                   "mem_ref_sec", "mem_ref_mt_sec", "stage_ref_sec",
-                  "cpu_ref_during", "note"]
+                  "cpu_ref_during", "mem_ref_during",
+                  "isolated_mem_ref_during", "note"]
 
 
 def load(path, key="queries"):
