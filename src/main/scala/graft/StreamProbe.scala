@@ -73,19 +73,25 @@ object StreamProbe {
     // fix removed (a session-conf toggle would be silently overridden by
     // the per-query ephemeral location and measure nothing).
     // Caller-owned checkpoint (ADVICE r9: runBounded no longer deletes a
-    // supplied dir): cleared BEFORE each use — a stale checkpoint would
-    // resume past the data and measure an empty replay — and after, so
-    // the probe leaves nothing in tmp.
+    // supplied dir): cleared INSIDE the thunk, before EVERY rep — time()
+    // runs the thunk several times, and a stale checkpoint makes every
+    // rep after the first resume past the data and measure an empty
+    // replay (caught live: reps read 1.40/0.25/0.17 s with the clear
+    // outside the thunk). The old runBounded deleted inside the timed
+    // window too, so rep timings stay comparable; final clear so the
+    // probe leaves nothing in tmp.
     val diskCkpt = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_probe_ckpt_disk")
     def rmTree(f: java.io.File): Unit = {
       val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree)
       f.delete(); ()
     }
-    rmTree(diskCkpt)
     time("stateful parts=32 disk-ckpt",
-      () => EventsAnomaly.replayBounded(spark, s"$dir/events.parquet", agg,
-        checkpointDir = Some(diskCkpt.getPath)).count())
+      () => {
+        rmTree(diskCkpt)
+        EventsAnomaly.replayBounded(spark, s"$dir/events.parquet", agg,
+          checkpointDir = Some(diskCkpt.getPath)).count()
+      })
     rmTree(diskCkpt)
     // Stateless replay: append mode (no aggregate => complete mode invalid).
     time("stateless parts=32",
