@@ -77,14 +77,47 @@ object Bench {
     // register-only spin blind to memory-contention inflation (cpu_ref
     // FASTER than the floor-setting run while the suite ran 1.23x slow);
     // a streaming pass over 256 MB sees that component — see ops.CpuWitness.
-    // One shared probe array (memWitness): the two no-arg entry points each
-    // allocate their own 256 MB, peaking ~512 MB of startup heap if the
-    // first isn't collected before the second allocates.
+    // One shared probe array (memWitness): startup probes and the
+    // run-spanning during-samples all read the single pinned 256 MB
+    // duringArray, so the witness footprint is one array for the JVM's
+    // life — comparable to the pre-r10 floor-setting runs (ADVICE r10).
     val (memRef: Double, memRefMt: Double) = graft.ops.CpuWitness.memWitness(cpus)
     if (memRefMt > Bench.QuietMemRefMt * 1.5)
       System.err.println(f"[bench] memory-contention window: mem_ref_mt $memRefMt%.3f vs quiet ${Bench.QuietMemRefMt}%.3f " +
         "— the register-spin hostFactor cannot see this class; treat floor flags as suspect")
     val spark = graft.core.GraftSession.local(cpus)
+
+    // Per-stage TaskMetrics collector (round-11, VERDICT r10 item 2): the
+    // a22 decade-3 probe left a +55% over-linear excess it could not split
+    // between sort-spill and page-cache pressure "without INFO-level logs"
+    // — but TaskMetrics carries exactly that split (memoryBytesSpilled /
+    // diskBytesSpilled) without any log parsing. Same pattern as
+    // graft.Profile: rows carry the stage SUBMISSION time (the listener
+    // bus runs seconds behind under load, and wall-window attribution by
+    // arrival time misattributes late events), and attribution happens
+    // once at END of run so stragglers land first. Emitted as
+    // "task_metrics" in the DETAIL files only — per-query bytes for the
+    // rep that set the reported minimum.
+    final case class StageAgg(submittedMs: Long, taskMs: Long, gcMs: Long,
+      spillMemBytes: Long, spillDiskBytes: Long, shuffleReadBytes: Long,
+      shuffleWriteBytes: Long, inputBytes: Long)
+    val stageRows = scala.collection.mutable.ArrayBuffer.empty[StageAgg]
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = ev.stageInfo; val m = si.taskMetrics
+        stageRows.synchronized {
+          stageRows += StageAgg(si.submissionTime.getOrElse(0L),
+            m.executorRunTime, m.jvmGCTime, m.memoryBytesSpilled,
+            m.diskBytesSpilled, m.shuffleReadMetrics.totalBytesRead,
+            m.shuffleWriteMetrics.bytesWritten, m.inputMetrics.bytesRead)
+        }
+      }
+    })
+    // Wall-clock window [startMs, endMs] of each query's BEST rep — the
+    // rep whose time the minima map reports, so the emitted task metrics
+    // describe the floor-comparable execution, not an average.
+    val bestWindow = scala.collection.mutable.Map.empty[String, (Long, Long)]
 
     // Warm-up pass at the smallest scale factor (fallback: target dir): JIT +
     // whole-stage-codegen compilation is per-query-shape, and at local bench
@@ -118,6 +151,41 @@ object Bench {
     // as host latency. See ops.CpuWitness.stageLatency.
     val stageRef: Double = graft.ops.CpuWitness.stageLatency(spark.sparkContext)
 
+    // Quiet-gated start (round-11, VERDICT r10 item 5): the round-10
+    // same-HEAD calibration pair (235.9 s bursty vs 182.2 s one hour later)
+    // proved the cheapest flag adjudicator is simply STARTING the record
+    // run when the bandwidth witness reads quiet. With
+    // SPARK_GRAFT_QUIET_GATE_SEC=N the timed suite waits (bounded by N
+    // seconds) until the median of the last 3 all-core bandwidth samples
+    // drops under 1.2x the pinned quiet reference, then records the
+    // pre-run panel either way — "quiet_start":true in the bench line
+    // means floor comparisons need no post-hoc window argument.
+    val quietGateSec = sys.env.getOrElse("SPARK_GRAFT_QUIET_GATE_SEC", "0").toInt
+    val quietGateJson: String =
+      if (quietGateSec <= 0) "null"
+      else {
+        val thresh = Bench.QuietMemRefMt * 1.2
+        val gateT0 = System.nanoTime()
+        val recent = scala.collection.mutable.Queue.empty[Double]
+        var med = -1.0
+        var quiet = false
+        var done = false
+        while (!done) {
+          recent.enqueue(graft.ops.CpuWitness.quickMemSpinMt(cpus))
+          if (recent.size > 3) { recent.dequeue(); () }
+          med = recent.toSeq.sorted.apply(recent.size / 2)
+          quiet = recent.size >= 3 && med < thresh
+          val waited = (System.nanoTime() - gateT0) / 1e9
+          done = quiet || waited >= quietGateSec
+          if (!done) Thread.sleep(math.min(20000L,
+            math.max(1000L, (quietGateSec - waited).toLong * 1000L)))
+        }
+        val waitedSec = (System.nanoTime() - gateT0) / 1e9
+        if (!quiet)
+          System.err.println(f"[bench] quiet gate TIMED OUT after $waitedSec%.0f s (med $med%.3f vs threshold $thresh%.3f) — starting anyway")
+        f"""{"threshold":$thresh%.3f,"waited_sec":$waitedSec%.1f,"start_med":$med%.3f,"quiet_start":$quiet}"""
+      }
+
     // Run-spanning witness: the upfront probes are 1.5 s point samples a
     // bursty noise window dodges (measured 2026-08-14: all four witnesses
     // healthy — cpu 0.50/0.15, mem 0.31/0.38 — while the suite ran 1.23x
@@ -139,6 +207,7 @@ object Bench {
       duringSamples += graft.ops.CpuWitness.quickSpin()
       memDuringSamples += graft.ops.CpuWitness.quickMemSpinMt(cpus)
       names.zipWithIndex.foreach { case (name, i) =>
+        val startMs = System.currentTimeMillis()
         val t0 = System.nanoTime()
         val ok =
           try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -151,6 +220,8 @@ object Bench {
         // A failed run must never lower the min; if a query fails in every
         // rep it reports -1 so the driver sees the failure, not a fast time.
         val sample = if (ok) dt else Double.MaxValue
+        if (sample < minima.getOrElse(name, Double.MaxValue))
+          bestWindow(name) = (startMs, System.currentTimeMillis())
         minima(name) = math.min(minima.getOrElse(name, Double.MaxValue), sample)
         // The finished query's checkpointed result/state blocks are dead —
         // sweep them now. (The shared shingle index lives as a parquet
@@ -180,6 +251,25 @@ object Bench {
     memDuringSamples += graft.ops.CpuWitness.quickMemSpinMt(cpus)
     val results = minima.view
       .mapValues(v => if (v == Double.MaxValue) -1.0 else v).toMap
+    // Attribute stage rows to each query's best-rep window. One drain pause
+    // first (Profile's protocol): listener events post asynchronously, and
+    // with submission-time keying a straggler is at worst a missing row,
+    // never a misattributed one.
+    Thread.sleep(2000)
+    val taskMetricsJson: String = {
+      val rows = bestWindow.toSeq.sortBy(_._1).map { case (name, (s, e)) =>
+        val mine = stageRows.synchronized {
+          stageRows.filter(r => r.submittedMs >= s && r.submittedMs <= e).toVector
+        }
+        val agg = (
+          mine.map(_.taskMs).sum, mine.map(_.gcMs).sum,
+          mine.map(_.spillMemBytes).sum, mine.map(_.spillDiskBytes).sum,
+          mine.map(_.shuffleReadBytes).sum, mine.map(_.shuffleWriteBytes).sum,
+          mine.map(_.inputBytes).sum, mine.size)
+        s""""$name":{"task_ms":${agg._1},"gc_ms":${agg._2},"spill_mem_bytes":${agg._3},"spill_disk_bytes":${agg._4},"shuffle_read_bytes":${agg._5},"shuffle_write_bytes":${agg._6},"input_bytes":${agg._7},"stages":${agg._8}}"""
+      }
+      rows.mkString("{", ",", "}")
+    }
 
     // Floor protocol (BASELINE_floors.json): per-query best-ever minimum at
     // the canonical bench point (sf0.1, reps>=3). Any query >1.5x its floor
@@ -194,13 +284,37 @@ object Bench {
     val atCanonicalPoint = isCanonicalSf && reps >= 3 &&
       nameFilter.isEmpty
     val floorRx = """"([A-Za-z0-9_]+)":\s*\{\s*"sec":\s*([0-9.Ee+-]+)""".r
-    val floors: Map[String, Double] =
+    val floorsFileText: String =
       if (new java.io.File(floorsPath).isFile) {
         val txt = scala.io.Source.fromFile(floorsPath)
-        try floorRx.findAllMatchIn(txt.mkString)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        finally txt.close()
-      } else Map.empty
+        try txt.mkString finally txt.close()
+      } else ""
+    val floors: Map[String, Double] =
+      floorRx.findAllMatchIn(floorsFileText)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // Raw row text per floor (one row per line by construction): carries
+    // whatever provenance the row holds — source, date, and since round 11
+    // the set-time witness panel "w" — so a rewrite for one query's new
+    // minimum reuses every OTHER row verbatim instead of re-synthesizing
+    // (the old field-regex re-read silently dropped fields it didn't know).
+    val floorLineRx = """^\s*"([A-Za-z0-9_]+)":\s*(\{.*\}),?\s*$""".r
+    val floorLines: Map[String, String] =
+      floorsFileText.linesIterator.collect {
+        case floorLineRx(q, row) => q -> row
+      }.toMap
+    // Set-time bandwidth reading per floor, when its row carries one
+    // ("w": {... "mem_during_med": N}): lets a flag be annotated as
+    // stale-floor-candidate when THIS run's spanning witness shows a
+    // window the floor-setting run never saw (VERDICT r10 item 4 — the
+    // g3/g3b class: floors no current host state reproduces).
+    val floorMemMedRx = """"mem_during_med":\s*([0-9.Ee+-]+)""".r
+    def floorSetMemMed(q: String): Option[Double] =
+      floorLines.get(q).flatMap(row =>
+        floorMemMedRx.findFirstMatchIn(row).map(_.group(1).toDouble))
+    val runMemMed: Double = {
+      val s = memDuringSamples.sorted
+      if (s.isEmpty) -1.0 else s(s.size / 2)
+    }
     val regressions =
       if (atCanonicalPoint && floors.nonEmpty)
         results.toSeq.collect {
@@ -209,7 +323,16 @@ object Bench {
         }.sortBy { case (_, v, fl) => fl / v }
       else Seq.empty
     regressions.foreach { case (q, v, fl) =>
-      System.err.println(f"[bench] FLOOR-REGRESSION $q: $v%.3f s vs floor $fl%.3f s (${v / fl}%.2fx)")
+      // Cite the floor's provenance with the flag (VERDICT r10 item 4):
+      // the reader adjudicating it needs to know WHEN and under WHAT
+      // witness panel the floor was set without opening the floors file.
+      val prov = floorLines.get(q).map(row => s" floor-row=$row").getOrElse("")
+      val stale = floorSetMemMed(q) match {
+        case Some(setMed) if runMemMed > 0 && runMemMed > setMed * 1.2 =>
+          f" [stale-floor-candidate: floor set at mem_during_med $setMed%.3f, this run $runMemMed%.3f]"
+        case _ => ""
+      }
+      System.err.println(f"[bench] FLOOR-REGRESSION $q: $v%.3f s vs floor $fl%.3f s (${v / fl}%.2fx)$prov$stale")
     }
     // Machine-speed-adjusted flags: floors were set in quiet host windows
     // (cpu_ref ~ QuietCpuRef), so in a slow window (measured: cpu_ref 0.56+
@@ -327,7 +450,16 @@ object Bench {
             catch { case _: Throwable => () }
           }
           lines.find(_.startsWith("ISOLATED-MEM-DURING ")).foreach { l =>
-            isolatedMemDuring = l.stripPrefix("ISOLATED-MEM-DURING ").trim
+            // Spliced verbatim into this run's JSON record — a truncated
+            // or stderr-interleaved line (probe killed mid-print) would
+            // make the whole bench line unparseable (ADVICE r10). Accept
+            // only a complete {...} object; anything else stays "null".
+            val cand = l.stripPrefix("ISOLATED-MEM-DURING ").trim
+            if (cand.startsWith("{") && cand.endsWith("}") &&
+                !cand.drop(1).contains("{"))
+              isolatedMemDuring = cand
+            else
+              System.err.println(s"[bench] malformed ISOLATED-MEM-DURING line dropped: $cand")
           }
           val parsed = lines.find(_.startsWith("ISOLATED ")).map { l =>
             rx.findAllMatchIn(l).map(m => m.group(1) -> m.group(2).toDouble).toMap
@@ -370,26 +502,31 @@ object Bench {
       }
       if (newFloors.nonEmpty) {
         val today = java.time.LocalDate.now().toString
-        val merged = (floors.keySet ++ newFloors.keySet).toSeq.sorted.map { q =>
-          val (sec, src, date) = newFloors.get(q)
-            .map(v => (v, "bench", today))
-            .getOrElse((floors(q), "prior", "prior"))
-          (q, sec, src, date)
+        // Set-time witness panel stamped into every NEW floor row (VERDICT
+        // r10 item 4): floors are only comparable to later runs through
+        // the host window they were set in — the g3/g3b pair (floors set
+        // 2026-08-13/14) reads ~1.6x in every window the host has offered
+        // since, and without set-time provenance that class can only be
+        // adjudicated by prose archaeology. mem_during_med is the run-
+        // spanning bandwidth median, the one witness the round-10 five-
+        // flag class proved decisive.
+        def fmtW: String = {
+          def s3(v: Double) =
+            String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+          s"""{"cpu_ref": ${s3(cpuRef)}, "mem_ref_mt": ${s3(memRefMt)}, "stage_ref": ${s3(stageRef)}, "mem_during_med": ${s3(runMemMed)}}"""
         }
-        // "prior" source/date entries re-read the old file's fields so a new
-        // minimum on one query can't erase another query's provenance.
-        val oldFull = if (new java.io.File(floorsPath).isFile) {
-          val s = scala.io.Source.fromFile(floorsPath)
-          try s.mkString finally s.close()
-        } else ""
-        val provRx = (q: String) =>
-          (""""""" + q + """":\s*\{\s*"sec":\s*[0-9.Ee+-]+,\s*"source":\s*"([^"]*)",\s*"date":\s*"([^"]*)"""").r
-        val rows = merged.map { case (q, secV, src, date) =>
-          val (s2, d2) =
-            if (src == "prior") provRx(q).findFirstMatchIn(oldFull)
-              .map(m => (m.group(1), m.group(2))).getOrElse(("prior", today))
-            else (src, date)
-          f""" "$q": {"sec": $secV%.3f, "source": "$s2", "date": "$d2"}"""
+        // Rows for queries whose floor did NOT move are reused VERBATIM
+        // from the old file, so a new minimum on one query can't erase
+        // another's provenance fields (the old field-regex re-read dropped
+        // anything it didn't know about).
+        val rows = (floors.keySet ++ newFloors.keySet).toSeq.sorted.map { q =>
+          newFloors.get(q) match {
+            case Some(v) =>
+              f""" "$q": {"sec": $v%.3f, "source": "bench", "date": "$today", "w": $fmtW}"""
+            case None =>
+              floorLines.get(q).map(row => s""" "$q": $row""").getOrElse(
+                f""" "$q": {"sec": ${floors(q)}%.3f, "source": "prior", "date": "$today"}""")
+          }
         }
         val w = new java.io.PrintWriter(floorsPath)
         try {
@@ -444,9 +581,12 @@ object Bench {
       else s"""{"min":${sec(memDuring.head)},"med":${sec(memDuring(memDuring.size / 2))},"max":${sec(memDuring.last)},"n":${memDuring.size}}"""
     val isoJson = fmt(isolatedRecheck)
     val compact =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"isolated_recheck":$isoJson,"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"stage_ref_sec":${sec(stageRef)},"isolated_stage_ref_sec":${sec(isolatedStageRef)},"isolated_cpu_ref_sec":${sec(isolatedCpuRef)},"cpu_ref_during":$duringJson,"mem_ref_during":$memDuringJson,"isolated_mem_ref_during":$isolatedMemDuring}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$headlineTimes,"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"isolated_recheck":$isoJson,"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"stage_ref_sec":${sec(stageRef)},"isolated_stage_ref_sec":${sec(isolatedStageRef)},"isolated_cpu_ref_sec":${sec(isolatedCpuRef)},"cpu_ref_during":$duringJson,"mem_ref_during":$memDuringJson,"isolated_mem_ref_during":$isolatedMemDuring,"quiet_gate":$quietGateJson}"""
+    // task_metrics rides only the detail files: ~190 queries x 8 fields
+    // would reproduce the oversized-line capture failure the compact
+    // headline subset exists to prevent.
     val detail =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"isolated_recheck":$isoJson,"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"stage_ref_sec":${sec(stageRef)},"isolated_stage_ref_sec":${sec(isolatedStageRef)},"isolated_cpu_ref_sec":${sec(isolatedCpuRef)},"cpu_ref_during":$duringJson,"mem_ref_during":$memDuringJson,"isolated_mem_ref_during":$isolatedMemDuring}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir","reps":$reps,"errors":$errCount,"floor_regressions":${regressions.size},"floor_regressions_cpu_adj":${adjRegressions.size},"isolated_recheck":$isoJson,"cpu_ref_sec":${sec(cpuRef)},"cpu_ref_mt_sec":${sec(cpuRefMt)},"mem_ref_sec":${sec(memRef)},"mem_ref_mt_sec":${sec(memRefMt)},"stage_ref_sec":${sec(stageRef)},"isolated_stage_ref_sec":${sec(isolatedStageRef)},"isolated_cpu_ref_sec":${sec(isolatedCpuRef)},"cpu_ref_during":$duringJson,"mem_ref_during":$memDuringJson,"isolated_mem_ref_during":$isolatedMemDuring,"quiet_gate":$quietGateJson,"task_metrics":$taskMetricsJson}"""
     // Only unfiltered runs AT THE CANONICAL SF may rewrite the committed
     // canonical detail — a filtered dev run would silently replace the
     // 193-query record with its subset, and an unfiltered run at another

@@ -61,9 +61,18 @@ object W15ReplayEvidence {
     // null aggregates (the old per-agg head().getLong/getInt NPE'd,
     // ADVICE r9) — stage nothing and report zero chunks.
     val span = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(); ()
+    }
     if (span.isNullAt(0)) {
+      // Re-staging over a previously-staged dir with a NOW-EMPTY events
+      // table must leave an empty staging dir, not the old ev-*.parquet
+      // files a subsequent replay would consume (ADVICE r10) — same
+      // delete-then-recreate as the non-empty path.
       val root = new java.io.File(outDir)
-      if (!root.exists()) root.mkdirs()
+      if (root.exists()) rm(root)
+      root.mkdirs()
       return 0
     }
     val t0 = span.getLong(0)
@@ -71,10 +80,6 @@ object W15ReplayEvidence {
     val withChunk = ev.withColumn("chunk",
       ((unix_micros(col("ts")) - lit(t0)) / lit(chunkUs)).cast("int"))
     val nChunks = ((span.getLong(1) - t0) / chunkUs).toInt + 1
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-      f.delete(); ()
-    }
     val root = new java.io.File(outDir)
     if (root.exists()) rm(root)
     root.mkdirs()

@@ -161,13 +161,17 @@ object CpuWitness {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Both bandwidth probes over ONE shared 256 MB array (st, mt): the
-    * separate no-arg entry points each allocate their own array, so a
-    * caller using both peaks ~512 MB of probe heap if the first array
-    * outlives its call — this is the form Bench uses (and the standalone
-    * twin tools/CpuRef.java mirrors). */
+  /** Both bandwidth probes over the SAME pinned 256 MB array the
+    * run-spanning during-probe uses (st, mt) — this is the form Bench uses
+    * (and the standalone twin tools/CpuRef.java mirrors). One array for
+    * the whole JVM, not one per entry point: separate arrays peaked
+    * ~512 MB of probe heap at startup, and the r10 during-probe's own
+    * array additionally pinned 256 MB ON TOP of the startup witness's —
+    * a driver-heap delta vs the runs that set pre-r10 floors (ADVICE
+    * r10). Sharing duringArray restores the single-256 MB footprint and
+    * makes the startup and during probes measure the same pages. */
   def memWitness(threads: Int): (Double, Double) = {
-    val a = memArray()
+    val a = duringArray
     (memBandwidth(a), memBandwidthMt(threads, a))
   }
 

@@ -77,9 +77,17 @@ def w15_replay_section(path="tmp/scale/w15_replay.jsonl"):
         cfg_scales.setdefault(cd, {"scales": set(), "n": 0})
         cfg_scales[cd]["scales"].add(s)
         cfg_scales[cd]["n"] += len(recs)
-    canon_cd = max(cfg_scales,
-                   key=lambda cd: (len(cfg_scales[cd]["scales"]),
-                                   cfg_scales[cd]["n"]))
+    # Legacy records lacking chunk_days pool under None — an UNTAGGED mix
+    # of configs, not a config. They must never be elected canonical (they
+    # can span the most scales precisely because they're mixed, ADVICE
+    # r10); they stay listed in excluded_chunk_days. Only if NO tagged
+    # config exists does the untagged pool report (better than nothing,
+    # and the ladder caveat is then visible in chunk_days: null).
+    tagged = {cd: v for cd, v in cfg_scales.items() if cd is not None}
+    pool = tagged if tagged else cfg_scales
+    canon_cd = max(pool,
+                   key=lambda cd: (len(pool[cd]["scales"]),
+                                   pool[cd]["n"]))
     excluded = sorted(str(cd) for cd in cfg_scales if cd != canon_cd)
     rows, counts = {}, {}
     for (s, cd), recs in by_cfg.items():
