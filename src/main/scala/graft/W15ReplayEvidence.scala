@@ -198,9 +198,28 @@ object W15ReplayEvidence {
     // moves the ladder's absolute times, not its per-decade shape.
     spark.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_W15_PARTS", "8"))
+    // Maintenance-interval arm for the last-quintile drift A/B (round 11;
+    // r9 filed the 1,405 -> 2,543 ms batch-median drift across 601
+    // back-to-back AvailableNow batches as state-store maintenance
+    // starvation — the background snapshot/cleanup task defaults to a 60 s
+    // cadence that a busy driver never reaches, so HDFSBackedStateStore
+    // reconstructs each version from an ever-longer delta-file chain). A
+    // shorter interval paces maintenance INTO the replay; if the drift
+    // flattens, the mechanism is confirmed (engine unchanged — a real
+    // deployment's batches arrive with think-time between them).
+    sys.env.get("SPARK_GRAFT_W15_MAINT").foreach { v =>
+      spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", v)
+      System.err.println(s"[w15replay] stateStore.maintenanceInterval=$v")
+    }
     val cpuRef = graft.ops.CpuWitness.singleThread()
     val stageRef = graft.ops.CpuWitness.stageLatency(spark.sparkContext)
-    val outPath = new java.io.File("tmp/scale/w15_replay.jsonl")
+    // Output override for config experiments (round-11 maintenance-interval
+    // A/B): the ladder file folds min-wall per (scale, chunk_days), so a
+    // run under a non-default state-store config must not append to it —
+    // it would pollute the decade ladder with a config the canonical
+    // replays don't use.
+    val outPath = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_W15_OUT", "tmp/scale/w15_replay.jsonl"))
     Option(outPath.getParentFile).foreach(_.mkdirs())
 
     for (dir <- dirs) {
