@@ -26,6 +26,19 @@ object ScaleEvidence {
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1", "/root/repo/tmp/scale/docs10x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Family / end-to-end-query selection for big rungs (round 11): at the
+    // sf100 docs rung (5M docs) the FIXED-width simhash block join is
+    // measured quadratic-dominant — its candidate-pair shuffle alone
+    // exceeds this box's local disk (BASELINE.md round-11), so the decade-3
+    // pass must be able to measure the bounded families (df-capped
+    // shingles, LSH bands, corpus-adaptive SimHashWide) without paying the
+    // one family whose explosion is already established. Unset = all (the
+    // decade-1/2 behavior, unchanged).
+    val famSel = sys.env.get("SPARK_GRAFT_SCALE_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def famOn(name: String): Boolean = famSel.forall(_.contains(name))
+    val querySel = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = graft.core.GraftSession.local(cpus)
 
     def timed[A](f: => A): (A, Double) = {
@@ -41,7 +54,7 @@ object ScaleEvidence {
       // candidate PAIR counts — the join fanout each family's scale claim
       // bounds (pre-threshold, post-dedup), measured on the real machinery
       val sh = graft.ops.ShingleIndex.capped(spark, dir)
-      val (shinglePairs, tShPairs) = timed {
+      val (shinglePairs, tShPairs) = if (!famOn("shingle")) (-1L, -1.0) else timed {
         sh.as("a").join(sh.as("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -54,7 +67,7 @@ object ScaleEvidence {
         .agg(sigCols.head, sigCols.tail: _*)
         .withColumn("sig", array((0 until k).map(i => col(s"s$i")): _*))
         .select(col("doc_id"), explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
-      val (lshPairs, tLshPairs) = timed {
+      val (lshPairs, tLshPairs) = if (!famOn("lsh")) (-1L, -1.0) else timed {
         banded.as("a").join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -78,7 +91,7 @@ object ScaleEvidence {
           explode(array((0 until 4).map(b =>
             concat_ws(":", lit(b.toString),
               (shiftright(col("sig"), b * 12) % 4096).cast("string"))): _*)).as("blk"))
-      val (simhashPairs, tSimPairs) = timed {
+      val (simhashPairs, tSimPairs) = if (!famOn("simhash")) (-1L, -1.0) else timed {
         blocked.as("a").join(blocked.as("b"),
             col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -98,7 +111,7 @@ object ScaleEvidence {
           concat_ws(":", lit(b.toString),
             graft.ops.SimHashWide.blockKey(col("sh"), b, widePlan.width)
               .cast("string"))): _*)).as("blk"))
-      val (simwidePairs, tWidePairs) = timed {
+      val (simwidePairs, tWidePairs) = if (!famOn("simwide")) (-1L, -1.0) else timed {
         wideBlocked.as("a").join(wideBlocked.as("b"),
             col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -107,7 +120,8 @@ object ScaleEvidence {
 
       // full-query wall-clock on the same corpus (d2/d3/d4/d7 end-to-end)
       val queryTimes = Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
-        "d7_tfidf_similarity").map { q =>
+        "d7_tfidf_similarity")
+        .filter(q => querySel.forall(_.contains(q))).map { q =>
         val (_, t) = timed(SparkEntry.queries(q)(spark, dir).count())
         graft.core.GraftSession.releaseTransientBlocks(spark)
         q -> t
