@@ -36,9 +36,25 @@ object ScaleEvidence {
     // decade-1/2 behavior, unchanged).
     val famSel = sys.env.get("SPARK_GRAFT_SCALE_FAMILIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Fail fast on unknown selections (ADVICE r11): a typo here used to
+    // silently disable every measurement and emit sentinel values that
+    // could be mistaken for a measured result.
+    val knownFamilies = Set("shingle", "lsh", "simhash", "simwide")
+    famSel.foreach { sel =>
+      val bad = sel -- knownFamilies
+      require(bad.isEmpty, s"SPARK_GRAFT_SCALE_FAMILIES: unknown families " +
+        s"${bad.toSeq.sorted.mkString(", ")} (known: ${knownFamilies.toSeq.sorted.mkString(", ")})")
+    }
     def famOn(name: String): Boolean = famSel.forall(_.contains(name))
+    val knownQueries = Set("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
+      "d7_tfidf_similarity")
     val querySel = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    querySel.foreach { sel =>
+      val bad = sel -- knownQueries
+      require(bad.isEmpty, s"SPARK_GRAFT_SCALE_QUERIES: unknown queries " +
+        s"${bad.toSeq.sorted.mkString(", ")} (known: ${knownQueries.toSeq.sorted.mkString(", ")})")
+    }
     val spark = graft.core.GraftSession.local(cpus)
 
     def timed[A](f: => A): (A, Double) = {
@@ -52,8 +68,12 @@ object ScaleEvidence {
       val nDocs = docs.count()
 
       // candidate PAIR counts — the join fanout each family's scale claim
-      // bounds (pre-threshold, post-dedup), measured on the real machinery
-      val sh = graft.ops.ShingleIndex.capped(spark, dir)
+      // bounds (pre-threshold, post-dedup), measured on the real machinery.
+      // Lazy (ADVICE r11): ShingleIndex.capped eagerly STAGES the full
+      // capped index to parquet on call, so a run selecting only simhash/
+      // simwide (which derive from shHashed, not sh) must not pay the
+      // corpus tokenize + df-agg + write at the 5M-doc rung.
+      lazy val sh = graft.ops.ShingleIndex.capped(spark, dir)
       val (shinglePairs, tShPairs) = if (!famOn("shingle")) (-1L, -1.0) else timed {
         sh.as("a").join(sh.as("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -61,12 +81,14 @@ object ScaleEvidence {
           .dropDuplicates("id_a", "id_b").count()
       }
       val k = 16
-      val hashed = sh.withColumn("h", hash64(col("sh")))
-      val sigCols = (0 until k).map(i => min(seededFromBase(i, col("h"))).as(s"s$i"))
-      val banded = hashed.groupBy("doc_id")
-        .agg(sigCols.head, sigCols.tail: _*)
-        .withColumn("sig", array((0 until k).map(i => col(s"s$i")): _*))
-        .select(col("doc_id"), explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
+      lazy val banded = {
+        val hashed = sh.withColumn("h", hash64(col("sh")))
+        val sigCols = (0 until k).map(i => min(seededFromBase(i, col("h"))).as(s"s$i"))
+        hashed.groupBy("doc_id")
+          .agg(sigCols.head, sigCols.tail: _*)
+          .withColumn("sig", array((0 until k).map(i => col(s"s$i")): _*))
+          .select(col("doc_id"), explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
+      }
       val (lshPairs, tLshPairs) = if (!famOn("lsh")) (-1L, -1.0) else timed {
         banded.as("a").join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
@@ -129,12 +151,20 @@ object ScaleEvidence {
 
       def sec(v: Double) =
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      // Skipped families serialize as JSON null, never a -1 sentinel a
+      // downstream reader could mistake for a measurement (ADVICE r11); the
+      // "skipped" array names them explicitly.
+      def pairs(on: Boolean, v: Long) = if (on) v.toString else "null"
+      def scan(on: Boolean, t: Double) = if (on) sec(t) else "null"
+      val skipped = knownFamilies.toSeq.sorted.filterNot(famOn) ++
+        knownQueries.toSeq.sorted.filterNot(q => querySel.forall(_.contains(q)))
       val qjson = queryTimes.map { case (q, t) => s""""$q":${sec(t)}""" }.mkString(",")
       val line =
-        s"""{"dir":"$dir","docs":$nDocs,"shingle_pairs":$shinglePairs,""" +
-          s""""lsh_pairs":$lshPairs,"simhash_pairs":$simhashPairs,""" +
-          s""""simwide_pairs":$simwidePairs,"simwide_width":${widePlan.width},"simwide_words":${widePlan.words},""" +
-          s""""pair_scan_sec":{"shingle":${sec(tShPairs)},"lsh":${sec(tLshPairs)},"simhash":${sec(tSimPairs)},"simwide":${sec(tWidePairs)}},""" +
+        s"""{"dir":"$dir","docs":$nDocs,"shingle_pairs":${pairs(famOn("shingle"), shinglePairs)},""" +
+          s""""lsh_pairs":${pairs(famOn("lsh"), lshPairs)},"simhash_pairs":${pairs(famOn("simhash"), simhashPairs)},""" +
+          s""""simwide_pairs":${pairs(famOn("simwide"), simwidePairs)},"simwide_width":${widePlan.width},"simwide_words":${widePlan.words},""" +
+          s""""pair_scan_sec":{"shingle":${scan(famOn("shingle"), tShPairs)},"lsh":${scan(famOn("lsh"), tLshPairs)},"simhash":${scan(famOn("simhash"), tSimPairs)},"simwide":${scan(famOn("simwide"), tWidePairs)}},""" +
+          s""""skipped":${skipped.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""query_sec":{$qjson}}"""
       println(s"[scale] $line")
       graft.core.GraftSession.releaseTransientBlocks(spark)

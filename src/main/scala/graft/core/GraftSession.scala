@@ -29,8 +29,26 @@ object GraftSession {
       s"SPARK_GRAFT_OFFHEAP_GB must be a non-negative integer GB count, got '$raw'"))
   }
 
-  def builder(cores: Int): SparkSession.Builder =
-    SparkSession.builder()
+  /** SPARK_GRAFT_INITIAL_PARTS (default 0 = off): AQE pre-coalesce shuffle
+    * width. The whale-posture knob for shuffle-heavy big-rung runs — the
+    * scaladoc above always said "on a real cluster this is overridden (AQE
+    * coalesces down from a high initial)"; this is that override. At 32
+    * fixed partitions the sf100 d11 pair aggregation wrote ~1.4 GiB of
+    * shuffle per task and spilled 33 GiB of sorter state (BASELINE.md r11);
+    * with a high initial width AQE keeps small stages at the parallelism
+    * floor (parallelismFirst coalescing, unchanged) while the genuinely
+    * large exchanges stay wide enough that per-task shuffle fits the pool.
+    * Whale recipe: SPARK_GRAFT_INITIAL_PARTS=256 alongside
+    * SPARK_DRIVER_MEM=56g SPARK_GRAFT_OFFHEAP_GB=40. */
+  private lazy val initialParts: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", "0").trim
+    val parsed = scala.util.Try(raw.toInt).toOption.filter(_ >= 0)
+    parsed.getOrElse(throw new IllegalArgumentException(
+      s"SPARK_GRAFT_INITIAL_PARTS must be a non-negative integer partition count, got '$raw'"))
+  }
+
+  def builder(cores: Int): SparkSession.Builder = {
+    val base = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -80,6 +98,11 @@ object GraftSession {
       // loudly at the only place it's read.
       .config("spark.memory.offHeap.enabled", (offHeapGb > 0).toString)
       .config("spark.memory.offHeap.size", math.max(1, offHeapGb) + "g")
+    if (initialParts > 0)
+      base.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialParts.toString)
+    else base
+  }
 
   def local(cores: Int = 4): SparkSession = {
     val spark = builder(cores).getOrCreate()

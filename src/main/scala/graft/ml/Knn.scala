@@ -122,15 +122,35 @@ object Knn {
     }
   }
 
+  /** Memoized auto-sized cells, keyed by (application, caller key): the
+    * probe is a deterministic calibration over a fixed corpus, so repeated
+    * runs against the same inputs (bench reps, m10/m10b's shared frame)
+    * must not re-pay its two aggregation jobs — the same staged-shared-
+    * intermediate reasoning as ops.Staged, for a scalar. App-scoped so no
+    * value outlives the session that computed it. The round-12 m2 A/B
+    * (tmp/scale/ab_m2_autosizing.json, HEAD/ref 1.138 vs the pre-auto-
+    * sizing commit) measured the probe at ~1.1 s per call at sf0.1. */
+  private val cellMemo = scala.collection.concurrent.TrieMap.empty[String, Double]
+
   /** [[neighbors]] with the grid cell derived from the data — the form
-    * callers should prefer when the corpus density is not known a priori. */
+    * callers should prefer when the corpus density is not known a priori.
+    * `calibrationKey`: memoize the probed cell size under this corpus key
+    * (callers with a stable input frame, e.g. a per-dir query, pass one so
+    * only the first call pays the probe). */
   def neighborsAuto(points: DataFrame, k: Int,
-                    maxCellCount: Int = graft.ops.GridGuard.DefaultMaxCellCount): DataFrame = {
+                    maxCellCount: Int = graft.ops.GridGuard.DefaultMaxCellCount,
+                    calibrationKey: Option[String] = None): DataFrame = {
     // One collapse pass serves both the density probe and the grid build.
     val locsBase = points.groupBy("x", "y")
       .agg(min("id").as("lid"), count(lit(1)).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cell = autoCellSizeFromLocs(locsBase, k, 4.0)
+    def probe = autoCellSizeFromLocs(locsBase, k, 4.0)
+    val cell = calibrationKey match {
+      case Some(key) =>
+        val appKey = points.sparkSession.sparkContext.applicationId + ":" + key + s":k=$k"
+        cellMemo.getOrElseUpdate(appKey, probe)
+      case None => probe
+    }
     neighborsWithStats(points, k, cell, maxCellCount, Some(locsBase))._1
   }
 

@@ -350,6 +350,89 @@ object DedupQueries extends QueryCatalog {
            |GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
+    // D4B — corpus-ADAPTIVE SimHash near-dup (VERDICT r11 item 2): the same
+    // pigeonhole guarantee as D4 but with ops.SimHashWide's data-derived
+    // block width — ceil(log2 n) + 6 margin bits, multi-60-bit-word salted
+    // signature — the form a 10⁹–10¹⁰-document deployment actually runs
+    // (D4's oracle-frozen 4×12-bit blocking is the suite's one measured
+    // quadratic bend: its candidate shuffle exceeded local disk at 5M docs,
+    // BASELINE.md r11, while the adaptive width held candidates sub-linear).
+    // This query puts that 100 TB path under the same DuckDB hash gate as
+    // the frozen form: the oracle replays the width rule, the salted
+    // per-word md5 signatures, and the word-boundary-crossing block keys
+    // bit for bit, and the emitted `width` column pins the adaptive choice
+    // itself. Reference semantics: the same near-duplicate detection as D4
+    // (SURVEY §2.11 dedup row).
+    "d4b_simhash_adaptive" -> QueryDef(
+      (s, dir) => {
+        val nDocs = Tables.documents(s, dir).count()
+        val plan = graft.ops.SimHashWide.planFor(nDocs, hamming = 3)
+        val shingles = Tables.fanout(Tables.documents(s, dir))
+          .select(col("doc_id"),
+            explode(graft.functions.ShingleExpr.shinglesNative(
+              tokens(col("text")), 3)).as("shingle"))
+        val sigs = graft.ops.SimHashWide.signatures(shingles, plan.words)
+          .persist() // both sides of the block join
+        val result = graft.ops.SimHashWide.nearDupPairs(sigs, plan)
+          .groupBy("hamming")
+          .agg(count(lit(1)).as("n_pairs"), min("id_a").as("min_id_a"))
+          .withColumn("width", lit(plan.width))
+          .orderBy("hamming")
+        graft.QueryDef.materialized(result, sigs)
+      },
+      Some {
+        // The width rule, replayed: ceil(log2 n) (exact for every integer n
+        // ≥ 2 — see SimHashWide.widthFor's bit-twiddled form) + 6 margin,
+        // clamped to [12, 32]; 4 blocks (Hamming radius 3); words of 60
+        // usable hash bits. Block keys cross word boundaries exactly as
+        // SimHashWide.blockKey: low bits from word wi at offset `off`, the
+        // remainder from the PRE-MASKED low bits of word wi+1 (masking
+        // before the shift keeps every intermediate below 2^width, so no
+        // engine-specific overflow semantics are in play).
+        s"""WITH p AS (SELECT count(*) AS n,
+           |    LEAST(32, GREATEST(12, CAST(ceil(log2(count(*)::DOUBLE)) AS INT) + 6)) AS width,
+           |    CAST((4 * LEAST(32, GREATEST(12, CAST(ceil(log2(count(*)::DOUBLE)) AS INT) + 6)) + 59) // 60 AS INT) AS words
+           |  FROM documents),
+           |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |sgl AS (SELECT doc_id,
+           |    [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+           |     for i in generate_series(0, len(t) - 3)] AS shingles
+           |  FROM tk WHERE len(t) >= 3),
+           |hwk AS (SELECT doc_id, shingles,
+           |    unnest(generate_series(0, p.words - 1)) AS w FROM sgl, p),
+           |hw AS (SELECT doc_id, w,
+           |    [${h64("'shw' || w::VARCHAR || ':' || s")} for s in shingles] AS hashes
+           |  FROM hwk),
+           |wv AS (SELECT doc_id, w,
+           |    CAST(list_sum([ CASE WHEN list_sum([ ((h >> b) & 1) * 2 - 1
+           |        for h in hashes ]) > 0 THEN (1::BIGINT << b) ELSE 0 END
+           |      for b in generate_series(0, 59) ]) AS BIGINT) AS word_val
+           |  FROM hw),
+           |sigs AS (SELECT doc_id, list(word_val ORDER BY w) AS sh FROM wv GROUP BY doc_id),
+           |blk0 AS (SELECT doc_id, sh, unnest(generate_series(0, 3)) AS b FROM sigs),
+           |blocked AS (SELECT doc_id, sh,
+           |    b::VARCHAR || ':' ||
+           |    (((sh[(b * p.width) // 60 + 1] >> ((b * p.width) % 60))
+           |      | (CASE WHEN ((b * p.width) % 60) + p.width > 60
+           |          THEN ((sh[(b * p.width) // 60 + 2]
+           |                 & ((1::BIGINT << (p.width - (60 - (b * p.width) % 60))) - 1))
+           |                << (60 - (b * p.width) % 60))
+           |          ELSE 0 END))
+           |     & ((1::BIGINT << p.width) - 1))::VARCHAR AS blk
+           |  FROM blk0, p),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    a.sh AS ha, b.sh AS hb
+           |  FROM blocked a JOIN blocked b
+           |    ON a.blk = b.blk AND a.doc_id < b.doc_id),
+           |ham AS (SELECT id_a, id_b,
+           |    CAST(list_sum([ bit_count(xor(ha[w+1], hb[w+1]))
+           |      for w in generate_series(0, p.words - 1) ]) AS BIGINT) AS hamming
+           |  FROM cand, p)
+           |SELECT hamming, count(*) AS n_pairs, min(id_a) AS min_id_a, p.width AS width
+           |FROM ham, p WHERE hamming <= 3
+           |GROUP BY hamming, p.width ORDER BY hamming""".stripMargin
+      }),
+
     // D6 — benchmark decontamination: flag corpus docs sharing ≥ 3 distinct
     // word-3-grams with the "benchmark" set (stand-in: doc_id < 5) — the
     // n-gram overlap filter every pretraining pipeline runs before training

@@ -112,7 +112,8 @@ object MLQueries extends QueryCatalog {
         // Auto-sized grid cell (Knn.autoCellSize): the hand-picked 0.02 sat
         // exactly at the E[locations per cell] ≈ k failure boundary GEOSCALE
         // measured (15% ring-1 failures, 45% fallback at one density).
-        val kdist = graft.ml.Knn.neighborsAuto(pts, k = 4)
+        val kdist = graft.ml.Knn.neighborsAuto(pts, k = 4,
+            calibrationKey = Some(s"m2:$dir"))
           .filter(col("rn") === 4)
           .select(col("aid").as("id"), round(sqrt(col("d2")), 10).as("kdist"))
         // Curve position via the distributed prefix helper (per-point rows are
