@@ -237,6 +237,41 @@ object IO {
       java.nio.file.Paths.get(s"$path/$layer.meta.json"), meta)
   }
 
+  /** Report ZIP bundle sink (S13; VERDICT r11 item 6 — the reference's
+    * lab-4 zips its report outputs for download,
+    * 实习四/实习四代码/yelp_analysis.ipynb:6734-6777). Bundles every regular
+    * file under `reportDir` into one archive at `zipPath`. Deterministic:
+    * entries in sorted relative-path order with a fixed timestamp, so the
+    * same report bytes always produce byte-identical archives (re-runs
+    * diff clean). java.util.zip — no new dependency. Driver-side by
+    * design: report directories are bounded sink outputs (panel HTML,
+    * chart PNGs, coalesced JSON rows), never data-proportional. */
+  def writeReportZip(reportDir: String, zipPath: String): Unit = {
+    import java.nio.file.{Files, Paths, Path}
+    val root = Paths.get(reportDir)
+    require(Files.isDirectory(root), s"not a directory: $reportDir")
+    val files: Seq[Path] = {
+      val s = Files.walk(root)
+      try {
+        val it = s.iterator()
+        val buf = scala.collection.mutable.ArrayBuffer[Path]()
+        while (it.hasNext) { val p = it.next(); if (Files.isRegularFile(p)) buf += p }
+        buf.toSeq.sortBy(p => root.relativize(p).toString)
+      } finally s.close()
+    }
+    val zp = Paths.get(zipPath)
+    if (zp.getParent != null) Files.createDirectories(zp.getParent): Unit
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(zp))
+    try files.foreach { p =>
+      val e = new java.util.zip.ZipEntry(
+        root.relativize(p).toString.replace(java.io.File.separatorChar, '/'))
+      e.setTime(1767225600000L) // fixed stamp: archives are reproducible
+      zos.putNextEntry(e)
+      zos.write(Files.readAllBytes(p))
+      zos.closeEntry()
+    } finally zos.close()
+  }
+
   /** Geo-table source (S6 read side): parses the WKT POINT column written by
     * [[writeGeoTable]] back to (lon, lat) doubles; all other columns pass
     * through. The regexp runs columnar inside codegen — no geometry runtime. */

@@ -99,6 +99,40 @@ class IOSpec extends SparkSpec {
     assert(head.contains("<th>metric</th><th>value</th>"))
   }
 
+  test("report zip bundle round-trips entry names and bytes, deterministically") {
+    val dir = tmpDir("graft-zip")
+    // a miniature report set: json rows + a nested html artifact
+    IO.writeReportJson(Seq(("total", 42L)).toDF("metric", "value"), s"$dir/report/rows")
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/report/panel"))
+    Files.write(java.nio.file.Paths.get(s"$dir/report/panel/panel.html"),
+      "<html>42</html>".getBytes("UTF-8"))
+    IO.writeReportZip(s"$dir/report", s"$dir/report.zip")
+
+    val zf = new java.util.zip.ZipFile(s"$dir/report.zip")
+    try {
+      val entries = {
+        val e = zf.entries(); val buf = scala.collection.mutable.ArrayBuffer[String]()
+        while (e.hasMoreElements) buf += e.nextElement().getName
+        buf.toSeq
+      }
+      // sorted relative paths; the real report files are all present
+      assert(entries === entries.sorted)
+      assert(entries.contains("panel/panel.html"))
+      assert(entries.exists(n => n.startsWith("rows/") && n.endsWith(".json")))
+      // bytes round-trip exactly
+      val html = new String(zf.getInputStream(zf.getEntry("panel/panel.html")).readAllBytes, "UTF-8")
+      assert(html === "<html>42</html>")
+      val rowsEntry = entries.find(n => n.startsWith("rows/") && n.endsWith(".json")).get
+      val rows = new String(zf.getInputStream(zf.getEntry(rowsEntry)).readAllBytes, "UTF-8")
+      assert(rows.contains(""""value":42"""))
+    } finally zf.close()
+
+    // reproducible: zipping the same directory again is byte-identical
+    IO.writeReportZip(s"$dir/report", s"$dir/report2.zip")
+    assert(Files.readAllBytes(java.nio.file.Paths.get(s"$dir/report.zip")).toSeq ===
+      Files.readAllBytes(java.nio.file.Paths.get(s"$dir/report2.zip")).toSeq)
+  }
+
   test("geo-table (GPKG-substitute) round-trip preserves points, attributes, sidecar") {
     val dir = tmpDir("graft-geotable")
     val pts = Seq((-74.05, 40.75, "cafe", 3L), (-73.91, 40.82, "park", 7L))

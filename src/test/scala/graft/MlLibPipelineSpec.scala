@@ -33,4 +33,40 @@ class MlLibPipelineSpec extends SparkSpec {
     val v = proj.agg(variance(col("pc1")).as("v1"), variance(col("pc2")).as("v2")).head()
     assert(v.getDouble(0) >= v.getDouble(1), "projected variance follows component order")
   }
+
+  test("M12 seeded random-search HPO: seed-reproducible, metrics hold the m12 band") {
+    // the m12 pipeline's exact inputs (MLModelQueries m12: same target,
+    // features, deterministic 70/30 hash split)
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .withColumn("y", col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * (lit(1.0) + col("l_tax")))
+      .withColumn("is_train", pmod(col("l_orderkey") * lit(2654435761L), lit(100L)) < 70)
+    val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def run() = graft.ml.MlPipelines.gbtFitRandomSearch(
+      li.filter(col("is_train")), li.filter(!col("is_train")), feats, "y",
+      nTrials = 4, seed = 42L)
+
+    val (pred1, won1, imp1) = run()
+    val (_, won2, imp2) = run()
+    // one seed fully reproduces the search: winner and final model agree
+    assert(won1 === won2, "same seed must pick the same trial")
+    assert(imp1.toSeq === imp2.toSeq, "same seed must fit the same model")
+    // the winner came from the declared space
+    assert(Set(3.0, 4.0, 5.0, 7.0).contains(won1("maxDepth")))
+    assert(won1("stepSize") >= 0.01 && won1("stepSize") <= 0.3)
+    assert(math.abs(imp1.sum - 1.0) <= 1e-6 && imp1.max > 0.0)
+
+    // metrics hold the same relative band the oracle-checked m12 verdict
+    // row pins (ml.MlBands ceilings)
+    val m = pred1.withColumn("err", col("prediction") - col("y"))
+      .agg(avg(abs(col("err"))).as("mae"),
+        sqrt(avg(col("err") * col("err"))).as("rmse"),
+        (lit(1.0) - sum(col("err") * col("err")) /
+          (var_samp(col("y")) * (count(lit(1)) - 1))).as("r2"),
+        avg(col("y")).as("ybar")).head()
+    val (mae, rmse, r2, ybar) = (m.getDouble(0), m.getDouble(1), m.getDouble(2), m.getDouble(3))
+    assert(mae <= ybar * graft.ml.MlBands.MaeRelCeil, s"mae $mae vs ybar $ybar")
+    assert(rmse <= ybar * graft.ml.MlBands.RmseRelCeil, s"rmse $rmse")
+    assert(r2 >= graft.ml.MlBands.R2Floor, s"r2 $r2")
+  }
 }
