@@ -30,16 +30,18 @@ object GraftSession {
   }
 
   /** SPARK_GRAFT_INITIAL_PARTS (default 0 = off): AQE pre-coalesce shuffle
-    * width. The whale-posture knob for shuffle-heavy big-rung runs — the
-    * scaladoc above always said "on a real cluster this is overridden (AQE
-    * coalesces down from a high initial)"; this is that override. At 32
-    * fixed partitions the sf100 d11 pair aggregation wrote ~1.4 GiB of
-    * shuffle per task and spilled 33 GiB of sorter state (BASELINE.md r11);
-    * with a high initial width AQE keeps small stages at the parallelism
-    * floor (parallelismFirst coalescing, unchanged) while the genuinely
-    * large exchanges stay wide enough that per-task shuffle fits the pool.
-    * Whale recipe: SPARK_GRAFT_INITIAL_PARTS=256 alongside
-    * SPARK_DRIVER_MEM=56g SPARK_GRAFT_OFFHEAP_GB=40. */
+    * width — "on a real cluster this is overridden (AQE coalesces down from
+    * a high initial)", made settable. Round-12 sf100 measurements
+    * (BASELINE.md r12): at 256 the d11 pair aggregation kept its 12-stage
+    * plan, partial aggregation intact, and its 35 GiB sorter spill dropped
+    * to ZERO at flat wall — this is the whale lever that works. The two
+    * alternatives both measured worse: an explicit repartition-on-keys at
+    * the aggregation bypasses map-side combine (raw pair stream overran
+    * the disk outright), and combining this knob with zstd shuffle
+    * compression reshaped AQE's decisions (12→19 stages, +25 GiB staged
+    * re-reads, +37% wall). Single-box caveat is DISK, not the knob: the
+    * two big stages' files coexist at ~the box's free space, so run one
+    * big-shuffle query per JVM with tmp corpora pruned. */
   private lazy val initialParts: Int = {
     val raw = sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTS", "0").trim
     val parsed = scala.util.Try(raw.toInt).toOption.filter(_ >= 0)
@@ -47,8 +49,25 @@ object GraftSession {
       s"SPARK_GRAFT_INITIAL_PARTS must be a non-negative integer partition count, got '$raw'"))
   }
 
+  /** SPARK_GRAFT_IO_CODEC (default unset = Spark's lz4): shuffle/spill/
+    * broadcast block codec. The second whale-posture disk lever: the sf100
+    * d11 pair shuffle writes ~45 GiB lz4 on a box with ~76 GiB free, so the
+    * two stages' files coexisting sat at the budget edge and ENOSPC task
+    * retries fired (round 12). zstd trades a little CPU for a markedly
+    * smaller on-disk shuffle — the standard posture for shuffle-heavy
+    * production jobs since Spark 3. Validated against the codecs Spark
+    * ships so a typo fails at session build, not mid-stage. */
+  private lazy val ioCodec: Option[String] = {
+    val known = Set("lz4", "zstd", "snappy", "lzf")
+    sys.env.get("SPARK_GRAFT_IO_CODEC").map(_.trim).filter(_.nonEmpty).map { c =>
+      require(known.contains(c),
+        s"SPARK_GRAFT_IO_CODEC must be one of ${known.toSeq.sorted.mkString(", ")}, got '$c'")
+      c
+    }
+  }
+
   def builder(cores: Int): SparkSession.Builder = {
-    val base = SparkSession.builder()
+    val base0 = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -98,6 +117,7 @@ object GraftSession {
       // loudly at the only place it's read.
       .config("spark.memory.offHeap.enabled", (offHeapGb > 0).toString)
       .config("spark.memory.offHeap.size", math.max(1, offHeapGb) + "g")
+    val base = ioCodec.fold(base0)(c => base0.config("spark.io.compression.codec", c))
     if (initialParts > 0)
       base.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         initialParts.toString)

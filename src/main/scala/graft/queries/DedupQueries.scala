@@ -624,6 +624,14 @@ object DedupQueries extends QueryCatalog {
           .withColumn("sig", array((0 until k).map(i => col(s"s$i")): _*))
           .select("doc_id", "sig")
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        // Pair aggregation stays on the DEFAULT agg plan (map-side partial
+        // combine + exchange): round 12 measured the alternatives at sf100.
+        // An explicit repartition-on-keys before the groupBy widens the
+        // reduce but BYPASSES partial aggregation — the raw pair stream
+        // (one row per shared shingle occurrence) overran the box's disk
+        // outright. The whale lever that works is AQE's initial width
+        // (SPARK_GRAFT_INITIAL_PARTS=256: same 12-stage plan, sorter spill
+        // 35 GiB -> 0, wall flat — see GraftSession + BASELINE.md r12).
         val inter = sh.select(col("doc_id").as("id_a"), col("sh"))
           .join(sh.select(col("doc_id").as("id_b"), col("sh")), "sh")
           .filter(col("id_a") < col("id_b"))
