@@ -47,7 +47,7 @@ object ScaleEvidence {
     }
     def famOn(name: String): Boolean = famSel.forall(_.contains(name))
     val knownQueries = Set("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
-      "d7_tfidf_similarity")
+      "d4b_simhash_adaptive", "d7_tfidf_similarity")
     val querySel = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     querySel.foreach { sel =>
@@ -140,9 +140,9 @@ object ScaleEvidence {
           .dropDuplicates("id_a", "id_b").count()
       }
 
-      // full-query wall-clock on the same corpus (d2/d3/d4/d7 end-to-end)
+      // full-query wall-clock on the same corpus (d2/d3/d4/d4b/d7 end-to-end)
       val queryTimes = Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
-        "d7_tfidf_similarity")
+        "d4b_simhash_adaptive", "d7_tfidf_similarity")
         .filter(q => querySel.forall(_.contains(q))).map { q =>
         val (_, t) = timed(SparkEntry.queries(q)(spark, dir).count())
         graft.core.GraftSession.releaseTransientBlocks(spark)
