@@ -25,18 +25,23 @@ object StatPanel {
     * rank), `hourly` (hour-of-day 0-23 counts), `daily` (day-of-week
     * 0=Monday counts — pandas dayofweek convention). */
   /** The lab-1 DBSCAN-labeled complaint points `(id, x, y, label)` — shared
-    * by the stat panel and the map panel, identical inputs to the
-    * oracle-checked lab1 query. */
-  def lab1Labeled(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .filter(col("event_type") === "error")
-      .dropDuplicates("event_id")
-    val pts = Tables.withSyntheticPoint(ev, "event_id")
-      .filter(col("lon").between(-74.3, -73.7) && col("lat").between(40.5, 41.0))
-    Dbscan.run(
-      pts.select(col("event_id").as("id"), col("lon").as("x"), col("lat").as("y")),
-      eps = 0.017, minPts = 5)
-  }
+    * by the stat panel, the map panel, and the report bundle; identical
+    * inputs to the oracle-checked lab1 query. Parquet-staged once per
+    * (application, dir): the bundle renders three artifacts over this one
+    * frame, and re-running the pointer-jump DBSCAN per sink is the kind of
+    * cost that triples silently (ops.Staged — same reasoning as the shared
+    * shingle index). */
+  def lab1Labeled(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Staged(s, s"lab1labeled:$dir") {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .dropDuplicates("event_id")
+      val pts = Tables.withSyntheticPoint(ev, "event_id")
+        .filter(col("lon").between(-74.3, -73.7) && col("lat").between(40.5, 41.0))
+      Dbscan.run(
+        pts.select(col("event_id").as("id"), col("lon").as("x"), col("lat").as("y")),
+        eps = 0.017, minPts = 5)
+    }
 
   def lab1PanelRows(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
