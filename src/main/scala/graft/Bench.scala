@@ -24,6 +24,15 @@ object Bench {
   val QuietMemRef = 0.266
   val QuietMemRefMt = 0.342
 
+  /** Provenance tag stamped on deliberately-raised floors during a
+    * FLOOR_REPIN canonical. Derived from the environment (ADVICE r12: the
+    * old hardcoded "repin-r12" would mislabel a repin that finally lands
+    * in a later round): SPARK_GRAFT_ROUND=N -> "repin-rN", else a bare
+    * date-stamped "repin-<yyyy-mm-dd>" so the vintage is still readable. */
+  def repinTag: String =
+    sys.env.get("SPARK_GRAFT_ROUND").map(r => s"repin-r$r")
+      .getOrElse(s"repin-${java.time.LocalDate.now()}")
+
   /** Pinned quiet per-stage scheduler-latency reference (round 8; the
     * quiet-refs protocol applied to ops.CpuWitness.stageLatency). Observed
     * band across every recorded reading: 0.516 / 0.536 / 0.550 / 0.666 /
@@ -503,10 +512,28 @@ object Bench {
       // floors set before 2026-08-16 carry no "w" panel and the stale-floor
       // class (g3/g3b/m4b/t14/w15/m2 — commit-level A/B'd as NOT code
       // regressions, both arms 1.5-1.9x floor) can only be retired by a
-      // witnessed re-pin. Deliberate raises get source "repin-r12" so the
-      // trade is readable in provenance; lowers stay ordinary "bench"
+      // witnessed re-pin. Deliberate raises get a "repin-<tag>" source so
+      // the trade is readable in provenance; lowers stay ordinary "bench"
       // floors. Only meaningful on a quiet-gated canonical run.
-      val repin = sys.env.getOrElse("SPARK_GRAFT_FLOOR_REPIN", "0") == "1"
+      //
+      // Round-13 hardening (VERDICT r12 item 2): the idle pre-probe
+      // UNDER-reads load contention (r12 measured pre-gate 0.415 ->
+      // run-spanning med 0.483 with 31 adjusted flags), so a repin run
+      // that passed the quiet gate can still land in a window that would
+      // degrade ~194 floors in one write. The restamp is therefore gated
+      // on the run's OWN spanning bandwidth median: raises apply only
+      // when mem_ref_during med <= SPARK_GRAFT_REPIN_MAX_MEM_MED
+      // (default 0.45, the threshold BASELINE.md's r12 postmortem set);
+      // otherwise the run degrades to an ordinary lower-only floor pass
+      // and says so loudly. This makes FLOOR_REPIN=1 safe to arm
+      // unattended: the worst a noisy window can do is record genuine
+      // new minima.
+      val repinRequested = sys.env.getOrElse("SPARK_GRAFT_FLOOR_REPIN", "0") == "1"
+      val repinMaxMemMed =
+        sys.env.get("SPARK_GRAFT_REPIN_MAX_MEM_MED").map(_.toDouble).getOrElse(0.45)
+      val repin = repinRequested && runMemMed > 0 && runMemMed <= repinMaxMemMed
+      if (repinRequested && !repin)
+        System.err.println(f"[bench] FLOOR_REPIN requested but AUTO-REVERTED: run-spanning mem_ref_during med $runMemMed%.3f > $repinMaxMemMed%.2f gate (quiet ref ${Bench.QuietMemRefMt}%.3f) — keeping lower-only floor semantics for this run")
       val newFloors = results.filter { case (q, v) =>
         v >= 0.0 && (repin || floors.get(q).forall(v < _))
       }
@@ -533,7 +560,7 @@ object Bench {
           newFloors.get(q) match {
             case Some(v) =>
               val src =
-                if (repin && floors.get(q).exists(v >= _)) "repin-r12" else "bench"
+                if (repin && floors.get(q).exists(v >= _)) Bench.repinTag else "bench"
               f""" "$q": {"sec": $v%.3f, "source": "$src", "date": "$today", "w": $fmtW}"""
             case None =>
               floorLines.get(q).map(row => s""" "$q": $row""").getOrElse(
@@ -551,6 +578,19 @@ object Bench {
           w.println(" }\n}")
         } finally w.close()
         System.err.println(s"[bench] ${newFloors.size} new floors recorded in $floorsPath")
+        // ADVICE r12: a repin restamps ~194 floors in one write; make the
+        // damage surface auditable in the log — how many floors were
+        // RAISED (vs ordinary new minima) and the worst raise.
+        if (repin) {
+          val raises = newFloors.toSeq.flatMap { case (q, v) =>
+            floors.get(q).filter(v >= _).map(old => (q, old, v))
+          }
+          if (raises.nonEmpty) {
+            val (wq, wOld, wNew) = raises.maxBy { case (_, o, n) => n / math.max(o, 1e-9) }
+            System.err.println(f"[bench] REPIN summary: ${raises.size} floors raised (worst $wq: $wOld%.3f -> $wNew%.3f = ${wNew / math.max(wOld, 1e-9)}%.2fx), ${newFloors.size - raises.size} lowered; tag ${Bench.repinTag}, run mem_during_med $runMemMed%.3f")
+          } else
+            System.err.println(s"[bench] REPIN summary: 0 floors raised, ${newFloors.size} lowered")
+        }
       }
     }
     // Locale.ROOT: a comma-decimal default locale would break the driver's

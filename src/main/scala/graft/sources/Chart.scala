@@ -85,14 +85,24 @@ object Chart {
 
   /** Lab-1 hourly-distribution chart (visualize_noise.py:61-): the SAME
     * oracle-checked hourly aggregate StatPanel renders, landed as a JSON
-    * report and rasterized FROM the re-read rows — 24 bars in hour order. */
+    * report and rasterized FROM the re-read rows — ALWAYS 24 bars in hour
+    * order. The panel's hourly section is a plain groupBy with no
+    * densification, so a corpus with a zero-complaint hour would otherwise
+    * silently shift every later bar's position (ADVICE r12): the reader
+    * zero-fills against the full 0..23 domain before rendering, and the
+    * sink itself asserts the 24-bar invariant rather than leaving it to
+    * the spec's corpus. */
   def writeLab1HourlyPng(s: SparkSession, dir: String, outPath: String): Unit = {
     val rows = StatPanel.lab1PanelRows(s, dir).filter(col("section") === "hourly")
     IO.writeReportJson(rows, s"$outPath/hourly_rows")
     val back = s.read.schema("section STRING, key STRING, value DOUBLE")
       .json(s"$outPath/hourly_rows").collect()
-      .map(r => r.getString(1).toInt -> r.getDouble(2)).sortBy(_._1)
-    writePng(barChart(back.map(_._2).toSeq), s"$outPath/hourly.png")
+      .map(r => r.getString(1).toInt -> r.getDouble(2)).toMap
+    require(back.keySet.subsetOf((0 until 24).toSet),
+      s"hourly rows outside 0..23: ${back.keySet.filterNot((0 until 24).contains).toSeq.sorted.mkString(",")}")
+    val dense = (0 until 24).map(h => back.getOrElse(h, 0.0))
+    require(dense.size == 24, s"expected 24 hourly bars, got ${dense.size}")
+    writePng(barChart(dense), s"$outPath/hourly.png")
   }
 
   /** Lab-2 feature-importance chart (lx_lightgbmTest.py:190-198): fit the

@@ -265,7 +265,11 @@ object IO {
     try files.foreach { p =>
       val e = new java.util.zip.ZipEntry(
         root.relativize(p).toString.replace(java.io.File.separatorChar, '/'))
-      e.setTime(1767225600000L) // fixed stamp: archives are reproducible
+      // Fixed stamp via setTimeLocal: setTime(millis) converts to DOS time
+      // through the JVM default timezone, so the byte-identical guarantee
+      // would only hold between machines sharing a timezone (ADVICE r12).
+      // A LocalDateTime is written into the DOS field verbatim.
+      e.setTimeLocal(java.time.LocalDateTime.of(2026, 1, 1, 0, 0))
       zos.putNextEntry(e)
       zos.write(Files.readAllBytes(p))
       zos.closeEntry()
