@@ -72,6 +72,62 @@ object GraphOps {
   def reachable(edges: DataFrame, source: Long, cutoff: Long, iters: Int): DataFrame =
     sssp(edges, source, iters).filter(col("dist") <= cutoff)
 
+  /** M14, path RECONSTRUCTION (the reference draws the route polyline, not
+    * just its length — 实习三/…urban_road_network_analysis.ipynb cell 4:
+    * nx.shortest_path node list plotted as route_lons/route_lats): bounded
+    * Bellman-Ford whose state carries `(id, sp = struct(dist, path))` and
+    * relaxes by the lexicographic MIN of that struct — dist first, then
+    * the node-id array — so among equal-cost paths the smallest node
+    * sequence wins, deterministically on the engine AND in a SQL oracle
+    * (both Spark and DuckDB order arrays lexicographically).
+    *
+    * Correctness of per-node struct-min state (vs min over ALL ≤k-edge
+    * walks) needs strictly positive weights: with w ≥ 1 two equal-dist
+    * paths to a node can never be prefix-related, and for non-prefix pairs
+    * appending the same next hop preserves lexicographic order — so the
+    * best path to v through u extends u's best path. REQUIREs nothing at
+    * runtime (the synthetic graph's w ∈ [1,20]); callers with zero-weight
+    * edges must pre-shift.
+    *
+    * Scale shape: identical to [[sssp]] — one join + one hash aggregate
+    * per round over `(id, dist, path≤iters+1)` rows, lineage cut per
+    * round; the path column is bounded by the hop budget, never
+    * data-proportional. Returns `(id, dist, path)`. */
+  def routes(edges: DataFrame, source: Long, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").as("e_src"), col("dst").as("e_dst"), col("w").as("e_w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var st = graft.core.Materialize.cut(
+      spark.range(1).select(lit(source).as("id"),
+        struct(lit(0L).as("dist"), array(lit(source)).as("path")).as("sp")))
+    // Early-exit signature: unlike sssp (where unchanged count+Σdist ⟺
+    // unchanged state, distances being the whole state), a round here can
+    // lex-improve a PATH at equal dist — so the signature hashes the full
+    // (id, dist, path) state. state_{k+1} includes state_k in its min, so
+    // per-node state is monotone non-increasing and true equality really
+    // is a fixpoint; the hash only detects it (a missed detection needs a
+    // sum-of-xxhash64 collision).
+    var sig = (0L, 0L, 0L)
+    var converged = false
+    for (_ <- 1 to iters if !converged) {
+      val relaxed = st.join(e, col("id") === col("e_src"))
+        .select(col("e_dst").as("id"),
+          struct((col("sp.dist") + col("e_w")).as("dist"),
+            concat(col("sp.path"), array(col("e_dst"))).as("path")).as("sp"))
+      val next = graft.core.Materialize.cut(st.unionByName(relaxed)
+        .groupBy("id").agg(min("sp").as("sp")))
+      val row = next.agg(count(lit(1)).as("c"), sum("sp.dist").as("s"),
+        sum(xxhash64(col("id"), col("sp.dist"), col("sp.path"))).as("h")).head()
+      val nextSig = (row.getLong(0), row.getLong(1), row.getLong(2))
+      converged = nextSig == sig
+      org.apache.spark.sql.graft.CheckpointBlocks.release(st)
+      st = next
+      sig = nextSig
+    }
+    e.unpersist()
+    st.select(col("id"), col("sp.dist").as("dist"), col("sp.path").as("path"))
+  }
+
   /** Connected components of an undirected graph given as `(src, dst)`
     * pairs (callers include both directions or rely on the symmetric
     * propagation below): returns `(id, component)` with component = min

@@ -26,6 +26,74 @@ object GraphQueries extends QueryCatalog {
       .withColumn("w", pmod(col("src") * 7 + col("dst") * 13, lit(20L)) + 1)
   }
 
+  /** Shared lab-3 frames (round 13): the map document (sources.MapDocs)
+    * renders FROM these exact builders, so every coordinate/number it
+    * embeds is the output of an oracle-checked plan — the same split as
+    * StatPanel/MapPanel. Each is the body its declared query aggregates. */
+
+  /** g2b's route polyline frame: (seq, id, lon, lat) in route order. */
+  private[graft] def routeVertices(s: SparkSession, dir: String): DataFrame = {
+    val rt = GraphOps.routes(edges(s, dir), 0L, 8)
+    val dest = rt.agg(max("id").as("dest"))
+    val nodes = Tables.withSyntheticPoint(
+      Tables.supplier(s, dir).select(col("s_suppkey").as("id")), "id")
+    rt.join(broadcast(dest), col("id") === col("dest"))
+      .select(posexplode(col("path")))
+      .select((col("pos") + 1).cast("long").as("seq"), col("col").as("id"))
+      .join(nodes, "id")
+      .select(col("seq"), col("id"),
+        round(col("lon"), 6).as("lon"), round(col("lat"), 6).as("lat"))
+      .orderBy("seq")
+  }
+
+  /** g3/g3b's reachable-node frame: (id, dist, lon, lat), cost ≤ 30. */
+  private[graft] def reachNodes(s: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.withSyntheticPoint(
+      Tables.supplier(s, dir).select(col("s_suppkey").as("id")), "id")
+    GraphOps.reachable(edges(s, dir), 0L, 30L, 8).join(nodes, "id")
+  }
+
+  /** g7's per-POI frame: (poi_id, tag, lon, lat, acc ∈ {0,1}). */
+  private[graft] def poiPoints(s: SparkSession, dir: String): DataFrame = {
+    val eps = 0.02
+    val tags = Seq("school", "hospital", "park", "shop")
+    val pois = Tables.withSyntheticPoint(
+        Tables.part(s, dir).select(col("p_partkey").as("poi_id")), "poi_id")
+      .withColumn("tag", element_at(
+        array(tags.map(lit): _*), (pmod(col("poi_id"), lit(4L)) + 1).cast("int")))
+    val reach = reachNodes(s, dir)
+    val rcells = reach
+      .withColumn("cx", explode(array(
+        floor(col("lon") / eps) - 1, floor(col("lon") / eps), floor(col("lon") / eps) + 1)))
+      .withColumn("cy", explode(array(
+        floor(col("lat") / eps) - 1, floor(col("lat") / eps), floor(col("lat") / eps) + 1)))
+      .select(col("cx"), col("cy"), col("lon").as("nlon"), col("lat").as("nlat"))
+    val pcells = pois
+      .withColumn("cx", floor(col("lon") / eps))
+      .withColumn("cy", floor(col("lat") / eps))
+    val accessible = pcells.join(rcells, Seq("cx", "cy"))
+      .filter(pow(col("lon") - col("nlon"), 2)
+        + pow(col("lat") - col("nlat"), 2) <= eps * eps)
+      .select("poi_id").distinct()
+    pois.join(accessible.withColumn("acc", lit(1L)), Seq("poi_id"), "left")
+      .select(col("poi_id"), col("tag"), col("lon"), col("lat"),
+        coalesce(col("acc"), lit(0L)).as("acc"))
+  }
+
+  /** g6's connectivity-grid frame: (cx, cy, n_nodes, degree_density). */
+  private[graft] def gridCells(s: SparkSession, dir: String): DataFrame = {
+    val deg = GraphOps.degrees(edges(s, dir))
+    val nodes = Tables.withSyntheticPoint(
+      Tables.supplier(s, dir).select(col("s_suppkey").as("id")), "id")
+    nodes.join(deg, "id")
+      .withColumn("cx", floor((col("lon") + lit(74.3)) / 0.1))
+      .withColumn("cy", floor((col("lat") - lit(40.5)) / 0.1))
+      .groupBy("cx", "cy")
+      .agg(count(lit(1)).as("n_nodes"),
+        round(sum("degree") / lit(0.01), 4).as("degree_density"))
+      .orderBy("cx", "cy")
+  }
+
   private val edgesSql: String =
     """nn AS (SELECT count(*) AS n FROM supplier),
       |e0 AS (SELECT s_suppkey AS src, (s_suppkey + 1) % nn.n AS dst FROM supplier, nn
@@ -65,16 +133,43 @@ object GraphQueries extends QueryCatalog {
               |SELECT id, min(dist) AS dist FROM walk
               |GROUP BY 1 ORDER BY dist, id LIMIT 20""".stripMargin)),
 
+    // M14 (complete) — the route POLYLINE itself (reference plots the
+    // nx.shortest_path node list as route_lons/route_lats,
+    // …network_analysis.ipynb cell 4, and folium draws the same polyline):
+    // bounded Bellman-Ford carrying (dist, path) state with lexicographic
+    // struct-min relaxation (GraphOps.routes), destination = the highest
+    // node id the 8-round horizon touches, one row per route vertex in
+    // order. Oracle: the same ≤8-edge walk enumeration as g2 extended with
+    // a path list; DuckDB's ORDER BY dist, path reproduces the engine's
+    // struct-min tie-break exactly (both order arrays lexicographically).
+    "g2b_route" -> QueryDef(
+      (s, dir) => routeVertices(s, dir),
+      Some {
+        val (lonSql, latSql) = Tables.syntheticPointSql("id")
+        s"""WITH RECURSIVE $edgesSql,
+           |walk(id, dist, depth, path) AS (
+           |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0, [CAST(0 AS BIGINT)]
+           |  UNION ALL
+           |  SELECT e.dst, walk.dist + e.w, walk.depth + 1,
+           |    list_append(walk.path, e.dst)
+           |  FROM walk JOIN edges e ON e.src = walk.id WHERE walk.depth < 8),
+           |dest AS (SELECT max(id) AS d FROM walk),
+           |best AS (SELECT path FROM walk, dest WHERE id = dest.d
+           |         ORDER BY dist, path LIMIT 1),
+           |rt AS (SELECT CAST(u.seq AS BIGINT) AS seq, path[u.seq] AS id
+           |       FROM best, unnest(generate_series(1, len(path))) AS u(seq)),
+           |pts AS (SELECT s_suppkey AS id, $lonSql AS lon, $latSql AS lat FROM supplier)
+           |SELECT seq, id, round(lon, 6) AS lon, round(lat, 6) AS lat
+           |FROM rt JOIN pts USING (id) ORDER BY seq""".stripMargin
+      }),
+
     // M15 — isochrone reachable set (reference ego_graph radius=cutoff,
     // …network_analysis.ipynb:543-569): nodes within cost 30 of node 0 +
     // the reachable set's bounding envelope (the convex hull itself is the
     // ConvexHull aggregator, scalatest-verified — not SQL-expressible).
     "g3_isochrone" -> QueryDef(
       (s, dir) => {
-        val reach = GraphOps.reachable(edges(s, dir), 0L, 30L, 8)
-        val nodes = Tables.withSyntheticPoint(
-          Tables.supplier(s, dir).select(col("s_suppkey").as("id")), "id")
-        reach.join(nodes, "id")
+        reachNodes(s, dir)
           .agg(count(lit(1)).as("n_reach"),
             round(min("lon"), 6).as("min_lon"), round(max("lon"), 6).as("max_lon"),
             round(min("lat"), 6).as("min_lat"), round(max("lat"), 6).as("max_lat"))
@@ -107,10 +202,7 @@ object GraphQueries extends QueryCatalog {
     // SQL per-group — ulp-level difference only).
     "g3b_isochrone_hull" -> QueryDef(
       (s, dir) => {
-        val reach = GraphOps.reachable(edges(s, dir), 0L, 30L, 8)
-        val nodes = Tables.withSyntheticPoint(
-          Tables.supplier(s, dir).select(col("s_suppkey").as("id")), "id")
-        reach.join(nodes, "id")
+        reachNodes(s, dir)
           .agg(count(lit(1)).as("n_reach"),
             graft.spatial.ConvexHull.convexHullStats(col("lon"), col("lat")).as("h"))
           .select(col("n_reach"),
@@ -239,18 +331,7 @@ object GraphQueries extends QueryCatalog {
     // M19 — gridded degree density (reference per-cell Σ node degree /
     // cell area, …bounds_analysis.ipynb:159-214): floor-bucket groupBy.
     "g6_degree_density" -> QueryDef(
-      (s, dir) => {
-        val deg = GraphOps.degrees(edges(s, dir))
-        val nodes = Tables.withSyntheticPoint(
-          Tables.supplier(s, dir).select(col("s_suppkey").as("id")), "id")
-        nodes.join(deg, "id")
-          .withColumn("cx", floor((col("lon") + lit(74.3)) / 0.1))
-          .withColumn("cy", floor((col("lat") - lit(40.5)) / 0.1))
-          .groupBy("cx", "cy")
-          .agg(count(lit(1)).as("n_nodes"),
-            round(sum("degree") / lit(0.01), 4).as("degree_density"))
-          .orderBy("cx", "cy")
-      },
+      (s, dir) => gridCells(s, dir),
       Some {
         val (lonSql, latSql) = Tables.syntheticPointSql("s_suppkey")
         s"""WITH $edgesSql,
@@ -275,36 +356,12 @@ object GraphQueries extends QueryCatalog {
     // (reachable) side, so the POI side scans once and never self-explodes —
     // the same candidate-bounding shape as DBSCAN's pair join.
     "g7_poi_accessibility" -> QueryDef(
-      (s, dir) => {
-        val eps = 0.02
-        val tags = Seq("school", "hospital", "park", "shop")
-        val pois = Tables.withSyntheticPoint(
-            Tables.part(s, dir).select(col("p_partkey").as("poi_id")), "poi_id")
-          .withColumn("tag", element_at(
-            array(tags.map(lit): _*), (pmod(col("poi_id"), lit(4L)) + 1).cast("int")))
-        val nodes = Tables.withSyntheticPoint(
-          Tables.supplier(s, dir).select(col("s_suppkey").as("id")), "id")
-        val reach = GraphOps.reachable(edges(s, dir), 0L, 30L, 8).join(nodes, "id")
-        val rcells = reach
-          .withColumn("cx", explode(array(
-            floor(col("lon") / eps) - 1, floor(col("lon") / eps), floor(col("lon") / eps) + 1)))
-          .withColumn("cy", explode(array(
-            floor(col("lat") / eps) - 1, floor(col("lat") / eps), floor(col("lat") / eps) + 1)))
-          .select(col("cx"), col("cy"), col("lon").as("nlon"), col("lat").as("nlat"))
-        val pcells = pois
-          .withColumn("cx", floor(col("lon") / eps))
-          .withColumn("cy", floor(col("lat") / eps))
-        val accessible = pcells.join(rcells, Seq("cx", "cy"))
-          .filter(pow(col("lon") - col("nlon"), 2)
-            + pow(col("lat") - col("nlat"), 2) <= eps * eps)
-          .select("poi_id").distinct()
-        pois.join(accessible.withColumn("acc", lit(1L)), Seq("poi_id"), "left")
-          .groupBy("tag")
-          .agg(count(lit(1)).as("n_pois"),
-            sum(coalesce(col("acc"), lit(0L))).as("n_accessible"),
-            round(avg(coalesce(col("acc"), lit(0L)).cast("double")), 6).as("access_rate"))
-          .orderBy("tag")
-      },
+      (s, dir) => poiPoints(s, dir)
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n_pois"),
+          sum("acc").as("n_accessible"),
+          round(avg(col("acc").cast("double")), 6).as("access_rate"))
+        .orderBy("tag"),
       Some {
         val (nodeLon, nodeLat) = Tables.syntheticPointSql("s_suppkey")
         val (poiLon, poiLat) = Tables.syntheticPointSql("p_partkey")
