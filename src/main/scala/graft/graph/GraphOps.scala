@@ -105,8 +105,9 @@ object GraphOps {
     // lex-improve a PATH at equal dist — so the signature hashes the full
     // (id, dist, path) state. state_{k+1} includes state_k in its min, so
     // per-node state is monotone non-increasing and true equality really
-    // is a fixpoint; the hash only detects it (a missed detection needs a
-    // sum-of-xxhash64 collision).
+    // is a fixpoint; the hash only detects it (a missed detection needs an
+    // xor-of-xxhash64 collision). bit_xor, not sum: a Σ of 64-bit hashes
+    // overflows under ANSI arithmetic; xor is order-free and closed.
     var sig = (0L, 0L, 0L)
     var converged = false
     for (_ <- 1 to iters if !converged) {
@@ -117,7 +118,7 @@ object GraphOps {
       val next = graft.core.Materialize.cut(st.unionByName(relaxed)
         .groupBy("id").agg(min("sp").as("sp")))
       val row = next.agg(count(lit(1)).as("c"), sum("sp.dist").as("s"),
-        sum(xxhash64(col("id"), col("sp.dist"), col("sp.path"))).as("h")).head()
+        expr("bit_xor(xxhash64(id, sp.dist, sp.path))").as("h")).head()
       val nextSig = (row.getLong(0), row.getLong(1), row.getLong(2))
       converged = nextSig == sig
       org.apache.spark.sql.graft.CheckpointBlocks.release(st)

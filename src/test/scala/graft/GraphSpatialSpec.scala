@@ -23,6 +23,29 @@ class GraphOpsSpec extends SparkSpec {
     assert(dist.keySet === Set(0L, 1L, 2L, 3L))
   }
 
+  test("routes reconstructs the shortest path and dist agrees with sssp") {
+    //   0 →(1)→ 1 →(1)→ 2 →(1)→ 3 ; 0 →(10)→ 3 ; 3 →(1)→ 4
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (0L, 3L, 10L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val rt = GraphOps.routes(edges, source = 0L, iters = 6)
+      .as[(Long, Long, Seq[Long])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rt(4L) === ((4L, Seq(0L, 1L, 2L, 3L, 4L))))
+    assert(rt(3L) === ((3L, Seq(0L, 1L, 2L, 3L))))
+    assert(rt.view.mapValues(_._1).toMap ===
+      GraphOps.sssp(edges, 0L, 6).as[(Long, Long)].collect().toMap)
+  }
+
+  test("routes breaks equal-cost ties by the lexicographically smallest path") {
+    // two cost-4 routes to 3: [0,1,3] via w 3+1 and [0,2,1,3] via 1+2+1 —
+    // the lex-min node sequence [0,1,3] must win on the engine exactly as
+    // DuckDB's ORDER BY dist, path does in the g2b oracle.
+    val edges = Seq((0L, 1L, 3L), (0L, 2L, 1L), (2L, 1L, 2L), (1L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val rt = GraphOps.routes(edges, 0L, 5)
+      .as[(Long, Long, Seq[Long])].collect().map(r => r._1 -> r._3).toMap
+    assert(rt(3L) === Seq(0L, 1L, 3L))
+  }
+
   test("reachable applies the cost cutoff") {
     val edges = Seq((0L, 1L, 5L), (1L, 2L, 5L), (2L, 3L, 5L)).toDF("src", "dst", "w")
     val r = GraphOps.reachable(edges, 0L, cutoff = 10L, iters = 5)
