@@ -1,0 +1,283 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Interactive HTML chart sink (S13 plotly parity; VERDICT r12 item 4) —
+  * the reference's lab-4 `create_interactive_plots`
+  * (实习四/实习四代码/yelp_analysis.ipynb: px.scatter_3d of
+  * longitude/latitude/avg_sentiment sized by review_count on the RdYlGn
+  * ramp; px.scatter of stars vs avg_sentiment with a scipy.linregress
+  * regression line labeled R²; px.histogram of avg_sentiment with a mean
+  * vline annotation — each written as a standalone interactive HTML file).
+  *
+  * Split as in Chart/MapDocs: chart DATA is the oracle-checked lab-4
+  * per-source frame (Pipelines.reviewSentimentRanked via
+  * MapDocs.lab4MapRows), landed once as a JSON report; the chart DOCUMENTS
+  * are driver work over the re-read rows — self-contained HTML (inline
+  * SVG + JS, no plotly/CDN), with plotly's interaction surface: hover
+  * tooltips, wheel zoom + drag pan on the 2-D charts, drag-to-rotate on
+  * the 3-D scatter. Regression and histogram arithmetic are public
+  * functions so the spec derives expected values from the same code.
+  */
+object ChartHtml {
+
+  /** ColorBrewer RdYlGn (11-class) — the reference's
+    * `color_continuous_scale='RdYlGn'`. Public colorbrewer2.org values. */
+  val RdYlGn: Array[String] = Array(
+    "#a50026", "#d73027", "#f46d43", "#fdae61", "#fee08b", "#ffffbf",
+    "#d9ef8b", "#a6d96a", "#66bd63", "#1a9850", "#006837")
+
+  def rdylgn(v: Double, minV: Double, maxV: Double): String = {
+    val t = if (maxV > minV) (v - minV) / (maxV - minV) else 0.5
+    RdYlGn(math.min(RdYlGn.length - 1, math.max(0, (t * (RdYlGn.length - 1)).round.toInt)))
+  }
+
+  /** Least-squares fit + Pearson r² — scipy.stats.linregress semantics
+    * (the regression the reference overlays). Returns (slope, intercept,
+    * r²); a degenerate x-variance fits flat through the mean. */
+  def linregress(xs: Seq[Double], ys: Seq[Double]): (Double, Double, Double) = {
+    require(xs.size == ys.size && xs.nonEmpty, "linregress needs matched non-empty series")
+    val n = xs.size.toDouble
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+    val syy = ys.map(y => (y - my) * (y - my)).sum
+    val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    if (sxx == 0.0) (0.0, my, 0.0)
+    else {
+      val slope = sxy / sxx
+      val r2 = if (syy == 0.0) 1.0 else (sxy * sxy) / (sxx * syy)
+      (slope, my - slope * mx, r2)
+    }
+  }
+
+  /** Equal-width bin counts over [min, max] — px.histogram semantics with
+    * an explicit nbins (values at the top edge land in the last bin).
+    * Returns (binStart, count) per bin, zero-filled. */
+  def binCounts(vs: Seq[Double], nbins: Int): Seq[(Double, Long)] = {
+    require(vs.nonEmpty && nbins > 0, "histogram needs values and bins")
+    val (lo, hi) = (vs.min, vs.max)
+    val w = if (hi > lo) (hi - lo) / nbins else 1.0
+    val counts = Array.fill(nbins)(0L)
+    vs.foreach { v =>
+      val b = math.min(nbins - 1, ((v - lo) / w).toInt)
+      counts(b) += 1
+    }
+    (0 until nbins).map(i => (lo + i * w, counts(i)))
+  }
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+
+  /** Shared document shell: a pannable/zoomable SVG plot area with a
+    * tooltip div; `body` is chart-specific JS drawing into `plot` via the
+    * provided helpers. */
+  private def shell(title: String, dataJs: String, body: String): String =
+    s"""<!DOCTYPE html><html><head><meta charset="UTF-8"><title>${esc(title)}</title>
+       |<style>
+       |body{font-family:sans-serif;margin:0}
+       |h2{font-size:15px;margin:8px 12px}
+       |#plot{display:block;margin:0 auto;background:#fff;cursor:crosshair}
+       |#tip{position:fixed;display:none;background:#222;color:#fff;padding:4px 8px;
+       |  border-radius:4px;font-size:12px;pointer-events:none;white-space:pre}
+       |</style></head><body>
+       |<h2>${esc(title)}</h2>
+       |<svg id="plot" xmlns="http://www.w3.org/2000/svg" width="860" height="560"></svg>
+       |<div id="tip"></div>
+       |<script>
+       |$dataJs
+       |const svg = document.getElementById('plot');
+       |const tip = document.getElementById('tip');
+       |const NS = 'http://www.w3.org/2000/svg';
+       |const W = 860, H = 560, ML = 60, MR = 20, MT = 20, MB = 45;
+       |let vb = {x: 0, y: 0, w: W, h: H};
+       |const applyVb = () => svg.setAttribute('viewBox', vb.x + ' ' + vb.y + ' ' + vb.w + ' ' + vb.h);
+       |applyVb();
+       |function el(name, attrs, tipText) {
+       |  const e = document.createElementNS(NS, name);
+       |  for (const k in attrs) e.setAttribute(k, attrs[k]);
+       |  if (tipText) {
+       |    e.addEventListener('mousemove', ev => {
+       |      tip.style.display = 'block'; tip.textContent = tipText;
+       |      tip.style.left = (ev.clientX + 12) + 'px'; tip.style.top = (ev.clientY + 12) + 'px';
+       |    });
+       |    e.addEventListener('mouseleave', () => tip.style.display = 'none');
+       |  }
+       |  svg.appendChild(e); return e;
+       |}
+       |function text(x, y, s, anchor) {
+       |  const t = el('text', {x: x, y: y, 'font-size': 11, 'text-anchor': anchor || 'middle', fill: '#333'});
+       |  t.textContent = s; return t;
+       |}
+       |$body
+       |let drag = null;
+       |svg.onmousedown = e => { drag = {x: e.clientX, y: e.clientY}; };
+       |window.onmouseup = () => { drag = null; };
+       |window.onmousemove = e => {
+       |  if (!drag) return;
+       |  if (typeof onDrag === 'function') { onDrag(e, drag); drag = {x: e.clientX, y: e.clientY}; return; }
+       |  const sc = vb.w / svg.clientWidth;
+       |  vb.x -= (e.clientX - drag.x) * sc; vb.y -= (e.clientY - drag.y) * sc;
+       |  drag = {x: e.clientX, y: e.clientY}; applyVb();
+       |};
+       |svg.onwheel = e => {
+       |  e.preventDefault();
+       |  const f = e.deltaY < 0 ? 0.8 : 1.25;
+       |  const mx = vb.x + (e.offsetX / svg.clientWidth) * vb.w;
+       |  const my = vb.y + (e.offsetY / svg.clientHeight) * vb.h;
+       |  vb = {x: mx - (mx - vb.x) * f, y: my - (my - vb.y) * f, w: vb.w * f, h: vb.h * f};
+       |  applyVb();
+       |};
+       |</script></body></html>
+       |""".stripMargin
+
+  type SourceRow = (String, Long, Double, Double, Double, Double, Double)
+
+  /** Histogram of per-source mean polarity with the mean vline + annotation
+    * (reference fig_hist + add_vline). */
+  def renderHistogram(rows: Seq[SourceRow], nbins: Int, title: String): String = {
+    val vs = rows.map(_._3)
+    val bins = binCounts(vs, nbins)
+    val mean = vs.sum / vs.size
+    val binsJs = bins.map { case (x, c) => s"[${num(x)},$c]" }.mkString("[", ",", "]")
+    val dataJs =
+      s"""const bins = $binsJs;
+         |const meanV = ${num(mean)};
+         |const binW = ${num(bins.drop(1).headOption.map(_._1 - bins.head._1).getOrElse(1.0))};""".stripMargin
+    val body =
+      """const maxC = Math.max(...bins.map(b => b[1]), 1);
+        |const x0 = bins[0][0], x1 = bins[bins.length-1][0] + binW;
+        |const fx = v => ML + (v - x0) / (x1 - x0) * (W - ML - MR);
+        |const fy = c => MT + (1 - c / maxC) * (H - MT - MB);
+        |bins.forEach(b => el('rect', {x: fx(b[0]).toFixed(2), y: fy(b[1]).toFixed(2),
+        |  width: ((W - ML - MR) / bins.length - 1).toFixed(2),
+        |  height: (fy(0) - fy(b[1])).toFixed(2), fill: '#3498db', 'fill-opacity': 0.7,
+        |  stroke: 'black', 'stroke-width': 0.5},
+        |  'polarity ' + b[0].toFixed(3) + ' .. ' + (b[0] + binW).toFixed(3) + ': ' + b[1] + ' sources'));
+        |el('line', {x1: fx(meanV), y1: MT, x2: fx(meanV), y2: fy(0),
+        |  stroke: 'red', 'stroke-width': 2, 'stroke-dasharray': '6,4'});
+        |text(fx(meanV), MT - 6, 'mean: ' + meanV.toFixed(3));
+        |el('line', {x1: ML, y1: fy(0), x2: W - MR, y2: fy(0), stroke: '#222'});
+        |el('line', {x1: ML, y1: MT, x2: ML, y2: fy(0), stroke: '#222'});
+        |text(W / 2, H - 10, 'mean polarity'); text(14, H / 2, 'sources', 'middle');
+        |text(ML - 8, fy(maxC) + 4, String(maxC), 'end'); text(ML - 8, fy(0) + 4, '0', 'end');
+        |text(fx(x0), fy(0) + 14, x0.toFixed(2)); text(fx(x1), fy(0) + 14, x1.toFixed(2));""".stripMargin
+    shell(title, dataJs, body)
+  }
+
+  /** positive_rate vs mean polarity scatter with the linregress overlay
+    * labeled R² (reference fig_scatter + go.Scatter regression trace);
+    * marker size ∝ doc count, RdYlGn color by polarity. */
+  def renderScatterRegression(rows: Seq[SourceRow], title: String): String = {
+    val xs = rows.map(_._4)
+    val ys = rows.map(_._3)
+    val (slope, intercept, r2) = linregress(xs, ys)
+    val (minP, maxP) = (ys.min, ys.max)
+    val maxN = rows.map(_._2).max.toDouble
+    val ptsJs = rows.sortBy(_._1).map { r =>
+      s"""{"name":"${esc(r._1)}","x":${num(r._4)},"y":${num(r._3)},"n":${r._2},""" +
+        s""""color":"${rdylgn(r._3, minP, maxP)}","s":${num(3 + 9 * math.sqrt(r._2 / maxN))}}"""
+    }.mkString("[", ",", "]")
+    val dataJs =
+      s"""const pts = $ptsJs;
+         |const slope = ${num(slope)}, intercept = ${num(intercept)}, r2 = ${num(r2)};""".stripMargin
+    val body =
+      """const xv = pts.map(p => p.x), yv = pts.map(p => p.y).concat(
+        |  [intercept + slope * Math.min(...pts.map(p => p.x)),
+        |   intercept + slope * Math.max(...pts.map(p => p.x))]);
+        |const x0 = Math.min(...xv), x1 = Math.max(...xv, x0 + 1e-9);
+        |const y0 = Math.min(...yv), y1 = Math.max(...yv, y0 + 1e-9);
+        |const fx = v => ML + (v - x0) / (x1 - x0) * (W - ML - MR);
+        |const fy = v => MT + (1 - (v - y0) / (y1 - y0)) * (H - MT - MB);
+        |el('line', {x1: ML, y1: fy(y0), x2: W - MR, y2: fy(y0), stroke: '#222'});
+        |el('line', {x1: ML, y1: MT, x2: ML, y2: fy(y0), stroke: '#222'});
+        |pts.forEach(p => el('circle', {cx: fx(p.x).toFixed(2), cy: fy(p.y).toFixed(2),
+        |  r: p.s.toFixed(2), fill: p.color, 'fill-opacity': 0.75, stroke: '#555', 'stroke-width': 0.5},
+        |  p.name + '\npositive rate ' + p.x.toFixed(3) + '\nmean polarity ' + p.y.toFixed(3) + '\ndocs ' + p.n));
+        |el('line', {x1: fx(x0).toFixed(2), y1: fy(intercept + slope * x0).toFixed(2),
+        |  x2: fx(x1).toFixed(2), y2: fy(intercept + slope * x1).toFixed(2),
+        |  stroke: 'red', 'stroke-width': 2},
+        |  'regression (R²=' + r2.toFixed(3) + ')');
+        |text(W - MR - 6, MT + 12, 'R² = ' + r2.toFixed(3), 'end');
+        |text(W / 2, H - 10, 'positive rate'); text(14, H / 2, 'mean polarity', 'middle');
+        |text(fx(x0), fy(y0) + 14, x0.toFixed(2)); text(fx(x1), fy(y0) + 14, x1.toFixed(2));
+        |text(ML - 8, fy(y1) + 4, y1.toFixed(2), 'end'); text(ML - 8, fy(y0) + 4, y0.toFixed(2), 'end');""".stripMargin
+    shell(title, dataJs, body)
+  }
+
+  /** Drag-to-rotate 3-D scatter of (lon, lat, polarity), size ∝ doc count,
+    * RdYlGn color (reference fig_3d). Orthographic projection with a
+    * mouse-driven rotation matrix — plotly's core 3-D interaction. */
+  def renderScatter3d(rows: Seq[SourceRow], title: String): String = {
+    val (minP, maxP) = (rows.map(_._3).min, rows.map(_._3).max)
+    val maxN = rows.map(_._2).max.toDouble
+    val ptsJs = rows.sortBy(_._1).map { r =>
+      s"""{"name":"${esc(r._1)}","lon":${num(r._6)},"lat":${num(r._7)},"z":${num(r._3)},""" +
+        s""""n":${r._2},"color":"${rdylgn(r._3, minP, maxP)}","s":${num(2 + 7 * math.sqrt(r._2 / maxN))}}"""
+    }.mkString("[", ",", "]")
+    val dataJs = s"const pts = $ptsJs;"
+    val body =
+      """const lon0 = Math.min(...pts.map(p => p.lon)), lon1 = Math.max(...pts.map(p => p.lon), lon0 + 1e-9);
+        |const lat0 = Math.min(...pts.map(p => p.lat)), lat1 = Math.max(...pts.map(p => p.lat), lat0 + 1e-9);
+        |const z0 = Math.min(...pts.map(p => p.z)), z1 = Math.max(...pts.map(p => p.z), z0 + 1e-9);
+        |const N = v => 2 * v - 1; // unit cube coords
+        |const P = pts.map(p => ({u: [N((p.lon - lon0) / (lon1 - lon0)),
+        |  N((p.lat - lat0) / (lat1 - lat0)), N((p.z - z0) / (z1 - z0))], p: p}));
+        |let ax = -0.5, az = 0.6; // initial view angles
+        |const corners = [];
+        |for (let i = 0; i < 8; i++) corners.push([(i&1)*2-1, ((i>>1)&1)*2-1, ((i>>2)&1)*2-1]);
+        |const edges = [[0,1],[2,3],[4,5],[6,7],[0,2],[1,3],[4,6],[5,7],[0,4],[1,5],[2,6],[3,7]];
+        |function proj(u) {
+        |  const cz = Math.cos(az), sz = Math.sin(az), cx = Math.cos(ax), sx = Math.sin(ax);
+        |  const x = u[0]*cz - u[1]*sz, y0r = u[0]*sz + u[1]*cz;
+        |  const y = y0r*cx - u[2]*sx, depth = y0r*sx + u[2]*cx;
+        |  return [W/2 + x * 200, H/2 - y * 200, depth];
+        |}
+        |function draw() {
+        |  while (svg.firstChild) svg.removeChild(svg.firstChild);
+        |  edges.forEach(e => {
+        |    const a = proj(corners[e[0]]), b = proj(corners[e[1]]);
+        |    el('line', {x1: a[0].toFixed(1), y1: a[1].toFixed(1), x2: b[0].toFixed(1),
+        |      y2: b[1].toFixed(1), stroke: '#bbb', 'stroke-width': 1});
+        |  });
+        |  P.map(q => ({q: q, pr: proj(q.u)})).sort((a, b) => a.pr[2] - b.pr[2])
+        |    .forEach(({q, pr}) => el('circle', {cx: pr[0].toFixed(1), cy: pr[1].toFixed(1),
+        |      r: q.p.s.toFixed(2), fill: q.p.color, 'fill-opacity': 0.8, stroke: '#444', 'stroke-width': 0.4},
+        |      q.p.name + '\nlon ' + q.p.lon.toFixed(4) + ' lat ' + q.p.lat.toFixed(4) +
+        |      '\npolarity ' + q.p.z.toFixed(3) + '\ndocs ' + q.p.n));
+        |  text(W / 2, H - 8, 'drag to rotate — lon × lat × mean polarity');
+        |}
+        |function onDrag(e, d) { az += (e.clientX - d.x) * 0.01; ax += (e.clientY - d.y) * 0.01; draw(); }
+        |draw();""".stripMargin
+    shell(title, dataJs, body)
+  }
+
+  /** Full sink: the ranked per-source frame lands once as a JSON report,
+    * the driver re-reads it and writes the reference's three interactive
+    * chart documents. */
+  def writeLab4Charts(s: SparkSession, dir: String, outPath: String,
+      nbins: Int = 50, maxRows: Int = 100000): Unit = {
+    val rowsDf = MapDocs.lab4MapRows(s, dir)
+    val n = rowsDf.count()
+    require(n <= maxRows,
+      s"writeLab4Charts is a single-file exchange export capped at $maxRows rows; got $n")
+    IO.writeReportJson(rowsDf, s"$outPath/rows")
+    val back: Seq[SourceRow] = s.read
+      .schema("source STRING, n_docs LONG, avg_polarity DOUBLE, positive_rate DOUBLE, " +
+        "score DOUBLE, lon DOUBLE, lat DOUBLE")
+      .json(s"$outPath/rows").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    def write(name: String, html: String): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outPath/$name"), html): Unit
+    write("sentiment_distribution.html",
+      renderHistogram(back, math.min(nbins, math.max(1, back.size)), "Mean polarity distribution"))
+    write("rate_vs_polarity.html",
+      renderScatterRegression(back, "Positive rate vs mean polarity"))
+    write("scatter_3d.html",
+      renderScatter3d(back, "Source sentiment spatial distribution (3D)"))
+  }
+}

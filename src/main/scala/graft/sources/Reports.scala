@@ -25,4 +25,24 @@ object Reports {
     Chart.writeLab1HourlyPng(s, dir, s"$outPath/charts")
     IO.writeReportZip(outPath, s"$outPath.zip")
   }
+
+  /** Lab-3 bundle (round 13): the road-network map document — route
+    * polyline + isochrone hull + POI accessibility layers + connectivity
+    * choropleth — over the oracle-checked g2b/g3/g6/g7 frames, zipped. */
+  def writeLab3Bundle(s: SparkSession, dir: String, outPath: String): Unit = {
+    MapDocs.writeLab3MapPanel(s, dir, s"$outPath/map")
+    IO.writeReportZip(outPath, s"$outPath.zip")
+  }
+
+  /** Lab-4 bundle (round 13): the quantile-shaded sentiment map, the three
+    * interactive charts (histogram + regression scatter + 3-D scatter),
+    * and the word-cloud PNG — every artifact over the oracle-checked lab4
+    * ranked frame / t5 term frame, zipped like the reference's download
+    * (实习四/…yelp_analysis.ipynb:6734-6777). */
+  def writeLab4Bundle(s: SparkSession, dir: String, outPath: String): Unit = {
+    MapDocs.writeLab4MapPanel(s, dir, s"$outPath/map")
+    ChartHtml.writeLab4Charts(s, dir, s"$outPath/charts")
+    WordCloud.writeWordCloudPng(s, dir, s"$outPath/wordcloud")
+    IO.writeReportZip(outPath, s"$outPath.zip")
+  }
 }

@@ -45,4 +45,36 @@ class ReportBundleSpec extends SparkSpec {
       assert(names.exists(n => n.startsWith("charts/hourly_rows/") && n.endsWith(".json")))
     } finally zf.close()
   }
+
+  test("lab3 + lab4 bundles: map/charts/wordcloud + zip, all present") {
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft-bundle34").toString
+    Reports.writeLab3Bundle(spark, dir, s"$base/lab3")
+    Reports.writeLab4Bundle(spark, dir, s"$base/lab4")
+
+    def names(zip: String): Seq[String] = {
+      val zf = new java.util.zip.ZipFile(zip)
+      try {
+        val e = zf.entries(); val b = scala.collection.mutable.ArrayBuffer[String]()
+        while (e.hasMoreElements) b += e.nextElement().getName
+        b.toSeq
+      } finally zf.close()
+    }
+    val n3 = names(s"$base/lab3.zip")
+    assert(n3.contains("map/map_lab3.html"))
+    assert(n3.exists(n => n.startsWith("map/rows/") && n.endsWith(".json")))
+
+    val n4 = names(s"$base/lab4.zip")
+    assert(n4.contains("map/map_lab4.html"))
+    assert(n4.contains("charts/sentiment_distribution.html"))
+    assert(n4.contains("charts/rate_vs_polarity.html"))
+    assert(n4.contains("charts/scatter_3d.html"))
+    assert(n4.contains("wordcloud/wordcloud.png"))
+    assert(n4.exists(n => n.startsWith("wordcloud/term_rows/") && n.endsWith(".json")))
+    // the zipped wordcloud really is the repo's PNG
+    val zf = new java.util.zip.ZipFile(s"$base/lab4.zip")
+    try assert(Png.isPng(
+      zf.getInputStream(zf.getEntry("wordcloud/wordcloud.png")).readAllBytes))
+    finally zf.close()
+  }
 }
