@@ -20,6 +20,59 @@ object DedupQueries extends QueryCatalog {
   /** DuckDB fragment: the same 60-bit md5 hash as TextFunctions.hash64. */
   private def h64(e: String) = s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** DuckDB fragment replaying ops.SimHashWide's candidate chain — shared
+    * by the d4b stage query and the d13 end-to-end resolution.
+    *
+    * The width rule: ceil(log2 n) (exact for every integer n ≥ 2 — see
+    * SimHashWide.widthFor's bit-twiddled form) + 6 margin, clamped to
+    * [12, 32]; 4 blocks (Hamming radius 3); words of 60 usable hash bits.
+    * Block keys cross word boundaries exactly as SimHashWide.blockKey: low
+    * bits from word wi at offset `off`, the remainder from the PRE-MASKED
+    * low bits of word wi+1 (masking before the shift keeps every
+    * intermediate below 2^width, so no engine-specific overflow semantics
+    * are in play). Ends at `ham(id_a, id_b, hamming)` over candidates;
+    * `p(n, width, words)` stays in scope for consumers. */
+  private lazy val simWideHamSql: String =
+    s"""p AS (SELECT count(*) AS n,
+       |    LEAST(32, GREATEST(12, CAST(ceil(log2(count(*)::DOUBLE)) AS INT) + 6)) AS width,
+       |    CAST((4 * LEAST(32, GREATEST(12, CAST(ceil(log2(count(*)::DOUBLE)) AS INT) + 6)) + 59) // 60 AS INT) AS words
+       |  FROM documents),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sgl AS (SELECT doc_id,
+       |    [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |     for i in generate_series(0, len(t) - 3)] AS shingles
+       |  FROM tk WHERE len(t) >= 3),
+       |hwk AS (SELECT doc_id, shingles,
+       |    unnest(generate_series(0, p.words - 1)) AS w FROM sgl, p),
+       |hw AS (SELECT doc_id, w,
+       |    [${h64("'shw' || w::VARCHAR || ':' || s")} for s in shingles] AS hashes
+       |  FROM hwk),
+       |wv AS (SELECT doc_id, w,
+       |    CAST(list_sum([ CASE WHEN list_sum([ ((h >> b) & 1) * 2 - 1
+       |        for h in hashes ]) > 0 THEN (1::BIGINT << b) ELSE 0 END
+       |      for b in generate_series(0, 59) ]) AS BIGINT) AS word_val
+       |  FROM hw),
+       |sigs AS (SELECT doc_id, list(word_val ORDER BY w) AS sh FROM wv GROUP BY doc_id),
+       |blk0 AS (SELECT doc_id, sh, unnest(generate_series(0, 3)) AS b FROM sigs),
+       |blocked AS (SELECT doc_id, sh,
+       |    b::VARCHAR || ':' ||
+       |    (((sh[(b * p.width) // 60 + 1] >> ((b * p.width) % 60))
+       |      | (CASE WHEN ((b * p.width) % 60) + p.width > 60
+       |          THEN ((sh[(b * p.width) // 60 + 2]
+       |                 & ((1::BIGINT << (p.width - (60 - (b * p.width) % 60))) - 1))
+       |                << (60 - (b * p.width) % 60))
+       |          ELSE 0 END))
+       |     & ((1::BIGINT << p.width) - 1))::VARCHAR AS blk
+       |  FROM blk0, p),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.sh AS ha, b.sh AS hb
+       |  FROM blocked a JOIN blocked b
+       |    ON a.blk = b.blk AND a.doc_id < b.doc_id),
+       |ham AS (SELECT id_a, id_b,
+       |    CAST(list_sum([ bit_count(xor(ha[w+1], hb[w+1]))
+       |      for w in generate_series(0, p.words - 1) ]) AS BIGINT) AS hamming
+       |  FROM cand, p)""".stripMargin
+
   /** Near-dup pairs with Jaccard ≥ 0.5 over the capped shingle index,
     * parquet-staged per (application, dir): d2 orders/reports them and d5
     * resolves them to survivor groups — the pair join runs once, not once
@@ -380,58 +433,51 @@ object DedupQueries extends QueryCatalog {
           .orderBy("hamming")
         graft.QueryDef.materialized(result, sigs)
       },
-      Some {
-        // The width rule, replayed: ceil(log2 n) (exact for every integer n
-        // ≥ 2 — see SimHashWide.widthFor's bit-twiddled form) + 6 margin,
-        // clamped to [12, 32]; 4 blocks (Hamming radius 3); words of 60
-        // usable hash bits. Block keys cross word boundaries exactly as
-        // SimHashWide.blockKey: low bits from word wi at offset `off`, the
-        // remainder from the PRE-MASKED low bits of word wi+1 (masking
-        // before the shift keeps every intermediate below 2^width, so no
-        // engine-specific overflow semantics are in play).
-        s"""WITH p AS (SELECT count(*) AS n,
-           |    LEAST(32, GREATEST(12, CAST(ceil(log2(count(*)::DOUBLE)) AS INT) + 6)) AS width,
-           |    CAST((4 * LEAST(32, GREATEST(12, CAST(ceil(log2(count(*)::DOUBLE)) AS INT) + 6)) + 59) // 60 AS INT) AS words
-           |  FROM documents),
-           |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-           |sgl AS (SELECT doc_id,
-           |    [t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-           |     for i in generate_series(0, len(t) - 3)] AS shingles
-           |  FROM tk WHERE len(t) >= 3),
-           |hwk AS (SELECT doc_id, shingles,
-           |    unnest(generate_series(0, p.words - 1)) AS w FROM sgl, p),
-           |hw AS (SELECT doc_id, w,
-           |    [${h64("'shw' || w::VARCHAR || ':' || s")} for s in shingles] AS hashes
-           |  FROM hwk),
-           |wv AS (SELECT doc_id, w,
-           |    CAST(list_sum([ CASE WHEN list_sum([ ((h >> b) & 1) * 2 - 1
-           |        for h in hashes ]) > 0 THEN (1::BIGINT << b) ELSE 0 END
-           |      for b in generate_series(0, 59) ]) AS BIGINT) AS word_val
-           |  FROM hw),
-           |sigs AS (SELECT doc_id, list(word_val ORDER BY w) AS sh FROM wv GROUP BY doc_id),
-           |blk0 AS (SELECT doc_id, sh, unnest(generate_series(0, 3)) AS b FROM sigs),
-           |blocked AS (SELECT doc_id, sh,
-           |    b::VARCHAR || ':' ||
-           |    (((sh[(b * p.width) // 60 + 1] >> ((b * p.width) % 60))
-           |      | (CASE WHEN ((b * p.width) % 60) + p.width > 60
-           |          THEN ((sh[(b * p.width) // 60 + 2]
-           |                 & ((1::BIGINT << (p.width - (60 - (b * p.width) % 60))) - 1))
-           |                << (60 - (b * p.width) % 60))
-           |          ELSE 0 END))
-           |     & ((1::BIGINT << p.width) - 1))::VARCHAR AS blk
-           |  FROM blk0, p),
-           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           |    a.sh AS ha, b.sh AS hb
-           |  FROM blocked a JOIN blocked b
-           |    ON a.blk = b.blk AND a.doc_id < b.doc_id),
-           |ham AS (SELECT id_a, id_b,
-           |    CAST(list_sum([ bit_count(xor(ha[w+1], hb[w+1]))
-           |      for w in generate_series(0, p.words - 1) ]) AS BIGINT) AS hamming
-           |  FROM cand, p)
-           |SELECT hamming, count(*) AS n_pairs, min(id_a) AS min_id_a, p.width AS width
-           |FROM ham, p WHERE hamming <= 3
-           |GROUP BY hamming, p.width ORDER BY hamming""".stripMargin
-      }),
+      // concatenated, NOT an outer stripMargin template: the fragment's
+      // bitwise-OR lines start with '|' and a second stripMargin would
+      // strip the operator itself
+      Some("WITH " + simWideHamSql + "\n" +
+        """SELECT hamming, count(*) AS n_pairs, min(id_a) AS min_id_a, p.width AS width
+          |FROM ham, p WHERE hamming <= 3
+          |GROUP BY hamming, p.width ORDER BY hamming""".stripMargin)),
+
+    // D13 — the FULL adaptive-dedup chain, oracle-checked end-to-end
+    // (VERDICT r12 item 7): adaptive-SimHash candidates (the d4b stage,
+    // the 100 TB candidate generator) → connected components → keep-min-id
+    // survivor groups (the d5 terminal step). Engine: SimHashWide pairs
+    // feed the same star-contraction CC d5 uses; oracle: the d4b candidate
+    // CTE chain + d5's recursive transitive closure.
+    "d13_simhash_resolution" -> QueryDef(
+      (s, dir) => {
+        val nDocs = Tables.documents(s, dir).count()
+        val plan = graft.ops.SimHashWide.planFor(nDocs, hamming = 3)
+        val shingles = Tables.fanout(Tables.documents(s, dir))
+          .select(col("doc_id"),
+            explode(graft.functions.ShingleExpr.shinglesNative(
+              tokens(col("text")), 3)).as("shingle"))
+        val sigs = graft.ops.SimHashWide.signatures(shingles, plan.words)
+          .persist() // both sides of the block join
+        val pairs = graft.ops.SimHashWide.nearDupPairs(sigs, plan)
+        val result = graft.graph.GraphOps.connectedComponents(
+            pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+          .groupBy("component")
+          .agg(count(lit(1)).as("group_size"),
+            min("id").as("keep_id"), max("id").as("max_dropped"))
+          .select("keep_id", "group_size", "max_dropped")
+          .orderBy("keep_id")
+        graft.QueryDef.materialized(result, sigs)
+      },
+      // concatenated for the same stripMargin-vs-'|' reason as d4b
+      Some("WITH RECURSIVE " + simWideHamSql + ",\n" +
+        """sym AS (SELECT id_a AS a, id_b AS b FROM ham WHERE hamming <= 3
+          |  UNION SELECT id_b, id_a FROM ham WHERE hamming <= 3),
+          |walk(a, b) AS (SELECT a, b FROM sym
+          |  UNION SELECT w.a, s.b FROM walk w JOIN sym s ON w.b = s.a),
+          |comp AS (SELECT a AS id, least(a, min(b)) AS component
+          |  FROM walk GROUP BY a)
+          |SELECT component AS keep_id, count(*) AS group_size,
+          |  max(id) AS max_dropped
+          |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // D6 — benchmark decontamination: flag corpus docs sharing ≥ 3 distinct
     // word-3-grams with the "benchmark" set (stand-in: doc_id < 5) — the
