@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Decade-4 candidate-volume harness (VERDICT r12 item 6): pair counts for
+  * the adaptive-SimHash and banded-MinHash families at corpus sizes the
+  * on-disk generator cannot reach on one box (50M docs of text ≈ 10× the
+  * 5M-doc corpus that already rides the disk edge).
+  *
+  * The corpus is GENERATOR-STREAMED: token arrays are synthesized inside
+  * the scan from the same empirics `tools/make_scale_corpus.py` samples —
+  * the sf0.1 per-language token CDFs, per-document length/language mix,
+  * and the Heaps block-salting rule (content tokens below the top-10
+  * function words get a per-block suffix, so vocabulary grows with the
+  * corpus and shingle document-frequencies stay stationary). One
+  * deliberate difference, documented here: the python generator draws from
+  * ONE sequential LCG (inherently serial), this harness draws
+  * r = xxhash64(salt, doc, lang, pos) mod total — a keyed uniform stream
+  * that parallelizes. Same marginal distributions, different sample path;
+  * the 5M-doc rung is re-measured with the streamed generator next to the
+  * recorded on-disk values so the decade-4 point is calibrated against
+  * decade 3 before it is read as a trend.
+  *
+  * Count-only by construction: no corpus text ever lands on disk or in a
+  * shuffle — shingle STRINGS exist only inside the projection feeding the
+  * per-word hashes (simwide) / the 60-bit shingle hash (lsh), so the only
+  * data-proportional shuffles are the signature aggregates and the
+  * banded/block pair joins the measured queries themselves would run.
+  *
+  * Run: SPARK_GRAFT_CPUS=32 sbt "runMain graft.ScaleStream <nDocs> ..."
+  * (SPARK_GRAFT_SCALE_FAMILIES=simwide,lsh to select; results land in
+  * BASELINE.md by hand, like ScaleEvidence.)
+  */
+object ScaleStream {
+
+  /** Per-language empirical CDF entry list (cumulative hi, token, is a
+    * top-K global token) + total mass. */
+  final case class LangCdf(lang: String, entries: Seq[(Long, String, Boolean)], total: Long)
+
+  val Salt = 20260813L
+  val TopKGlobal = 10 // make_scale_corpus.py TOP_K_GLOBAL
+
+  /** Build the sf-base empirics driver-side. Bounded by construction: the
+    * BASE corpus (5k docs, 31-token vocabularies), never the synthetic one. */
+  def empirics(spark: org.apache.spark.sql.SparkSession, baseDir: String)
+      : (Seq[(Int, String, Int)], Seq[LangCdf]) = {
+    val base = graft.core.Tables.documents(spark, baseDir)
+      .select("doc_id", "text", "lang").orderBy("doc_id").collect()
+    val props = base.zipWithIndex.map { case (r, i) =>
+      (i, r.getString(2), r.getString(1).split(" ").length)
+    }.toSeq
+    val cdfs = base.groupBy(_.getString(2)).map { case (lang, rows) =>
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      rows.foreach(_.getString(1).split(" ").foreach(t =>
+        counts(t) = counts.getOrElse(t, 0L) + 1L))
+      val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+        .take(TopKGlobal).map(_._1).toSet
+      // sorted by token, like the python generator's zip(*sorted(ctr.items()))
+      var acc = 0L
+      val entries = counts.toSeq.sortBy(_._1).map { case (t, c) =>
+        acc += c; (acc, t, top.contains(t))
+      }
+      LangCdf(lang, entries, acc)
+    }.toSeq.sortBy(_.lang)
+    (props, cdfs)
+  }
+
+  /** The synthetic (doc_id, toks) frame: `spark.range(nDocs)`, each doc
+    * cloning base doc `id % nBase`'s language/length and sampling its
+    * tokens from that language's CDF with the keyed hash stream; Heaps
+    * salting by block = id / nBase. All columnar — no shuffle, no UDF. */
+  def syntheticDocs(spark: org.apache.spark.sql.SparkSession, baseDir: String,
+      nDocs: Long): DataFrame = {
+    val (props, cdfs) = empirics(spark, baseDir)
+    import spark.implicits._
+    val baseDf = props.toDF("bidx", "lang", "n_toks")
+    def sampleTok(l: LangCdf, p: Column): Column = {
+      val r = pmod(xxhash64(lit(Salt), col("doc_id"), lit(l.lang), p), lit(l.total))
+      val hit = element_at(filter(typedLit(l.entries), e => e.getField("_1") > r), 1)
+      when(hit.getField("_3"), hit.getField("_2"))
+        .otherwise(concat(hit.getField("_2"), lit("_b"), col("block")))
+    }
+    val toksCol = cdfs.foldLeft(lit(null).cast("array<string>")) { (acc, l) =>
+      when(col("lang") === l.lang,
+        transform(sequence(lit(0), col("n_toks") - 1), p => sampleTok(l, p)))
+        .otherwise(acc)
+    }
+    spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        pmod(col("id"), lit(props.size.toLong)).cast("int").as("bidx"),
+        (col("id") / lit(props.size.toLong)).cast("long").as("block"))
+      .join(broadcast(baseDf), "bidx")
+      .select(col("doc_id"), toksCol.as("toks"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(5000000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_STREAM_BASE", "/root/testdata/sf0.1")
+    val famSel = sys.env.get("SPARK_GRAFT_SCALE_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val known = Set("simwide", "lsh")
+    famSel.foreach { sel =>
+      val bad = sel -- known
+      require(bad.isEmpty, s"SPARK_GRAFT_SCALE_FAMILIES: unknown ${bad.mkString(",")} (known: ${known.mkString(",")})")
+    }
+    def famOn(f: String) = famSel.forall(_.contains(f))
+    val spark = graft.core.GraftSession.local(cpus)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val docs = syntheticDocs(spark, baseDir, nDocs)
+    val shingles = docs.select(col("doc_id"),
+      explode(graft.functions.ShingleExpr.shinglesNative(col("toks"), 3)).as("shingle"))
+
+    // Adaptive SimHash: the REAL SimHashWide machinery (planFor width rule,
+    // salted word signatures, boundary-crossing block keys) — candidate
+    // volume = the block equi-join's deduplicated output, pre-Hamming,
+    // matching ScaleEvidence's simwide_pairs semantic.
+    val plan = graft.ops.SimHashWide.planFor(nDocs, hamming = 3)
+    val (simwidePairs, tWide) = if (!famOn("simwide")) (-1L, -1.0) else timed {
+      val sigs = graft.ops.SimHashWide.signatures(
+        shingles.select("doc_id", "shingle"), plan.words)
+      val blocked = sigs.select(col("doc_id"),
+        explode(array((0 until plan.blocks).map(b =>
+          concat_ws(":", lit(b.toString),
+            graft.ops.SimHashWide.blockKey(col("sh"), b, plan.width)
+              .cast("string"))): _*)).as("blk"))
+      blocked.as("a").join(blocked.as("b"),
+          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .dropDuplicates("id_a", "id_b").count()
+    }
+
+    // Banded MinHash: df-capped (per-doc-distinct) shingle HASHES — the
+    // string-level cap of ShingleIndex replayed on hash64(sh) so no shingle
+    // text ever shuffles (md5-64bit collisions over ~10^8 distinct shingles
+    // expect ≪ 1 merged pair — immaterial to a pair-count trend); then the
+    // d3/ScaleEvidence 16-min signature, 8 bands × 2 rows, band equi-join.
+    import graft.functions.TextFunctions.{hash64, lshBandKeys, seededFromBase}
+    val (lshPairs, tLsh) = if (!famOn("lsh")) (-1L, -1.0) else timed {
+      val shH = docs.select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.ShingleExpr.shinglesNative(col("toks"), 3))).as("sh"))
+        .select(col("doc_id"), hash64(col("sh")).as("h"))
+      val rare = shH.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= graft.ops.ShingleIndex.DfCap).select("h")
+      val capped = shH.join(rare, "h")
+      val k = 16
+      val sigCols = (0 until k).map(i => min(seededFromBase(i, col("h"))).as(s"s$i"))
+      val banded = capped.groupBy("doc_id")
+        .agg(sigCols.head, sigCols.tail: _*)
+        .withColumn("sig", array((0 until k).map(i => col(s"s$i")): _*))
+        .select(col("doc_id"), explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .dropDuplicates("id_a", "id_b").count()
+    }
+
+    def sec(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def pairs(on: Boolean, v: Long) = if (on) v.toString else "null"
+    val line =
+      s"""{"mode":"stream","docs":$nDocs,"base":"$baseDir",""" +
+        s""""simwide_pairs":${pairs(famOn("simwide"), simwidePairs)},""" +
+        s""""simwide_width":${plan.width},"simwide_words":${plan.words},""" +
+        s""""lsh_pairs":${pairs(famOn("lsh"), lshPairs)},""" +
+        s""""pair_scan_sec":{"simwide":${if (famOn("simwide")) sec(tWide) else "null"},""" +
+        s""""lsh":${if (famOn("lsh")) sec(tLsh) else "null"}},""" +
+        s""""gen":"hash-keyed empirical-CDF heaps (salt $Salt)"}"""
+    println(s"[scalestream] $line")
+    spark.stop()
+  }
+}
