@@ -140,25 +140,45 @@ object ScaleStream {
     // text ever shuffles (md5-64bit collisions over ~10^8 distinct shingles
     // expect ≪ 1 merged pair — immaterial to a pair-count trend); then the
     // d3/ScaleEvidence 16-min signature, 8 bands × 2 rows, band equi-join.
+    //
+    // Decade-4 disk lesson (the first 50M attempt, ENOSPC at the capped
+    // join, log tmp/scale/r13_stream_50m_lsh.log): shuffle-joining the
+    // KEEP side re-keys 2.5B (doc, h) rows by h and then re-keys them
+    // again by doc for the signature aggregate — two data-proportional
+    // shuffles whose transient sum exceeds one box. The production shape
+    // inverts the filter: the OVER-cap set is small by construction
+    // (≤ Σdf/cap distinct hashes, dominated by function-word shingles —
+    // why real pipelines ship stop-shingle lists, not keep lists), so it
+    // BROADCASTS into an anti-join, doc locality survives from the
+    // generator straight into the signature aggregate, map-side combine
+    // collapses it, and the only data-proportional shuffle left is the
+    // df count itself.
     import graft.functions.TextFunctions.{hash64, lshBandKeys, seededFromBase}
     val (lshPairs, tLsh) = if (!famOn("lsh")) (-1L, -1.0) else timed {
-      val shH = docs.select(col("doc_id"),
+      def shH = docs.select(col("doc_id"),
         explode(array_distinct(
           graft.functions.ShingleExpr.shinglesNative(col("toks"), 3))).as("sh"))
         .select(col("doc_id"), hash64(col("sh")).as("h"))
-      val rare = shH.groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= graft.ops.ShingleIndex.DfCap).select("h")
-      val capped = shH.join(rare, "h")
+      val overCap = shH.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > graft.ops.ShingleIndex.DfCap).select("h")
+        .persist()
+      val nOver = overCap.count()
+      require(nOver < 20000000L,
+        s"over-cap shingle set is $nOver rows — too large to broadcast; " +
+          "raise the cap or partition the stop list")
+      val capped = shH.join(broadcast(overCap), Seq("h"), "left_anti")
       val k = 16
       val sigCols = (0 until k).map(i => min(seededFromBase(i, col("h"))).as(s"s$i"))
       val banded = capped.groupBy("doc_id")
         .agg(sigCols.head, sigCols.tail: _*)
         .withColumn("sig", array((0 until k).map(i => col(s"s$i")): _*))
         .select(col("doc_id"), explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
-      banded.as("a").join(banded.as("b"),
+      val n = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .dropDuplicates("id_a", "id_b").count()
+      overCap.unpersist()
+      n
     }
 
     def sec(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
