@@ -295,7 +295,12 @@ object Bench {
     val floorRx = """"([A-Za-z0-9_]+)":\s*\{\s*"sec":\s*([0-9.Ee+-]+)""".r
     val floorsFileText: String =
       if (new java.io.File(floorsPath).isFile) {
-        val txt = scala.io.Source.fromFile(floorsPath)
+        // Explicit UTF-8: the JVM default charset under a POSIX locale is
+        // US-ASCII, and a floor-row provenance note containing any
+        // non-ASCII character would otherwise kill the run AFTER the suite
+        // finished (r13: a 24-minute canonical died at this read on an
+        // em-dash in a stale-floor note).
+        val txt = scala.io.Source.fromFile(floorsPath)(scala.io.Codec.UTF8)
         try txt.mkString finally txt.close()
       } else ""
     val floors: Map[String, Double] =
@@ -567,7 +572,7 @@ object Bench {
                 f""" "$q": {"sec": ${floors(q)}%.3f, "source": "prior", "date": "$today"}""")
           }
         }
-        val w = new java.io.PrintWriter(floorsPath)
+        val w = new java.io.PrintWriter(floorsPath, "UTF-8")
         try {
           w.println("{")
           w.println(s""" "sf": "/root/testdata/sf0.1",""")
@@ -657,7 +662,7 @@ object Bench {
       else if (isCanonicalSf) "bench_detail.json"
       else "bench_detail_noncanonical.json"
     try {
-      val w = new java.io.PrintWriter(target)
+      val w = new java.io.PrintWriter(target, "UTF-8")
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () }
     println(compact)
