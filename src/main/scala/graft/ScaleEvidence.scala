@@ -51,7 +51,7 @@ object ScaleEvidence {
     // copies of this list; a query added to one but not the other either
     // failed a valid selection or was silently unmeasured).
     val measuredQueries = Seq("d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
-      "d4b_simhash_adaptive", "d7_tfidf_similarity")
+      "d4b_simhash_adaptive", "d7_tfidf_similarity", "d13_simhash_resolution")
     val knownQueries = measuredQueries.toSet
     val querySel = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
