@@ -537,8 +537,18 @@ object Bench {
       val repinMaxMemMed =
         sys.env.get("SPARK_GRAFT_REPIN_MAX_MEM_MED").map(_.toDouble).getOrElse(0.45)
       val repin = repinRequested && runMemMed > 0 && runMemMed <= repinMaxMemMed
-      if (repinRequested && !repin)
-        System.err.println(f"[bench] FLOOR_REPIN requested but AUTO-REVERTED: run-spanning mem_ref_during med $runMemMed%.3f > $repinMaxMemMed%.2f gate (quiet ref ${Bench.QuietMemRefMt}%.3f) — keeping lower-only floor semantics for this run")
+      if (repinRequested && !repin) {
+        // Two distinct revert causes deserve distinct diagnoses: a noisy
+        // window (med over the gate) vs no run-spanning samples at all
+        // (witness panel off → runMemMed = -1), where "-1.000 > 0.45"
+        // would misread as a measurement.
+        val why =
+          if (runMemMed <= 0)
+            "no run-spanning mem samples — repin requires the witness panel"
+          else
+            f"run-spanning mem_ref_during med $runMemMed%.3f > $repinMaxMemMed%.2f gate (quiet ref ${Bench.QuietMemRefMt}%.3f)"
+        System.err.println(s"[bench] FLOOR_REPIN requested but AUTO-REVERTED: $why — keeping lower-only floor semantics for this run")
+      }
       val newFloors = results.filter { case (q, v) =>
         v >= 0.0 && (repin || floors.get(q).forall(v < _))
       }

@@ -13,8 +13,24 @@ import org.apache.spark.sql.functions._
   * shingle with df=10⁶ alone yields ~5·10¹¹ pairs. Capping df (default 100)
   * bounds the per-shingle fanout at cap²/2 while discarding only shingles too
   * common to discriminate near-duplicates — the standard production guard in
-  * shingle-index dedup. The df filter is one extra aggregation on the same
-  * join key (`sh`), so the shuffle partitioning is reused by the pair join.
+  * shingle-index dedup.
+  *
+  * Build shape — broadcast stop-shingle anti-join (ported round 14 from the
+  * ScaleStream harness where it was validated bit-identical at 500k docs and
+  * turned a fatal ENOSPC into a 36 GiB-peak clean run at 50M docs,
+  * tmp/scale/r13_stream_50m_lsh*.log): filtering the exploded (doc, sh)
+  * relation by joining it against the KEEP set re-keys the full
+  * data-proportional relation by `sh` and the downstream signature/pair
+  * aggregates re-key it again by `doc_id` — two data-proportional shuffles
+  * whose transient sum exceeded one box at decade 4. The production shape
+  * inverts the filter: the OVER-cap set is small BY CONSTRUCTION
+  * (≤ Σdf/cap distinct shingles, dominated by function-word boilerplate —
+  * why real pipelines ship stop-shingle lists, not keep lists), so it
+  * broadcasts into a left-anti join, doc locality survives from the scan
+  * straight into downstream aggregates, and the only data-proportional
+  * shuffle left in the build is the df count itself. A loud `require` on the
+  * stop-set size refuses a corpus whose over-cap set outgrows a broadcast
+  * instead of silently spilling.
   *
   * The capped index is MATERIALIZED TO PARQUET once per (session, dir) and
   * re-read by every consumer. Earlier rounds memoized a `localCheckpoint`ed
@@ -30,6 +46,29 @@ object ShingleIndex {
   /** Max document frequency a shingle may have and still generate pairs. */
   val DfCap = 100
 
+  /** Refuse-loudly bound on the broadcast stop-shingle set. The over-cap set
+    * is ≤ Σshingles/cap rows by construction (~25M at 50M docs measured
+    * 36k — df mass concentrates in few boilerplate shingles), so 20M string
+    * rows (~0.5–1 GiB broadcast) marks a corpus that needs a partitioned
+    * stop list, not silent spill. */
+  val StopSetMaxRows = 20000000L
+
+  /** The OVER-cap shingle set (df > cap) from an exploded (doc_id, sh)
+    * frame, persisted + counted against [[StopSetMaxRows]] so the build
+    * fails loudly rather than attempting an over-sized broadcast. Caller
+    * unpersists. */
+  private def stopSet(shAll: DataFrame, cap: Int): DataFrame = {
+    val over = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .select("sh")
+      .persist()
+    val nOver = over.count()
+    require(nOver <= StopSetMaxRows,
+      s"over-cap stop-shingle set is $nOver rows — too large to broadcast; " +
+        "raise the df cap or partition the stop list")
+    over
+  }
+
   /** (doc_id, sh) rows over distinct word-3-grams with df ≤ [[DfCap]],
     * parquet-staged once per (application, dir) via [[Staged]] — the
     * returned frame is re-created per call from the CURRENT session, so no
@@ -38,18 +77,20 @@ object ShingleIndex {
     * exploded build-side cache persists through the write and is released
     * right after it. */
   def capped(s: SparkSession, dir: String): DataFrame = {
-    var shAll: org.apache.spark.sql.DataFrame = null
+    var shAll: DataFrame = null
+    var over: DataFrame = null
     Staged(s, s"shidx:$dir",
-        afterWrite = () => if (shAll != null) shAll.unpersist(blocking = true)) {
+        afterWrite = () => {
+          if (shAll != null) shAll.unpersist(blocking = true)
+          if (over != null) over.unpersist(blocking = true)
+        }) {
       shAll = graft.core.Tables.fanout(graft.core.Tables.documents(s, dir))
         .select(col("doc_id"),
           explode(array_distinct(
             graft.functions.ShingleExpr.shinglesNative(tokens(col("text")), 3))).as("sh"))
         .persist()
-      val rare = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= DfCap)
-        .select("sh")
-      shAll.join(rare, "sh").select("doc_id", "sh")
+      over = stopSet(shAll, DfCap)
+      shAll.join(broadcast(over), Seq("sh"), "left_anti").select("doc_id", "sh")
     }
   }
 
@@ -64,12 +105,12 @@ object ShingleIndex {
         explode(array_distinct(
           graft.functions.ShingleExpr.shinglesNative(tokens(col("text")), 3))).as("sh"))
       .persist()
-    val rare = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cap)
-      .select("sh")
-    val out = shAll.join(rare, "sh").select("doc_id", "sh")
+    val over = stopSet(shAll, cap)
+    val out = shAll.join(broadcast(over), Seq("sh"), "left_anti")
+      .select("doc_id", "sh")
       .localCheckpoint(true)
     shAll.unpersist(blocking = true)
+    over.unpersist(blocking = true)
     out
   }
 

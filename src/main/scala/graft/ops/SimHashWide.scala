@@ -31,9 +31,28 @@ object SimHashWide {
     def bits: Int = words * WordBits
   }
 
+  /** Expected RANDOM (false-candidate) block-join pairs per document for a
+    * corpus of `n` unrelated signatures under `plan`: each of the
+    * plan.blocks block keys is ~uniform over 2^width buckets, so expected
+    * same-bucket pairs ≈ C(n,2)/2^width per block ≈ n/2^(width+1) per doc
+    * per block. This is the quantity the width rule bounds — and the
+    * quantity that defines the 32-bit CAP's regime: past n = 2^(32−margin)
+    * = 2²⁶ docs the width stops growing, so false candidates/doc resume
+    * growing LINEARLY in n from a floor of 2^−(margin+1). At n = 10⁹ that
+    * is ~0.12/doc/block (~0.47/doc over 4 blocks) — bounded and far below
+    * the df-cap fanout, which is why the cap is acceptable. Escape hatch
+    * when it isn't (n ≫ 10¹⁰, or a tighter budget): widen the signature —
+    * more 60-bit words lets `width` exceed 32 by splitting the key into a
+    * two-long struct, or raise `hamming`'s r+1 block count so each block
+    * narrows — both leave the pigeonhole recall guarantee intact. */
+  def projectedRandomPairsPerDoc(n: Long, plan: Plan): Double =
+    plan.blocks * (n.toDouble / 2.0) / math.pow(2.0, plan.width)
+
   /** Bits per block for corpus size `n`: ceil(log₂ n) + `margin`, floored at
     * 12 (the d4 calibration point) and capped at 32 (key stays a compact
-    * long; beyond 2³² buckets, collision pressure is ≈ 0 for any real n). */
+    * long; beyond 2³² buckets, collision pressure is ≈ 0 for any real n —
+    * see [[projectedRandomPairsPerDoc]] for the cap's exact regime and the
+    * escape hatch past it). */
   def widthFor(n: Long, margin: Int = 6): Int = {
     val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
     math.min(32, math.max(12, ceilLog2 + margin))

@@ -67,6 +67,26 @@ object ChartHtml {
 
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&#39;")
+
+  /** Quoted JSON string literal for the embedded JS data arrays: escapes
+    * `\` and `"` plus control chars, and emits `<`/`>`/`&` as \u00XX so a
+    * value containing `</script>` cannot terminate the script block. A
+    * proper encoder here (vs HTML-entity escaping) keeps the runtime string
+    * content exact — tooltips render the name verbatim. */
+  private[sources] def jstr(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"'  => b.append("\\\"")
+      case '<'  => b.append("\\u003c")
+      case '>'  => b.append("\\u003e")
+      case '&'  => b.append("\\u0026")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c    => b.append(c)
+    }
+    b.append("\"").toString
+  }
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
@@ -142,10 +162,14 @@ object ChartHtml {
     val bins = binCounts(vs, nbins)
     val mean = vs.sum / vs.size
     val binsJs = bins.map { case (x, c) => s"[${num(x)},$c]" }.mkString("[", ",", "]")
+    // binW mirrors binCounts' width formula — differencing the first two bin
+    // starts breaks down at nbins==1 (no second bin → the old 1.0 fallback
+    // misstated the tooltip range and the x-axis extent for single-bin data).
+    val binW = if (vs.max > vs.min) (vs.max - vs.min) / nbins else 1.0
     val dataJs =
       s"""const bins = $binsJs;
          |const meanV = ${num(mean)};
-         |const binW = ${num(bins.drop(1).headOption.map(_._1 - bins.head._1).getOrElse(1.0))};""".stripMargin
+         |const binW = ${num(binW)};""".stripMargin
     val body =
       """const maxC = Math.max(...bins.map(b => b[1]), 1);
         |const x0 = bins[0][0], x1 = bins[bins.length-1][0] + binW;
@@ -177,7 +201,7 @@ object ChartHtml {
     val (minP, maxP) = (ys.min, ys.max)
     val maxN = rows.map(_._2).max.toDouble
     val ptsJs = rows.sortBy(_._1).map { r =>
-      s"""{"name":"${esc(r._1)}","x":${num(r._4)},"y":${num(r._3)},"n":${r._2},""" +
+      s"""{"name":${jstr(r._1)},"x":${num(r._4)},"y":${num(r._3)},"n":${r._2},""" +
         s""""color":"${rdylgn(r._3, minP, maxP)}","s":${num(3 + 9 * math.sqrt(r._2 / maxN))}}"""
     }.mkString("[", ",", "]")
     val dataJs =
@@ -214,7 +238,7 @@ object ChartHtml {
     val (minP, maxP) = (rows.map(_._3).min, rows.map(_._3).max)
     val maxN = rows.map(_._2).max.toDouble
     val ptsJs = rows.sortBy(_._1).map { r =>
-      s"""{"name":"${esc(r._1)}","lon":${num(r._6)},"lat":${num(r._7)},"z":${num(r._3)},""" +
+      s"""{"name":${jstr(r._1)},"lon":${num(r._6)},"lat":${num(r._7)},"z":${num(r._3)},""" +
         s""""n":${r._2},"color":"${rdylgn(r._3, minP, maxP)}","s":${num(2 + 7 * math.sqrt(r._2 / maxN))}}"""
     }.mkString("[", ",", "]")
     val dataJs = s"const pts = $ptsJs;"

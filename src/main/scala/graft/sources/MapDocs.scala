@@ -51,6 +51,12 @@ object MapDocs {
 
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&#39;")
+
+  /** Quoted JSON string literal for the embedded JS data — see
+    * [[ChartHtml.jstr]] (shared encoder: escapes `\`/`"`/control chars,
+    * \u00XX for `<`/`>`/`&` so `</script>` can't terminate the block). */
+  private def jstr(s: String): String = ChartHtml.jstr(s)
 
   private def num(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
@@ -119,7 +125,7 @@ object MapDocs {
       val ps = pois.filter(_._2 == t).sortBy(r => (r._5, r._4))
       val in = ps.filter(_._6 > 0.5).map(r => pt(r._4, r._5)).mkString("[", ",", "]")
       val out = ps.filter(_._6 <= 0.5).map(r => pt(r._4, r._5)).mkString("[", ",", "]")
-      s"""{"tag":"${esc(t)}","color":"${TagColors.getOrElse(t, "#555555")}","in":$in,"out":$out}"""
+      s"""{"tag":${jstr(t)},"color":"${TagColors.getOrElse(t, "#555555")}","in":$in,"out":$out}"""
     }.mkString("[", ",", "]")
     val gridJs = grid.sortBy(g => (g._4, g._5)).map { g =>
       s"""{"lon":${num(g._4)},"lat":${num(g._5)},"n":${g._3},"d":${num(g._6)},"color":"${ylgnColor(g._6, minD, maxD)}"}"""
@@ -127,7 +133,7 @@ object MapDocs {
     val statsJs = tags.map { t =>
       val ps = pois.filter(_._2 == t)
       val in = ps.count(_._6 > 0.5)
-      s"""{"tag":"${esc(t)}","total":${ps.size},"inside":$in}"""
+      s"""{"tag":${jstr(t)},"total":${ps.size},"inside":$in}"""
     }.mkString("[", ",", "]")
     val routeLen = route.size
     val origin = route.head
@@ -348,7 +354,7 @@ object MapDocs {
     val bottom20 = byScore.reverse.take(20)
 
     def js(r: (String, Long, Double, Double, Double, Double, Double), color: String) =
-      s"""{"name":"${esc(r._1)}","n":${r._2},"pol":${num(r._3)},"posRate":${num(r._4)},""" +
+      s"""{"name":${jstr(r._1)},"n":${r._2},"pol":${num(r._3)},"posRate":${num(r._4)},""" +
         s""""score":${num(r._5)},"p":[${num(r._7)},${num(r._6)}],"color":"$color"}"""
 
     val heatJs = rows.sortBy(r => (r._7, r._6))

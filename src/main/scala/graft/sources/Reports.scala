@@ -23,6 +23,7 @@ object Reports {
     StatPanel.writeLab1Panel(s, dir, s"$outPath/panel")
     MapPanel.writeLab1MapPanel(s, dir, s"$outPath/map")
     Chart.writeLab1HourlyPng(s, dir, s"$outPath/charts")
+    Chart.writeLab1HeatmapPng(s, dir, s"$outPath/charts")
     IO.writeReportZip(outPath, s"$outPath.zip")
   }
 
@@ -42,6 +43,7 @@ object Reports {
   def writeLab4Bundle(s: SparkSession, dir: String, outPath: String): Unit = {
     MapDocs.writeLab4MapPanel(s, dir, s"$outPath/map")
     ChartHtml.writeLab4Charts(s, dir, s"$outPath/charts")
+    Chart.writeLab4KdeContourPng(s, dir, s"$outPath/charts")
     WordCloud.writeWordCloudPng(s, dir, s"$outPath/wordcloud")
     IO.writeReportZip(outPath, s"$outPath.zip")
   }

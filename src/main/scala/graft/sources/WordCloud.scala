@@ -106,6 +106,12 @@ object WordCloud {
   /** Rank color on `ramp` with the blue channel replaced by the rank so
     * every term's color is unique (spec-exact pixel counting). */
   def rankColor(rank: Int, total: Int, ramp: Array[String]): (Int, Int, Int) = {
+    // The rank rides the blue channel and the raster stores channels via
+    // toByte — beyond 256 terms colors would silently wrap and collide,
+    // breaking the every-term-unique-color invariant the spec counts
+    // pixels by. Fail loudly instead (t5's LIMIT 30 caller is far under).
+    require(total <= 256,
+      s"word cloud rank coloring supports at most 256 terms, got $total")
     // biggest terms take the DARK end of the ramp, like the library's
     // frequency-descending colormap walk
     val idx = ramp.length - 1 -

@@ -43,6 +43,8 @@ class ReportBundleSpec extends SparkSpec {
       assert(names.exists(n => n.startsWith("panel/rows/") && n.endsWith(".json")))
       assert(names.exists(n => n.startsWith("map/rows/") && n.endsWith(".json")))
       assert(names.exists(n => n.startsWith("charts/hourly_rows/") && n.endsWith(".json")))
+      assert(names.contains("charts/heatmap.png"))
+      assert(names.exists(n => n.startsWith("charts/heatmap_rows/") && n.endsWith(".json")))
     } finally zf.close()
   }
 
@@ -69,6 +71,8 @@ class ReportBundleSpec extends SparkSpec {
     assert(n4.contains("charts/sentiment_distribution.html"))
     assert(n4.contains("charts/rate_vs_polarity.html"))
     assert(n4.contains("charts/scatter_3d.html"))
+    assert(n4.contains("charts/kde_contour.png"))
+    assert(n4.exists(n => n.startsWith("charts/kde_rows/") && n.endsWith(".json")))
     assert(n4.contains("wordcloud/wordcloud.png"))
     assert(n4.exists(n => n.startsWith("wordcloud/term_rows/") && n.endsWith(".json")))
     // the zipped wordcloud really is the repo's PNG

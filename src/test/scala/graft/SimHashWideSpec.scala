@@ -17,6 +17,31 @@ class SimHashWideSpec extends SparkSpec {
     assert(q.blocks == 4 && q.width == 22 && q.words == 2) // 88 bits <= 120
   }
 
+  test("width-cap regime is pinned: projected false candidates stay bounded at the cap") {
+    // Below the cap (n <= 2^26) the width rule holds false candidates at a
+    // CONSTANT ~2^-(margin+1) per doc per block regardless of n...
+    for (n <- Seq(50_000L, 1_000_000L, 50_000_000L)) {
+      val p = SimHashWide.planFor(n, hamming = 3)
+      val perDocPerBlock = SimHashWide.projectedRandomPairsPerDoc(n, p) / p.blocks
+      assert(perDocPerBlock <= 1.0 / (1 << 6),
+        s"n=$n width=${p.width}: $perDocPerBlock exceeds the 2^-(margin) bound")
+    }
+    // ...past the cap the width freezes at 32 and the projection grows
+    // linearly from that floor — the documented bite at n=10^9 is ~0.12
+    // pairs/doc/block, ~0.47/doc over the 4 pigeonhole blocks: bounded,
+    // and far below the df-cap fanout (~50 pairs/doc at DfCap=100).
+    val billion = SimHashWide.planFor(1_000_000_000L, hamming = 3)
+    assert(billion.width == 32)
+    val bite = SimHashWide.projectedRandomPairsPerDoc(1_000_000_000L, billion)
+    assert(math.abs(bite / billion.blocks - 0.1164) < 0.001, s"per-block bite $bite")
+    assert(bite < 0.5, s"total projected false candidates/doc at n=10^9: $bite")
+    // The escape hatch the scaladoc names: raising the block count (r+1)
+    // narrows nothing here (width already capped) but adding words is what
+    // a >10^10 corpus configures — the Plan arithmetic already carries it.
+    val wide = SimHashWide.Plan(blocks = 4, width = 40, words = 3)
+    assert(wide.bits == 180 && wide.blocks * wide.width <= wide.bits)
+  }
+
   // Planted-signature fixtures: bypass text so the pigeonhole property is
   // tested exactly, over every block-boundary alignment the plan produces.
   private def randSig(r: scala.util.Random, words: Int): Array[Long] =
