@@ -73,9 +73,9 @@ object ShingleIndex {
     * parquet-staged once per (application, dir) via [[Staged]] — the
     * returned frame is re-created per call from the CURRENT session, so no
     * cached plan can outlive its session. The build skips cappedOf's eager
-    * localCheckpoint (the parquet write IS the materialization); only the
-    * exploded build-side cache persists through the write and is released
-    * right after it. */
+    * localCheckpoint (the parquet write IS the materialization); the
+    * exploded build-side cache and the broadcast stop-set persist through
+    * the write and are released right after it. */
   def capped(s: SparkSession, dir: String): DataFrame = {
     var shAll: DataFrame = null
     var over: DataFrame = null
