@@ -160,26 +160,55 @@ object ScaleStream {
     // resolution overhead (CC + grouping, claimed pairs-proportional) is
     // separable from candidate generation.
     val (d13Stats, tD13All) = if (!famOn("d13")) (null: String, -1.0) else timed {
-      val sigs = graft.ops.SimHashWide.signatures(
+      import graft.ops.SimHashWide
+      val sigs = SimHashWide.signatures(
         shingles.select("doc_id", "shingle"), plan.words).persist()
-      val (verified, tCand) = timed {
-        val p = graft.ops.SimHashWide.nearDupPairs(sigs, plan).persist()
-        p.count(); p
+      // candidate stage: the pigeonhole block join, deduped, signatures
+      // kept aboard for the verify — persisted so the verify filter and
+      // both CC measurements read the same materialized pair set
+      val (cand, tCand) = timed {
+        val blocked = sigs.select(col("doc_id"), col("sh"),
+          explode(array((0 until plan.blocks).map(b =>
+            concat_ws(":", lit(b.toString),
+              SimHashWide.blockKey(col("sh"), b, plan.width).cast("string"))): _*))
+            .as("blk"))
+        val c = blocked.as("a").join(blocked.as("b"),
+            col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.sh").as("ha"), col("b.sh").as("hb"))
+          .dropDuplicates("id_a", "id_b").persist()
+        c.count(); c
       }
-      val nVerified = verified.count()
-      val (groupRow, tRes) = timed {
+      val nCand = cand.count()
+      val verified = cand
+        .filter(SimHashWide.hamming(col("ha"), col("hb"), plan.words) <= plan.blocks - 1)
+        .select("id_a", "id_b")
+      val (nVerified, tVerify) = timed(verified.count())
+      def ccGroups(edges: DataFrame) =
         graft.graph.GraphOps.connectedComponents(
-            verified.select(col("id_a").as("src"), col("id_b").as("dst")))
+            edges.select(col("id_a").as("src"), col("id_b").as("dst")))
           .groupBy("component").agg(count(lit(1)).as("group_size"))
           .agg(count(lit(1)).as("n_groups"), sum("group_size").as("n_docs"),
             max("group_size").as("max_group")).first()
-      }
-      sigs.unpersist(); verified.unpersist()
+      val (groupRow, tRes) = timed(ccGroups(verified))
+      // the streamed generator draws per-doc-keyed tokens, so Hamming≤r
+      // twins are absent BY CONSTRUCTION and the verified set is empty —
+      // the pairs-proportional resolution claim is therefore ALSO measured
+      // over the raw candidate set (harness-only semantic, labeled), where
+      // pair volume = the decade's candidate count
+      val (candGroupRow, tResCand) = timed(ccGroups(cand))
+      sigs.unpersist(); cand.unpersist()
       def sec2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-      s""""d13":{"verified_pairs":$nVerified,"n_groups":${groupRow.getLong(0)},""" +
-        s""""n_dup_docs":${if (groupRow.isNullAt(1)) 0L else groupRow.getLong(1)},""" +
-        s""""max_group":${if (groupRow.isNullAt(2)) 0L else groupRow.getLong(2)},""" +
-        s""""cand_sec":${sec2(tCand)},"resolution_sec":${sec2(tRes)}}"""
+      def gl(r: org.apache.spark.sql.Row, i: Int) = if (r.isNullAt(i)) 0L else r.getLong(i)
+      s""""d13":{"cand_pairs":$nCand,"verified_pairs":$nVerified,""" +
+        s""""n_groups":${gl(groupRow, 0)},"n_dup_docs":${gl(groupRow, 1)},""" +
+        s""""max_group":${gl(groupRow, 2)},""" +
+        s""""cand_sec":${sec2(tCand)},"verify_sec":${sec2(tVerify)},""" +
+        s""""resolution_sec":${sec2(tRes)},""" +
+        s""""resolution_over_candidates_sec":${sec2(tResCand)},""" +
+        s""""cand_cc_groups":${gl(candGroupRow, 0)},""" +
+        s""""cand_cc_docs":${gl(candGroupRow, 1)},""" +
+        s""""cand_cc_max_group":${gl(candGroupRow, 2)}}"""
     }
 
     // Banded MinHash: df-capped (per-doc-distinct) shingle HASHES — the
