@@ -90,7 +90,25 @@ object ShingleIndex {
             graft.functions.ShingleExpr.shinglesNative(tokens(col("text")), 3))).as("sh"))
         .persist()
       over = stopSet(shAll, DfCap)
-      shAll.join(broadcast(over), Seq("sh"), "left_anti").select("doc_id", "sh")
+      // repartition(sh) + local sort: the measured r14 lesson (BASELINE.md
+      // round-14 ShingleIndex section, three variants countered at the 5M
+      // rung). The old keep-join's SMJ shuffle doubled as CLUSTERING for
+      // the staged parquet — dropping it left the index doc-ordered and
+      // every downstream sh-keyed pair-join exchange lost its
+      // hash-bucket-contiguity compression (d7 shuffle read 31.8 → 54.5
+      // GiB doc-ordered; local sort alone recovered only to 48.6 — hash
+      // partitioning scatters a lexicographic sort, so each map task still
+      // sprayed all buckets). Re-adding the hash partitioning restores the
+      // exact r11 physical layout (hash(sh)-partitioned, sh-sorted within)
+      // so each consumer map task feeds ONE reduce bucket; the build still
+      // beats the keep-join SMJ because the broadcast anti-join sorts
+      // nothing on the 10⁹-row side — the one shuffle here is pure
+      // repartitioning that the parquet write immediately absorbs, the
+      // standard pay-once clustering a multi-consumer staged index wants.
+      shAll.join(broadcast(over), Seq("sh"), "left_anti")
+        .select("doc_id", "sh")
+        .repartition(col("sh"))
+        .sortWithinPartitions("sh")
     }
   }
 
@@ -106,8 +124,11 @@ object ShingleIndex {
           graft.functions.ShingleExpr.shinglesNative(tokens(col("text")), 3))).as("sh"))
       .persist()
     val over = stopSet(shAll, cap)
+    // Same local sh-sort as [[capped]]: the checkpointed blocks feed
+    // sh-keyed pair joins whose exchanges compress on shingle adjacency.
     val out = shAll.join(broadcast(over), Seq("sh"), "left_anti")
       .select("doc_id", "sh")
+      .sortWithinPartitions("sh")
       .localCheckpoint(true)
     shAll.unpersist(blocking = true)
     over.unpersist(blocking = true)
