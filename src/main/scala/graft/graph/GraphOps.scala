@@ -48,7 +48,11 @@ object GraphOps {
     for (_ <- 1 to iters if !converged) {
       val relaxed = dist.join(e, col("id") === col("e_src"))
         .select(col("e_dst").as("id"), (col("dist") + col("e_w")).as("dist"))
-      val next = graft.core.Materialize.cut(dist.unionByName(relaxed)
+      // cutLazy + signature aggregate = ONE job per round (the aggregate
+      // scans every partition, materializing the checkpoint blocks as it
+      // goes) — the eager cut spent a whole extra job on materialization
+      // alone (guide §1.2: remove unnecessary passes).
+      val next = graft.core.Materialize.cutLazy(dist.unionByName(relaxed)
         .groupBy("id").agg(min("dist").as("dist")))
       val row = next.agg(count(lit(1)).as("c"), sum("dist").as("s")).head()
       val nextSig = (row.getLong(0), row.getLong(1))
@@ -115,7 +119,9 @@ object GraphOps {
         .select(col("e_dst").as("id"),
           struct((col("sp.dist") + col("e_w")).as("dist"),
             concat(col("sp.path"), array(col("e_dst"))).as("path")).as("sp"))
-      val next = graft.core.Materialize.cut(st.unionByName(relaxed)
+      // cutLazy: the signature aggregate below doubles as the materializing
+      // action — one job per round instead of two (see sssp).
+      val next = graft.core.Materialize.cutLazy(st.unionByName(relaxed)
         .groupBy("id").agg(min("sp").as("sp")))
       val row = next.agg(count(lit(1)).as("c"), sum("sp.dist").as("s"),
         expr("bit_xor(xxhash64(id, sp.dist, sp.path))").as("h")).head()
@@ -145,33 +151,64 @@ object GraphOps {
     val nodes = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id"))).distinct()
     var labels = graft.core.Materialize.cut(nodes.select(col("id"), col("id").as("label")))
-    var active = graft.core.Materialize.cut(edges.select(col("src").as("aid"), col("dst").as("bid")))
+    // Round 1 contracts straight off the caller's edge frame (the old eager
+    // cut of `active` spent one whole job copying it — guide §1.2); from
+    // round 2 on, `active` is the previous round's checkpointed contraction.
+    var active = edges.select(col("src").as("aid"), col("dst").as("bid"))
     // The frame whose checkpoint blocks back `active` — released one round
     // later, once the next contraction has materialized off it (dropping
     // per-round checkpoints otherwise leaks blocks suite-wide, see sssp).
-    var activeSource = active
+    // null in round 1: the caller's edge frame is NOT ours to release (it
+    // may itself be checkpointed — releasing it would truncate the caller's
+    // lineage with blocks gone).
+    var activeSource: DataFrame = null
     var sig = -1L
     var converged = false
+    // Once the contraction comes back EMPTY every later contraction is
+    // provably empty too (active only shrinks) — the remaining rounds are
+    // pure pointer-jump chain collapse, so the contraction job is skipped
+    // outright. NOTE the empty contraction is NOT the fixpoint: label
+    // chains (y→b, b→c) can still be collapsing after the edge set
+    // empties, so the exit stays the old unchanged-sum(label) signature —
+    // round-14's first cut of this code exited on "contraction empty" and
+    // the lab1 oracle caught a component split 29 vs 28.
+    var edgesDone = false
     for (_ <- 1 to maxIters if !converged) {
-      val contracted = graft.core.Materialize.cut(active
-        .join(labels.select(col("id").as("aid"), col("label").as("la")), "aid")
-        .join(labels.select(col("id").as("bid"), col("label").as("lb")), "bid")
-        .filter(col("la") =!= col("lb"))
-        .select(col("la"), col("lb"))
-        .distinct())
-      org.apache.spark.sql.graft.CheckpointBlocks.release(activeSource)
-      activeSource = contracted
-      val viaNbr = contracted.select(col("la").as("id"), col("lb").as("label"))
-        .unionByName(contracted.select(col("lb").as("id"), col("la").as("label")))
-      val stepped = labels.unionByName(viaNbr)
-        .groupBy("id").agg(min("label").as("label"))
+      val viaNbr =
+        if (edgesDone) None
+        else {
+          // cutLazy + count = one fused materialize job (see sssp); the old
+          // eager cut paid a separate job before the count.
+          val contracted = graft.core.Materialize.cutLazy(active
+            .join(labels.select(col("id").as("aid"), col("label").as("la")), "aid")
+            .join(labels.select(col("id").as("bid"), col("label").as("lb")), "bid")
+            .filter(col("la") =!= col("lb"))
+            .select(col("la"), col("lb"))
+            .distinct())
+          val nDiff = contracted.count()
+          if (activeSource ne null)
+            org.apache.spark.sql.graft.CheckpointBlocks.release(activeSource)
+          activeSource = contracted
+          if (nDiff == 0L) { edgesDone = true; None }
+          else {
+            active = contracted.select(col("la").as("aid"), col("lb").as("bid"))
+            Some(contracted.select(col("la").as("id"), col("lb").as("label"))
+              .unionByName(contracted.select(col("lb").as("id"), col("la").as("label"))))
+          }
+        }
+      // stepped with an empty contraction is value-identical to `labels`
+      // (∪ ∅ then groupBy-min is the identity on a keyed label frame), so
+      // the union+aggregate is skipped in the jump-only phase.
+      val stepped = viaNbr.fold(labels)(v =>
+        labels.unionByName(v).groupBy("id").agg(min("label").as("label")))
       val jumped = stepped.as("l1")
         .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")).as("l2"),
           col("l1.label") === col("l2.jid"))
         .select(col("l1.id").as("id"), col("jlabel").as("label"))
-      val next = graft.core.Materialize.cut(stepped.unionByName(jumped)
+      // cutLazy: the signature aggregate doubles as the materializing
+      // action — the relabel + convergence test is ONE job (was two).
+      val next = graft.core.Materialize.cutLazy(stepped.unionByName(jumped)
         .groupBy("id").agg(min("label").as("label")))
-      active = contracted.select(col("la").as("aid"), col("lb").as("bid"))
       val row = next.agg(sum("label")).head()
       val s = if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
       converged = s == sig
@@ -179,7 +216,8 @@ object GraphOps {
       labels = next
       sig = s
     }
-    org.apache.spark.sql.graft.CheckpointBlocks.release(activeSource)
+    if (activeSource ne null)
+      org.apache.spark.sql.graft.CheckpointBlocks.release(activeSource)
     labels.withColumnRenamed("label", "component")
   }
 

@@ -90,9 +90,15 @@ object Pipelines {
     val degStats = GraphOps.degrees(edges)
       .agg(count(lit(1)).as("n_nodes"), round(avg("degree"), 4).as("avg_degree"),
         max("degree").as("max_degree"))
-    val sssp = GraphOps.sssp(edges, 0L, 8)
-      .agg(count(lit(1)).as("n_reached"), max("dist").as("max_dist"))
-    val iso = GraphOps.reachable(edges, 0L, 30L, 8)
+    // ONE Bellman-Ford run feeds both the shortest-path stats and the
+    // isochrone count (reachable ≡ sssp.filter(dist ≤ cutoff)); the old
+    // shape ran the identical 8-round fixpoint twice — half of lab3's wall
+    // was a duplicated iterative subtree (guide §1.2: don't compute things
+    // twice). The dist frame is a checkpointed flat scan, so both
+    // aggregates read the same materialized state.
+    val sp = GraphOps.sssp(edges, 0L, 8)
+    val sssp = sp.agg(count(lit(1)).as("n_reached"), max("dist").as("max_dist"))
+    val iso = sp.filter(col("dist") <= 30L)
       .agg(count(lit(1)).as("n_isochrone"))
     degStats.crossJoin(sssp).crossJoin(iso)
   }

@@ -51,9 +51,16 @@ object MLModelQueries extends QueryCatalog {
       // corpus-proportional, so the single-level sorted mean's per-cluster
       // array was a latent OOM at scale; the bucketed form keeps the
       // cross-engine bit-exactness with bounded arrays.
-      centers = graft.ops.SortedFold.means(
+      // Per-iteration lineage cut on the k-row center frame (round-14,
+      // guide §7.2 "very large plans"): composed lazily, iteration i's
+      // centers embed iteration i-1's assignment subtree — and every
+      // consumer of (assigned, centers) then re-analyzes a plan that
+      // doubles per round (the m4b lesson). Cutting 8 rows per round keeps
+      // each round's plan one assignment deep; the computed values are the
+      // materialized same floats, so the oracle replay is untouched.
+      centers = graft.core.Materialize.cut(graft.ops.SortedFold.means(
           assigned, Seq("cid"), col("id"), Seq("x" -> "cx", "y" -> "cy"))
-        .select("cid", "cx", "cy")
+        .select("cid", "cx", "cy"))
     }
     (assigned, centers)
   }
