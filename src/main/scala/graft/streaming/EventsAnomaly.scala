@@ -90,6 +90,50 @@ object EventsAnomaly {
          |c_ts <= p_ts""".stripMargin))
   }
 
+  /** State-partition count for a bounded replay, derived from the SOURCE
+    * VOLUME instead of inherited from the session core count (round-14,
+    * guide §2.2/§2.5: partition counts must follow data, not the box).
+    *
+    * Why: every stateful micro-batch pays a fixed per-state-partition cost
+    * (state store open/commit/maintenance, and at high thread counts a
+    * measured super-linear contention term), while the state itself is
+    * bounded by the watermark horizon. Measured on w15_stream_join at
+    * sf0.1 (40k join-state rows, warm rep): 32 partitions = 204 s task
+    * time / 9.5 s wall; 16 = 44 s / 5.0 s; 4 = 3.6 s / 2.9 s — the
+    * per-task cost itself GROWS with the partition count (6.4 s → 0.9 s),
+    * so inheriting local[32]'s default was pure overhead at this state
+    * size. The rule sizes partitions at one per ~32 MB of source bytes
+    * (clamped to [4, 1024]) — sf0.1's ~4 MB stream runs at 4, a
+    * terabyte-scale stream derives hundreds, and SPARK_GRAFT_STREAM_PARTS
+    * overrides for operators that know their state volume. Results are
+    * partition-count-independent (hash routing only), which the 6
+    * streaming oracles re-verify. */
+  private def streamShuffleParts(parquetPath: String): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.trim.toInt) match {
+      case Some(n) =>
+        require(n > 0, s"SPARK_GRAFT_STREAM_PARTS must be positive, got $n")
+        n
+      case None =>
+        val f = new java.io.File(parquetPath)
+        val bytes =
+          if (f.isDirectory) Option(f.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+          else f.length()
+        math.min(1024L, math.max(4L, bytes / (32L << 20))).toInt
+    }
+
+  /** Run `body` (a streaming start/await bracket) with the session's
+    * shuffle-partition conf pinned to [[streamShuffleParts]], restoring the
+    * caller's value after. A NEW streaming checkpoint pins its state
+    * partition count from this conf at first-batch planning, so the bracket
+    * only needs to span query start → termination; the batch rollups over
+    * the sink run at the session's normal width. */
+  private def withStreamParts[T](spark: SparkSession, parquetPath: String)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, streamShuffleParts(parquetPath).toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** RAM-backed checkpoint dir for a bounded replay, when the host has one.
     *
     * A replay is ephemeral BY CONSTRUCTION — bounded input, memory sink,
@@ -199,10 +243,12 @@ object EventsAnomaly {
       transform: DataFrame => DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
     val name = "replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    runBounded(spark, transform(boundedSource(spark, parquetPath)).writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow()), name, checkpointDir)
+    withStreamParts(spark, parquetPath) {
+      runBounded(spark, transform(boundedSource(spark, parquetPath)).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow()), name, checkpointDir)
+    }
   }
 
   /** Complete-mode replay for DATA-PROPORTIONAL aggregates (session
@@ -224,9 +270,11 @@ object EventsAnomaly {
       .outputMode("complete")
       .foreachBatch(write)
       .trigger(Trigger.AvailableNow())
-    val q = ckpt.fold(dsw)(dsw.option("checkpointLocation", _)).start()
-    try q.awaitTermination()
-    finally ckpt.foreach(c => deleteRecursively(new java.io.File(c)))
+    withStreamParts(spark, parquetPath) {
+      val q = ckpt.fold(dsw)(dsw.option("checkpointLocation", _)).start()
+      try q.awaitTermination()
+      finally ckpt.foreach(c => deleteRecursively(new java.io.File(c)))
+    }
     readSinkOrEmpty(spark, out, transformed.schema)
   }
 
@@ -242,29 +290,33 @@ object EventsAnomaly {
     * finished rows to the sink directory; the result is read back as a
     * plain parquet frame. File sinks require a checkpoint, so this variant
     * always has one. */
-  private def runBoundedToFiles(spark: SparkSession, df: DataFrame): DataFrame = {
+  private def runBoundedToFiles(spark: SparkSession, df: DataFrame,
+      parquetPath: String): DataFrame = {
     val out = sinkDir(spark)
     val ckpt = requiredCheckpoint()
-    val q = df.writeStream
-      .format("parquet").option("path", out)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally deleteRecursively(new java.io.File(ckpt))
+    withStreamParts(spark, parquetPath) {
+      val q = df.writeStream
+        .format("parquet").option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally deleteRecursively(new java.io.File(ckpt))
+    }
     readSinkOrEmpty(spark, out, df.schema)
   }
 
   def replayBoundedJoin(spark: SparkSession, parquetPath: String,
       transform: (DataFrame, DataFrame) => DataFrame): DataFrame =
     runBoundedToFiles(spark,
-      transform(boundedSource(spark, parquetPath), boundedSource(spark, parquetPath)))
+      transform(boundedSource(spark, parquetPath), boundedSource(spark, parquetPath)),
+      parquetPath)
 
   /** Single-source APPEND-mode replay: for stateful operators that emit
     * rows incrementally (flatMapGroupsWithState) rather than maintaining a
     * complete aggregate. */
   def replayBoundedAppend(spark: SparkSession, parquetPath: String,
       transform: DataFrame => DataFrame): DataFrame =
-    runBoundedToFiles(spark, transform(boundedSource(spark, parquetPath)))
+    runBoundedToFiles(spark, transform(boundedSource(spark, parquetPath)), parquetPath)
 }
