@@ -45,7 +45,7 @@ object GbtBandProbe {
         * (lit(1.0) + col("l_tax")))
       .withColumn("is_train", pmod(col("l_orderkey") * lit(2654435761L), lit(100L)) < 70)
     val feats12 = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val (pred12, d12, s12, _) = MlPipelines.gbtFitHpo(
+    val (pred12, d12, s12, _, _) = MlPipelines.gbtFitHpo(
       li12.filter(col("is_train")), li12.filter(!col("is_train")), feats12, "y")
     report("m12_gbt_metrics", pred12)
     println(s"""{"query":"m12_gbt_metrics","best_depth":$d12,"best_step":$s12}""")

@@ -117,6 +117,32 @@ object GraftSession {
       // loudly at the only place it's read.
       .config("spark.memory.offHeap.enabled", (offHeapGb > 0).toString)
       .config("spark.memory.offHeap.size", math.max(1, offHeapGb) + "g")
+      // ObjectHashAggregate fallback threshold (round-14, guide step 4):
+      // every TypedImperative aggregation in the engine (the sorted-fold
+      // collect_list sites, d4's vote columns, the GK/HLL sketches) carries
+      // a BOUNDED per-group buffer — SortedFold buckets cap at 4096 doubles
+      // = 32 KB — but the default threshold of 128 in-memory groups flipped
+      // any partition with more groups to SORT-based aggregation, a full
+      // per-stage sort of the data-proportional input. m4b's per-dim folds
+      // (320 (dim,bkt) groups over 1.3M rows × 12 passes) paid exactly
+      // that: 12-17 s task time per fold stage, none of it the fold.
+      // 4096 groups × 32 KB ≈ 128 MB worst-case per task, inside the
+      // off-heap execution budget; partitions beyond it still fall back.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      // Shuffle writer selection (round-14, guide §2.1 "local disk can be
+      // the tighter limit"): with reduce-partition counts under the default
+      // bypassMergeThreshold (200), every map task used
+      // BypassMergeSortShuffleWriter — one FILE per reduce partition, so a
+      // 32-task map stage at 32 shuffle partitions paid ~1024 file
+      // creates + a merge + deletes per stage. In-process stack sampling
+      // on m4b (83 tiny stages) showed FileOutputStream.open +
+      // shuffle-file map/unmap/commit as ~40% of ACTIVE task time on this
+      // host. Threshold 0 disables the bypass path everywhere, so small
+      // shuffles take the serialized (Unsafe) writer: ONE spill file +
+      // index per map task regardless of reducer count. Large shuffles
+      // already used it. Per-partition-count-independent, results
+      // untouched (routing only).
+      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
     val base = ioCodec.fold(base0)(c => base0.config("spark.io.compression.codec", c))
     if (initialParts > 0)
       base.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",

@@ -42,8 +42,13 @@ object MlPipelines {
   /** Seeded GBT regression on a feature column list; returns the validation
     * frame with `prediction`. Train/valid separation is the caller's
     * deterministic hash split (SetQueries U3 semantics). */
-  def gbtFit(train: DataFrame, valid: DataFrame, features: Seq[String], labelCol: String,
-      maxIter: Int = 10, maxDepth: Int = 4, seed: Long = 42L): DataFrame = {
+  /** Like the original gbtFit but ALSO returns the training-row count the
+    * fit already had to compute (round-14: m12/lab2 each re-counted the
+    * train split with a second full filter+scan job just to report
+    * n_train — the number was already in hand here). */
+  def gbtFitCounted(train: DataFrame, valid: DataFrame, features: Seq[String],
+      labelCol: String, maxIter: Int = 10, maxDepth: Int = 4, seed: Long = 42L)
+      : (DataFrame, Long) = {
     val asm = new VectorAssembler().setInputCols(features.toArray).setOutputCol("features")
     val gbt = new GBTRegressor().setFeaturesCol("features").setLabelCol(labelCol)
       .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed).setStepSize(0.1)
@@ -59,8 +64,12 @@ object MlPipelines {
     val model =
       try gbt.fit(trainFit)
       finally { trainF.unpersist(); () }
-    model.transform(asm.transform(valid)).drop("features")
+    (model.transform(asm.transform(valid)).drop("features"), nTrain)
   }
+
+  def gbtFit(train: DataFrame, valid: DataFrame, features: Seq[String], labelCol: String,
+      maxIter: Int = 10, maxDepth: Int = 4, seed: Long = 42L): DataFrame =
+    gbtFitCounted(train, valid, features, labelCol, maxIter, maxDepth, seed)._1
 
   /** The fixed 2M-row fit budget, with an audit line whenever it FIRES:
     * above the cap the sampled fit changes predictions/importances relative
@@ -90,11 +99,12 @@ object MlPipelines {
     * grid and the final fit (re-assembling per candidate was most of the
     * round-1 bench whale). Returns (valid predictions, bestDepth, bestStep,
     * per-feature importances aligned with `features` — the reference ranks
-    * LightGBM importances at …ipynb:8105-8121).
+    * LightGBM importances at …ipynb:8105-8121, training-row count — already
+    * computed for the fit budget, returned so callers need no second scan).
     */
   def gbtFitHpo(train: DataFrame, valid: DataFrame, features: Seq[String],
       labelCol: String, maxIter: Int = 10, seed: Long = 42L)
-      : (DataFrame, Int, Double, Array[Double]) = {
+      : (DataFrame, Int, Double, Array[Double], Long) = {
     val asm = new VectorAssembler().setInputCols(features.toArray).setOutputCol("features")
     val trainF = asm.transform(train).select(col("features"), col(labelCol)).persist()
     // Materialize the cache before the grid: TrainValidationSplit launches
@@ -136,7 +146,7 @@ object MlPipelines {
       .fit(trainFit)
     trainF.unpersist()
     (model.transform(asm.transform(valid)).drop("features"),
-      best.getMaxDepth, best.getStepSize, model.featureImportances.toArray)
+      best.getMaxDepth, best.getStepSize, model.featureImportances.toArray, nTrain)
   }
 
   /** Seeded RANDOM-SEARCH HPO — the reference's Optuna search semantics

@@ -57,9 +57,10 @@ object Pipelines {
       .withColumn("is_train", pmod(col("l_orderkey") * lit(2654435761L), lit(100L)) < 70)
     val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
       "hav_km", "dow", "mo", "is_rest")
-    val pred = MlPipelines.gbtFit(
+    // nTrain rides out of the fit (already counted for the fit budget) —
+    // no second filter+count scan (round-14, guide §1.2).
+    val (pred, nTrain) = MlPipelines.gbtFitCounted(
       featured.filter(col("is_train")), featured.filter(!col("is_train")), feats, "y")
-    val nTrain = featured.filter(col("is_train")).count()
     // Oracle-checkable verdict row (round-7 promotion from no_oracle, the
     // m12 pattern): exact split sizes the oracle recomputes from the hash
     // split + in-engine fit-quality booleans against MlBands' relative

@@ -58,9 +58,12 @@ object MLModelQueries extends QueryCatalog {
       // doubles per round (the m4b lesson). Cutting 8 rows per round keeps
       // each round's plan one assignment deep; the computed values are the
       // materialized same floats, so the oracle replay is untouched.
+      // .limit(k) is a no-op on the k-row frame but restores the maxRows
+      // bound the checkpoint's LogicalRDD erased — PlanGuard (and the
+      // planner) must still PROVE the broadcast build side tiny.
       centers = graft.core.Materialize.cut(graft.ops.SortedFold.means(
           assigned, Seq("cid"), col("id"), Seq("x" -> "cx", "y" -> "cy"))
-        .select("cid", "cx", "cy"))
+        .select("cid", "cx", "cy")).limit(k)
     }
     (assigned, centers)
   }
@@ -371,12 +374,14 @@ object MLModelQueries extends QueryCatalog {
             * (lit(1.0) + col("l_tax")))
           .withColumn("is_train", pmod(col("l_orderkey") * lit(2654435761L), lit(100L)) < 70)
         val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        val (pred, bestDepth, bestStep, importances) = MlPipelines.gbtFitHpo(
+        // nTrain rides out of the fit (it was already counted for the fit
+        // budget) — the old second filter+count scan of lineitem is gone
+        // (round-14, guide §1.2).
+        val (pred, bestDepth, bestStep, importances, nTrain) = MlPipelines.gbtFitHpo(
           li.filter(col("is_train")), li.filter(!col("is_train")), feats, "y")
         // Feature-importance ranking (reference …ipynb:8105-8121): the
         // top-weighted feature and its share.
         val (_, topImp) = feats.zip(importances).maxBy(_._2)
-        val nTrain = li.filter(col("is_train")).count()
         pred.withColumn("err", col("prediction") - col("y"))
           .agg(count(lit(1)).as("n_valid"),
             avg(abs(col("err"))).as("mae"),

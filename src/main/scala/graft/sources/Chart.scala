@@ -340,7 +340,7 @@ object Chart {
         * (lit(1.0) + col("l_tax")))
       .withColumn("is_train", pmod(col("l_orderkey") * lit(2654435761L), lit(100L)) < 70)
     val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val (_, _, _, importances) = graft.ml.MlPipelines.gbtFitHpo(
+    val (_, _, _, importances, _) = graft.ml.MlPipelines.gbtFitHpo(
       li.filter(col("is_train")), li.filter(!col("is_train")), feats, "y")
     val k = math.min(10, feats.size)
     val top = feats.zip(importances).sortBy(-_._2).take(k)
