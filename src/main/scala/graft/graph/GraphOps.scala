@@ -148,6 +148,7 @@ object GraphOps {
     * localCheckpoints: lazily composed rounds double the plan per iteration
     * (see sssp). */
   def connectedComponents(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
     val nodes = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id"))).distinct()
     var labels = graft.core.Materialize.cut(nodes.select(col("id"), col("id").as("label")))
@@ -156,62 +157,90 @@ object GraphOps {
     // round 2 on, `active` is the previous round's checkpointed contraction.
     var active = edges.select(col("src").as("aid"), col("dst").as("bid"))
     // The frame whose checkpoint blocks back `active` — released one round
-    // later, once the next contraction has materialized off it (dropping
-    // per-round checkpoints otherwise leaks blocks suite-wide, see sssp).
-    // null in round 1: the caller's edge frame is NOT ours to release (it
-    // may itself be checkpointed — releasing it would truncate the caller's
-    // lineage with blocks gone).
+    // later, once the next round's job (which reads it through the new
+    // contraction's lineage) has completed (dropping per-round checkpoints
+    // otherwise leaks blocks suite-wide, see sssp). null in round 1: the
+    // caller's edge frame is NOT ours to release (it may itself be
+    // checkpointed — releasing it would truncate the caller's lineage with
+    // blocks gone).
     var activeSource: DataFrame = null
     var sig = -1L
     var converged = false
     // Once the contraction comes back EMPTY every later contraction is
     // provably empty too (active only shrinks) — the remaining rounds are
-    // pure pointer-jump chain collapse, so the contraction job is skipped
+    // pure pointer-jump chain collapse, so the contraction work is skipped
     // outright. NOTE the empty contraction is NOT the fixpoint: label
     // chains (y→b, b→c) can still be collapsing after the edge set
     // empties, so the exit stays the old unchanged-sum(label) signature —
     // round-14's first cut of this code exited on "contraction empty" and
     // the lab1 oracle caught a component split 29 vs 28.
     var edgesDone = false
+    // Round-15 (VERDICT r14 item 5): the contraction count was the one
+    // remaining extra job per round — but only its ZERO-TEST is ever used.
+    // An accumulator bumped per contracted row answers emptiness through
+    // the relabel job itself, so contraction + relabel + convergence test
+    // fuse into ONE job per round (2 → 1). Dataset.observe cannot do this:
+    // the CollectMetrics node would sit behind the localCheckpoint
+    // boundary, whose materialization is not a tracked QueryExecution, so
+    // the observation never fires. Emptiness-by-accumulator is exact under
+    // recompute/retry inflation: a bump can only come from a task that saw
+    // a row, and a truly empty contraction never produces one.
+    val contractedRows = spark.sparkContext.longAccumulator("cc_contracted_rows")
+    def bump(c: org.apache.spark.sql.Column) =
+      graft.functions.RowTouch.touch(c, contractedRows)
     for (_ <- 1 to maxIters if !converged) {
+      // Snapshot FIRST: under AQE, merely BUILDING the round's lazy
+      // checkpoint (queryExecution.toRdd inside cutLazy) already runs the
+      // plan's shuffle stages as eager jobs — the contraction's bumps land
+      // before any explicit action, so a later snapshot would read them as
+      // "already there" and misdiagnose a live contraction as empty
+      // (caught by DbscanSpec: 68 vs 27 components).
+      val accBefore = contractedRows.value
       val viaNbr =
         if (edgesDone) None
         else {
-          // cutLazy + count = one fused materialize job (see sssp); the old
-          // eager cut paid a separate job before the count.
+          // cutLazy with NO materializing action of its own: the relabel
+          // job below both computes/stores these blocks and reads them
+          // (its union scans every partition, satisfying the cutLazy
+          // full-scan contract). The bump rides the load-bearing `la`
+          // column AFTER the distinct so column pruning can't drop it.
           val contracted = graft.core.Materialize.cutLazy(active
             .join(labels.select(col("id").as("aid"), col("label").as("la")), "aid")
             .join(labels.select(col("id").as("bid"), col("label").as("lb")), "bid")
             .filter(col("la") =!= col("lb"))
             .select(col("la"), col("lb"))
-            .distinct())
-          val nDiff = contracted.count()
-          if (activeSource ne null)
-            org.apache.spark.sql.graft.CheckpointBlocks.release(activeSource)
-          activeSource = contracted
-          if (nDiff == 0L) { edgesDone = true; None }
-          else {
-            active = contracted.select(col("la").as("aid"), col("lb").as("bid"))
-            Some(contracted.select(col("la").as("id"), col("lb").as("label"))
-              .unionByName(contracted.select(col("lb").as("id"), col("la").as("label"))))
-          }
+            .distinct()
+            .select(bump(col("la")).as("la"), col("lb")))
+          active = contracted.select(col("la").as("aid"), col("lb").as("bid"))
+          Some((contracted,
+            contracted.select(col("la").as("id"), col("lb").as("label"))
+              .unionByName(contracted.select(col("lb").as("id"), col("la").as("label")))))
         }
       // stepped with an empty contraction is value-identical to `labels`
       // (∪ ∅ then groupBy-min is the identity on a keyed label frame), so
       // the union+aggregate is skipped in the jump-only phase.
-      val stepped = viaNbr.fold(labels)(v =>
-        labels.unionByName(v).groupBy("id").agg(min("label").as("label")))
+      val stepped = viaNbr.fold(labels) { case (_, v) =>
+        labels.unionByName(v).groupBy("id").agg(min("label").as("label")) }
       val jumped = stepped.as("l1")
         .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")).as("l2"),
           col("l1.label") === col("l2.jid"))
         .select(col("l1.id").as("id"), col("jlabel").as("label"))
       // cutLazy: the signature aggregate doubles as the materializing
-      // action — the relabel + convergence test is ONE job (was two).
+      // action for BOTH checkpoints — contraction + relabel + convergence
+      // test are ONE job per round.
       val next = graft.core.Materialize.cutLazy(stepped.unionByName(jumped)
         .groupBy("id").agg(min("label").as("label")))
       val row = next.agg(sum("label")).head()
       val s = if (row.isNullAt(0)) Long.MinValue else row.getLong(0)
       converged = s == sig
+      viaNbr.foreach { case (contracted, _) =>
+        // This round's contraction is materialized now — the previous
+        // round's blocks (read through its lineage during the job) are dead.
+        if (activeSource ne null)
+          org.apache.spark.sql.graft.CheckpointBlocks.release(activeSource)
+        activeSource = contracted
+        if (contractedRows.value == accBefore) edgesDone = true
+      }
       org.apache.spark.sql.graft.CheckpointBlocks.release(labels)
       labels = next
       sig = s

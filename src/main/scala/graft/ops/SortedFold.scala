@@ -33,8 +33,12 @@ object SortedFold {
 
   val BucketCap = 4096
 
+  // Primitive-buffer sorted-fold aggregate (round-15): one
+  // TypedImperativeAggregate over a raw Array[Double] replaces the boxed
+  // collect_list → sort_array → vec_seq_sum chain, bit-identically (see
+  // SortedSumD's contract + SortedSumAggSpec).
   private def ssum(c: Column): Column =
-    graft.functions.VectorExpr.vecSeqSumD(sort_array(collect_list(c)))
+    graft.functions.SortedSumD.sortedSum(c)
 
   /** Deterministic two-level sums of `pairs` (inCol -> outCol) per `keys`
     * group, bucketed by `idCol div BucketCap`. Output: keys ++ outCols. */

@@ -367,7 +367,7 @@ object AggQueries extends QueryCatalog {
           .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
         val cc = perKey.groupBy("n").agg(count(lit(1)).as("m"))
         def ssum(c: org.apache.spark.sql.Column) =
-          graft.functions.VectorExpr.vecSeqSumD(sort_array(collect_list(c)))
+          graft.functions.SortedSumD.sortedSum(c)
         val t = cc.agg(sum(col("n") * col("m")).as("total"),
           sum("m").as("n_keys"), max("n").as("max_n"))
         val fold = cc.agg(ssum(col("n").cast("double") * col("m")

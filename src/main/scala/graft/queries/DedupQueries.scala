@@ -439,7 +439,13 @@ object DedupQueries extends QueryCatalog {
       Some("WITH " + simWideHamSql + "\n" +
         """SELECT hamming, count(*) AS n_pairs, min(id_a) AS min_id_a, p.width AS width
           |FROM ham, p WHERE hamming <= 3
-          |GROUP BY hamming, p.width ORDER BY hamming""".stripMargin)),
+          |GROUP BY hamming, p.width ORDER BY hamming""".stripMargin),
+      // Headline (round-15, VERDICT r14 item 2): a compute-proportional
+      // query in the driver's per-query scaling probe — the signature
+      // compute is task-time-dense (~12 s task at sf0.1), so its 8↔32-core
+      // ratio carries parallelism signal the original sub-second headline
+      // set could not.
+      headline = true),
 
     // D13 — the FULL adaptive-dedup chain, oracle-checked end-to-end
     // (VERDICT r12 item 7): adaptive-SimHash candidates (the d4b stage,

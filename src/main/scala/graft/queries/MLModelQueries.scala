@@ -142,7 +142,11 @@ object MLModelQueries extends QueryCatalog {
              |  CAST(coalesce(sum(CASE WHEN label = -1 THEN n END), 0) AS BIGINT) AS n_noise,
              |  CAST(sum(n) AS BIGINT) AS n_points,
              |  CAST(coalesce(max(CASE WHEN label >= 0 THEN n END), 0) AS BIGINT) AS max_cluster_size
-             |FROM sizes""".stripMargin)),
+             |FROM sizes""".stripMargin),
+      // Headline (round-15, VERDICT r14 item 2): compute-proportional
+      // scaling signal for the driver's 8↔32-core probe (~19 s task time
+      // at sf0.1 — the DBSCAN pair join + CC rounds).
+      headline = true),
 
     // M3's MLlib KMeans fit lives in MlPipelines.kmeansZones, exercised by
     // MlLibPipelineSpec — the seeded kmeans|| init is partitioning-dependent,
@@ -232,7 +236,7 @@ object MLModelQueries extends QueryCatalog {
       (s, dir) => {
         val iters = 3
         def ssum(c: org.apache.spark.sql.Column) =
-          graft.functions.VectorExpr.vecSeqSumD(sort_array(collect_list(c)))
+          graft.functions.SortedSumD.sortedSum(c)
         val comps = Tables.fanout(Tables.embeddings(s, dir))
           .select(col("vec_id"), col("label"), posexplode(col("embedding")))
           .select(col("vec_id"), col("label"), col("pos").as("dim"),

@@ -50,8 +50,7 @@ object MLQueries extends QueryCatalog {
     // native loop — the HOF fold ran interpreted once per (point, rep)
     // group, which dominated this query's wall-clock.
     def sortedAvg(c: org.apache.spark.sql.Column) =
-      graft.functions.VectorExpr.vecSeqSumD(
-        sort_array(collect_list(c))) / count(lit(1))
+      graft.functions.SortedSumD.sortedSum(c) / count(lit(1))
     val obs = nbrs.join(z.select(col("id").as("bid"), col("z").as("bz")), "bid")
       .groupBy(col("aid").as("id"))
       .agg(sortedAvg(col("bz")).as("lag_obs"))
@@ -145,7 +144,11 @@ object MLQueries extends QueryCatalog {
            |SELECT idx, round(kdist, 8) AS kdist, round(grad, 8) AS grad
            |FROM g WHERE grad IS NOT NULL
            |ORDER BY grad DESC, idx LIMIT 5""".stripMargin
-      }),
+      },
+      // Headline (round-15, VERDICT r14 item 2): compute-proportional
+      // scaling signal for the driver's 8↔32-core probe (~25 s task time
+      // at sf0.1 — the grid-kNN candidate windows).
+      headline = true),
 
     // M5 — Voronoi tessellation by nearest center (reference
     // 实习二/…ipynb:608-625): nearest-center assignment ≡ Voronoi membership,
@@ -419,7 +422,11 @@ object MLQueries extends QueryCatalog {
            |  CAST(sum(CASE WHEN p <= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_sig,
            |  round(avg(p), 6) AS avg_p
            |FROM quads GROUP BY 1 ORDER BY 1""".stripMargin
-      }),
+      },
+      // Headline (round-15, VERDICT r14 item 2): compute-proportional
+      // scaling signal for the driver's 8↔32-core probe (~12 s task time
+      // at sf0.1 — the 49-permutation LISA fan-out).
+      headline = true),
 
     // M11 — one-variable linear regression, closed form (reference
     // stats.linregress stars↔sentiment, 实习四/…ipynb:1155-1170):

@@ -21,7 +21,7 @@ object VectorQueries extends QueryCatalog {
   private val Dim = 64
 
   private def ssum(c: org.apache.spark.sql.Column) =
-    VectorExpr.vecSeqSumD(sort_array(collect_list(c)))
+    graft.functions.SortedSumD.sortedSum(c)
 
   /** Deterministic relational Lloyd over the embeddings (k=4, 2 iterations,
     * init = k lowest vec_ids) in the (id, dim, value) row layout. Returns

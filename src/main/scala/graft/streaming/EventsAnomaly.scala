@@ -108,17 +108,34 @@ object EventsAnomaly {
     * overrides for operators that know their state volume. Results are
     * partition-count-independent (hash routing only), which the 6
     * streaming oracles re-verify. */
-  private def streamShuffleParts(parquetPath: String): Int =
+  private def streamShuffleParts(spark: SparkSession, parquetPath: String): Int =
     sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.trim.toInt) match {
       case Some(n) =>
         require(n > 0, s"SPARK_GRAFT_STREAM_PARTS must be positive, got $n")
         n
       case None =>
-        val f = new java.io.File(parquetPath)
+        // Hadoop FS sizing (round-15, ADVICE r14): java.io.File reads ~0
+        // bytes for any non-local URI (hdfs://, s3a://) or nested/
+        // partitioned layout (listFiles is non-recursive) and would
+        // silently clamp a terabyte stream to 4 state partitions on
+        // cluster storage. getContentSummary walks the tree through
+        // whatever filesystem the path names; on failure fall back to the
+        // 4-partition floor LOUDLY rather than silently.
         val bytes =
-          if (f.isDirectory) Option(f.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
-          else f.length()
-        math.min(1024L, math.max(4L, bytes / (32L << 20))).toInt
+          try {
+            val path = new org.apache.hadoop.fs.Path(parquetPath)
+            val conf = spark.sparkContext.hadoopConfiguration
+            path.getFileSystem(conf).getContentSummary(path).getLength
+          } catch {
+            case e: Exception =>
+              System.err.println(
+                s"[streaming] source sizing failed for $parquetPath (${e.getMessage}) — " +
+                  "defaulting to the 4-partition state floor; set SPARK_GRAFT_STREAM_PARTS to override")
+              0L
+          }
+        val parts = math.min(1024L, math.max(4L, bytes / (32L << 20))).toInt
+        System.err.println(s"[streaming] $parquetPath: $bytes source bytes -> $parts state partitions")
+        parts
     }
 
   /** Run `body` (a streaming start/await bracket) with the session's
@@ -130,7 +147,7 @@ object EventsAnomaly {
   private def withStreamParts[T](spark: SparkSession, parquetPath: String)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, streamShuffleParts(parquetPath).toString)
+    spark.conf.set(key, streamShuffleParts(spark, parquetPath).toString)
     try body finally spark.conf.set(key, prev)
   }
 
