@@ -66,6 +66,21 @@ object GraftSession {
     }
   }
 
+  /** SPARK_GRAFT_BYPASS_THRESHOLD (default 0): the shuffle writer selection
+    * threshold (spark.shuffle.sort.bypassMergeThreshold). 0 = serialized
+    * (Unsafe) writer everywhere — the round-14 measured default on this
+    * host (one spill file + index per map task vs one FILE per reducer).
+    * Parameterised (round-15, VERDICT r14 item 6) so the sort-tax on
+    * big-sort queries (a22/a16/m25 pay +0.2-0.4 s at sf0.1) can be A/B'd at
+    * any scale without a code swap; the measured scaling of the tax is
+    * recorded in OPTIMIZATION_r15.md / BASELINE.md. */
+  private lazy val bypassThreshold: Int = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "0").trim
+    val parsed = scala.util.Try(raw.toInt).toOption.filter(_ >= 0)
+    parsed.getOrElse(throw new IllegalArgumentException(
+      s"SPARK_GRAFT_BYPASS_THRESHOLD must be a non-negative integer, got '$raw'"))
+  }
+
   def builder(cores: Int): SparkSession.Builder = {
     val base0 = SparkSession.builder()
       .master(s"local[$cores]")
@@ -142,7 +157,7 @@ object GraftSession {
       // index per map task regardless of reducer count. Large shuffles
       // already used it. Per-partition-count-independent, results
       // untouched (routing only).
-      .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+      .config("spark.shuffle.sort.bypassMergeThreshold", bypassThreshold.toString)
     val base = ioCodec.fold(base0)(c => base0.config("spark.io.compression.codec", c))
     if (initialParts > 0)
       base.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
